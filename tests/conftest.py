@@ -1,0 +1,15 @@
+"""Test harness config.
+
+All tests run on a virtual 8-device CPU mesh (no TPU needed), mirroring the
+reference's fake-backend strategy (SURVEY.md §4 item 4: the in-process CPU
+provider implements the full AccelProvider trait so GPU-semantics tests run
+deterministically with no GPU). Real-TPU runs happen via bench.py only.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
