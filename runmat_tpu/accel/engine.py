@@ -1,0 +1,520 @@
+"""JaxEngine: the TPU array engine (provider implementation).
+
+Reference parity: this is the AccelProvider implementation layer — the analog of
+WgpuProvider (crates/runmat-accelerate/src/backend/wgpu/provider/) with:
+  * residency = live/lazy jax arrays in HBM (≙ GpuTensorHandle + buffer pool)
+  * fusion    = lazy DAG -> traced jaxpr -> jax.jit, cached by DAG structure
+                (≙ generated WGSL + pipeline cache, fusion.rs:1513-1765)
+  * RNG       = Philox4x32 with the session's host-mirrored state
+                (≙ provider/ops/random.rs)
+  * auto-offload = size/class thresholds (≙ native_auto.rs cost model)
+  * telemetry = dispatch/upload/gather counters (≙ ProviderTelemetry,
+                runmat-accelerate-api/src/lib.rs:1337-1376)
+
+The same engine runs against jax-CPU for the no-TPU test path (≙ the in-process
+fake provider, simple_provider.rs).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+from .. import dtypes
+from ..errors import MatError
+from ..ops import philox, table
+from ..values import MatArray, normalize_shape
+from .lazy import DEFAULT_FUSE_CAP, LazyNode, structure_key, topo_order
+
+_REDUCE_OPS = {"sum", "mean", "min", "max", "any", "all", "prod",
+               "std0", "std1", "var0", "var1"}
+
+
+class JaxEngine:
+    def __init__(self, platform: Optional[str] = None, required: bool = False,
+                 auto_offload: Optional[bool] = None,
+                 offload_threshold: Optional[int] = None):
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        self.jax = jax
+        import jax.numpy as jnp
+        self.jnp = jnp
+        # RUNMAT_TPU_PLATFORM pins the backend (tests use "cpu" — the
+        # in-process fake-provider pattern, ≙ simple_provider.rs); some
+        # environments force a TPU plugin regardless of JAX_PLATFORMS.
+        platform = platform or os.environ.get("RUNMAT_TPU_PLATFORM") or None
+        devices = jax.devices(platform) if platform else jax.devices()
+        if not devices:
+            raise MatError("parallel:gpu:device:NoDevice", "No jax devices available.")
+        self.device = devices[0]
+        self.devices = devices
+        self.platform = self.device.platform
+        env_auto = os.environ.get("RUNMAT_TPU_AUTO_OFFLOAD")
+        if auto_offload is None:
+            auto_offload = (env_auto == "1") if env_auto is not None else \
+                self.platform not in ("cpu",)
+        self.auto_offload = auto_offload
+        self.offload_threshold = offload_threshold or int(
+            os.environ.get("RUNMAT_TPU_OFFLOAD_THRESHOLD", "32768"))
+        self.fuse_cap = int(os.environ.get("RUNMAT_TPU_FUSE_CAP", str(DEFAULT_FUSE_CAP)))
+        self._jit_cache: dict = {}
+        self.stats = {"dispatches": 0, "compiles": 0, "cache_hits": 0,
+                      "uploads": 0, "gathers": 0, "upload_bytes": 0,
+                      "gather_bytes": 0}
+
+    # ------------------------------------------------------------- dtype policy
+
+    def dtype_for(self, mclass: str, is_complex: bool = False):
+        """MATLAB class -> device dtype (≙ precision guard, accelerate/src/
+        precision.rs:40-60 — TPU supports f64 via emulation so no downcast
+        rejection is required; callers opt into f32 via single())."""
+        return np.dtype(dtypes.np_dtype(mclass, is_complex))
+
+    # ------------------------------------------------------------ residency ops
+
+    def upload(self, x: MatArray) -> MatArray:
+        h = x.host()
+        arr = self.jax.device_put(h, self.device)
+        self.stats["uploads"] += 1
+        self.stats["upload_bytes"] += h.nbytes
+        node = LazyNode(self, "leaf", [], (), h.shape, h.dtype, value=arr)
+        return MatArray.from_device(node, x.mclass)
+
+    def _lift(self, x: MatArray, dt: np.dtype) -> LazyNode:
+        """MatArray -> LazyNode (device). Host scalars become traced params."""
+        if x.on_device:
+            return x.dev
+        h = x._host
+        if h.size == 1:
+            return self._scalar_node(h.reshape(-1)[0], dt)
+        arr = self.jax.device_put(h, self.device)
+        self.stats["uploads"] += 1
+        self.stats["upload_bytes"] += h.nbytes
+        return LazyNode(self, "leaf", [], (), h.shape, h.dtype, value=arr)
+
+    def _scalar_node(self, v, dt: np.dtype) -> LazyNode:
+        # scalar payload rides in .value; structure_key branches on op=='scalar'
+        # before checking value, so the key hashes only the dtype.
+        return LazyNode(self, "scalar", [], (), (1, 1), dt, value=v)
+
+    def _op(self, op: str, inputs: list[LazyNode], static: tuple, shape, dtype) -> LazyNode:
+        node = LazyNode(self, op, inputs, static, shape, dtype)
+        if node.n_ops > self.fuse_cap:
+            self.materialize(node)
+        return node
+
+    # ------------------------------------------------------------------ routing
+
+    def route_binary(self, op: str, a: MatArray, b: MatArray) -> bool:
+        if a.on_device or b.on_device:
+            return True
+        if not self.auto_offload:
+            return False
+        if a.mclass not in ("double", "single", "logical") or \
+                b.mclass not in ("double", "single", "logical"):
+            return False
+        return max(a.size, b.size) >= self.offload_threshold
+
+    def route_unary(self, op: str, a: MatArray) -> bool:
+        if a.on_device:
+            return op in table.UNARY
+        return (self.auto_offload and a.size >= self.offload_threshold
+                and a.mclass in ("double", "single") and op in table.UNARY)
+
+    def route_matmul(self, a: MatArray, b: MatArray) -> bool:
+        if a.on_device or b.on_device:
+            return True
+        return self.auto_offload and min(a.size, b.size) >= self.offload_threshold
+
+    def offload_creation(self, n: int) -> bool:
+        return self.auto_offload and n >= self.offload_threshold
+
+    def offload_rng(self, n: int) -> bool:
+        return self.auto_offload and n >= self.offload_threshold
+
+    # ------------------------------------------------------------- op builders
+
+    def _common_dtype(self, a: MatArray, b: MatArray) -> np.dtype:
+        da = self.dtype_for(a.mclass if a.mclass not in ("logical", "char") else "double",
+                            a.is_complex)
+        db = self.dtype_for(b.mclass if b.mclass not in ("logical", "char") else "double",
+                            b.is_complex)
+        return np.result_type(da, db)
+
+    def binary(self, op: str, a: MatArray, b: MatArray, out_class: str) -> MatArray:
+        is_cx = a.is_complex or b.is_complex
+        if op in table.COMPARE_OPS or op in table.LOGICAL_OPS:
+            dt = np.dtype(np.bool_)
+            work_dt = self._common_dtype(a, b)
+        else:
+            dt = self.dtype_for(out_class, is_cx)
+            work_dt = dt
+        na = self._lift(a, work_dt)
+        nb = self._lift(b, work_dt)
+        from ..runtime.dispatch import matlab_broadcast_shape, _broadcast_check
+        _broadcast_check(na.shape, nb.shape)
+        shape = matlab_broadcast_shape(na.shape, nb.shape)
+        node = self._op("b:" + op, [na, nb], (str(work_dt),), shape, dt)
+        return MatArray.from_device(node, out_class)
+
+    def unary(self, op: str, a: MatArray, out_class: str) -> MatArray:
+        is_cx = a.is_complex and op not in ("abs", "real", "imag", "angle",
+                                            "isnan", "isinf", "isfinite")
+        dt = np.dtype(np.bool_) if out_class == "logical" else \
+            self.dtype_for(out_class, is_cx)
+        na = self._lift(a, dt)
+        node = self._op("u:" + op, [na], (), na.shape, dt)
+        return MatArray.from_device(node, out_class)
+
+    def matmul(self, a: MatArray, b: MatArray, out_class: str) -> MatArray:
+        is_cx = a.is_complex or b.is_complex
+        dt = self.dtype_for(out_class, is_cx)
+        na = self._lift(a, dt)
+        nb = self._lift(b, dt)
+        if len(na.shape) != 2 or len(nb.shape) != 2 or na.shape[1] != nb.shape[0]:
+            raise MatError("MATLAB:innerdim",
+                           "Incorrect dimensions for matrix multiplication.")
+        shape = (na.shape[0], nb.shape[1])
+        node = self._op("matmul", [na, nb], (str(dt),), shape, dt)
+        return MatArray.from_device(node, out_class)
+
+    def transpose(self, a: MatArray, conj: bool) -> MatArray:
+        na = a.dev if a.on_device else self._lift(a, a.host().dtype)
+        shape = (na.shape[1], na.shape[0]) if len(na.shape) == 2 else na.shape
+        node = self._op("transpose", [na], (bool(conj),), shape, na.dtype)
+        return MatArray.from_device(node, a.mclass)
+
+    def convert(self, a: MatArray, out_class: str) -> MatArray:
+        dt = self.dtype_for(out_class, a.is_complex)
+        na = a.dev
+        node = self._op("cast", [na], (str(dt),), na.shape, dt)
+        return MatArray.from_device(node, out_class)
+
+    def reshape(self, a: MatArray, shape: tuple) -> MatArray:
+        na = a.dev
+        node = self._op("reshapeF", [na], (tuple(normalize_shape(shape)),),
+                        normalize_shape(shape), na.dtype)
+        return MatArray.from_device(node, a.mclass)
+
+    def reduce(self, op: str, x: MatArray, axes: tuple, keep_class: str,
+               nan_mode) -> Optional[MatArray]:
+        if op not in _REDUCE_OPS:
+            return None
+        nx = x.dev
+        dt = np.dtype(np.bool_) if op in ("any", "all") else \
+            self.dtype_for(keep_class, x.is_complex)
+        axes = tuple(a for a in axes if a < len(nx.shape))
+        shape = tuple(1 if i in axes else s for i, s in enumerate(nx.shape))
+        node = self._op("r:" + op, [nx], (axes, nan_mode == "omitnan", str(dt)),
+                        normalize_shape(shape), dt)
+        return MatArray.from_device(node, keep_class)
+
+    def random(self, kind: str, state: philox.PhiloxState, dims: tuple,
+               mclass: str) -> MatArray:
+        n = 1
+        for d in dims:
+            n *= d
+        if kind == "randn":
+            m = 2 * ((n + 1) // 2)
+            consume = m if mclass == "single" else 2 * m
+        else:
+            consume = n if mclass == "single" else 2 * n
+        nblocks = (consume + 3) // 4
+        start = state.advance(nblocks)
+        lo = self._scalar_node(np.uint32(start & 0xFFFFFFFF), np.dtype(np.uint32))
+        hi = self._scalar_node(np.uint32((start >> 32) & 0xFFFFFFFF), np.dtype(np.uint32))
+        dt = self.dtype_for(mclass)
+        node = self._op("rng:" + kind, [lo, hi],
+                        (state.key, n, tuple(normalize_shape(dims)), mclass),
+                        normalize_shape(dims), dt)
+        return MatArray.from_device(node, mclass)
+
+    def full(self, dims, value, mclass: str) -> MatArray:
+        dt = self.dtype_for(mclass)
+        arr = self.jnp.full(normalize_shape(dims), value, dtype=dt,
+                            device=self.device)
+        node = LazyNode(self, "leaf", [], (), arr.shape, dt, value=arr)
+        return MatArray.from_device(node, mclass)
+
+    def linspace(self, start: float, stop: float, n: int, mclass: str) -> MatArray:
+        dt = self.dtype_for(mclass)
+        arr = self.jnp.linspace(start, stop, n, dtype=np.float64).reshape(1, -1).astype(dt)
+        node = LazyNode(self, "leaf", [], (), (1, n), dt, value=arr)
+        return MatArray.from_device(node, mclass)
+
+    def fft(self, x: MatArray, n, dim, inverse: bool):
+        return None  # round 1: host fft; device fft is a later milestone
+
+    # ------------------------------------------------------ indexing fast paths
+
+    def index_read(self, base: MatArray, args: list) -> Optional[MatArray]:
+        """Slice fast path: all subscripts colon/contiguous ranges/scalars."""
+        from ..vm.indexing import COLON, ColonMark
+        nb = base.dev
+        shape = nb.shape
+        if len(args) != len(shape):
+            return None
+        slices = []
+        out_shape = []
+        for k, a in enumerate(args):
+            if isinstance(a, ColonMark):
+                slices.append((0, shape[k]))
+                out_shape.append(shape[k])
+                continue
+            if not isinstance(a, MatArray) or a.mclass == "logical" or a.on_device:
+                return None
+            h = a._host
+            if h is None:
+                return None
+            flat = h.reshape(-1)
+            if flat.size == 0:
+                return None
+            start = int(flat[0]) - 1
+            stop = int(flat[-1])
+            if flat.size != stop - start or start < 0 or stop > shape[k]:
+                return None
+            if flat.size > 1 and not np.all(np.diff(flat) == 1):
+                return None
+            slices.append((start, stop))
+            out_shape.append(stop - start)
+        node = self._op("slice", [nb], (tuple(slices),),
+                        normalize_shape(out_shape), nb.dtype)
+        return MatArray.from_device(node, base.mclass)
+
+    def index_write(self, base: MatArray, args: list, rhs: MatArray) -> Optional[MatArray]:
+        """Eager device scatter for slice-shaped writes (jnp .at[].set)."""
+        from ..vm.indexing import COLON, ColonMark
+        if not base.on_device and not rhs.on_device:
+            return None
+        if not isinstance(base, MatArray):
+            return None
+        nb = base.dev if base.on_device else None
+        if nb is None:
+            return None
+        shape = nb.shape
+        if len(args) != len(shape):
+            return None
+        idx = []
+        sel_shape = []
+        for k, a in enumerate(args):
+            if isinstance(a, ColonMark):
+                idx.append(slice(None))
+                sel_shape.append(shape[k])
+                continue
+            if not isinstance(a, MatArray) or a.on_device or a.mclass == "logical":
+                return None
+            flat = a._host.reshape(-1)
+            if flat.size == 0:
+                return None
+            start = int(flat[0]) - 1
+            stop = int(flat[-1])
+            if flat.size != stop - start or start < 0 or stop > shape[k] or \
+                    (flat.size > 1 and not np.all(np.diff(flat) == 1)):
+                return None
+            idx.append(slice(start, stop))
+            sel_shape.append(stop - start)
+        nelem = int(np.prod(sel_shape))
+        if rhs.size not in (1, nelem):
+            return None
+        base_arr = self.materialize(nb)
+        if rhs.on_device:
+            rv = self.materialize(rhs.dev)
+        else:
+            rv = self.jax.device_put(rhs._host, self.device)
+            self.stats["uploads"] += 1
+            self.stats["upload_bytes"] += rhs._host.nbytes
+        if rhs.size == 1:
+            val = self.jnp.reshape(rv, ()).astype(nb.dtype)
+        else:
+            val = self.jnp.reshape(rv, tuple(sel_shape), order="F").astype(nb.dtype)
+        new_arr = base_arr.at[tuple(idx)].set(val)
+        self.stats["dispatches"] += 1
+        node = LazyNode(self, "leaf", [], (), new_arr.shape, nb.dtype, value=new_arr)
+        return MatArray.from_device(node, base.mclass)
+
+    # ------------------------------------------------------------ materialization
+
+    def materialize(self, node: LazyNode):
+        if node.value is not None:
+            return node.value
+        order = topo_order(node)
+        key = structure_key(node)
+        leaves = []
+        scalars = []
+        for n in order:
+            if n.op == "scalar":
+                scalars.append(np.asarray(n.value, dtype=n.dtype))
+            elif n.value is not None:
+                leaves.append(n.value)
+        cached = self._jit_cache.get(key)
+        if cached is None:
+            program = self._build_program(order)
+            jnp = self.jnp
+
+            def fn(leaf_args, scalar_args):
+                env: list = [None] * len(program)
+                li = 0
+                si = 0
+                for i, (op, static, dt, in_idx) in enumerate(program):
+                    if op == "__leaf__":
+                        env[i] = leaf_args[li]
+                        li += 1
+                    elif op == "scalar":
+                        env[i] = scalar_args[si]
+                        si += 1
+                    else:
+                        env[i] = self._exec(op, static, dt, [env[j] for j in in_idx])
+                return env[-1]
+
+            cached = self.jax.jit(fn)
+            self._jit_cache[key] = cached
+            self.stats["compiles"] += 1
+        else:
+            self.stats["cache_hits"] += 1
+        result = cached(leaves, scalars)
+        self.stats["dispatches"] += 1
+        node.value = result
+        node.inputs = []
+        node.n_ops = 0
+        return result
+
+    def _build_program(self, order: list[LazyNode]):
+        index = {id(n): i for i, n in enumerate(order)}
+        program = []
+        for n in order:
+            if n.op == "scalar":
+                program.append(("scalar", (), n.dtype, ()))
+            elif n.value is not None:
+                program.append(("__leaf__", (), n.dtype, ()))
+            else:
+                program.append((n.op, n.static, n.dtype,
+                                tuple(index[id(i)] for i in n.inputs)))
+        return program
+
+    # --------------------------------------------------------------- op executor
+
+    def _exec(self, op: str, static: tuple, dt: np.dtype, args: list):
+        jnp = self.jnp
+        if op.startswith("b:"):
+            name = op[2:]
+            work_dt = np.dtype(static[0])
+            a = self._coerce(args[0], work_dt)
+            b = self._coerce(args[1], work_dt)
+            # MATLAB leading-dim broadcast alignment (right-pad singletons)
+            if a.ndim < b.ndim:
+                a = a.reshape(a.shape + (1,) * (b.ndim - a.ndim))
+            elif b.ndim < a.ndim:
+                b = b.reshape(b.shape + (1,) * (a.ndim - b.ndim))
+            r = table.BINARY[name](jnp, a, b)
+            return r.astype(dt) if r.dtype != dt else r
+        if op.startswith("u:"):
+            name = op[2:]
+            a = args[0]
+            if a.dtype != dt and name not in ("isnan", "isinf", "isfinite", "logical_not"):
+                a = a.astype(dt)
+            r = table.UNARY[name](jnp, a)
+            return r.astype(dt) if r.dtype != dt else r
+        if op == "matmul":
+            a = args[0].astype(dt)
+            b = args[1].astype(dt)
+            pe = np.dtype(np.float32) if dt == np.float16 else dt
+            return jnp.matmul(a, b, preferred_element_type=pe)
+        if op == "transpose":
+            conj = static[0]
+            a = args[0]
+            r = a.T if a.ndim == 2 else a
+            if conj and np.dtype(a.dtype).kind == "c":
+                r = jnp.conj(r)
+            return r
+        if op == "cast":
+            return args[0].astype(np.dtype(static[0]))
+        if op == "reshapeF":
+            return jnp.reshape(args[0], static[0], order="F")
+        if op == "slice":
+            slices = tuple(slice(s, e) for s, e in static[0])
+            return args[0][slices]
+        if op.startswith("r:"):
+            return self._exec_reduce(op[2:], static, dt, args[0])
+        if op.startswith("rng:"):
+            return self._exec_rng(op[4:], static, dt, args)
+        raise MatError("MATLAB:internal", f"Unknown device op '{op}'.")
+
+    def _coerce(self, a, dt: np.dtype):
+        if a.dtype == np.bool_ and dt != np.bool_:
+            return a.astype(dt)
+        if a.dtype != dt and dt != np.bool_:
+            return a.astype(dt)
+        return a
+
+    def _exec_reduce(self, name: str, static: tuple, dt: np.dtype, x):
+        jnp = self.jnp
+        axes, omitnan, _ = static
+        axes = tuple(axes)
+        if name == "sum":
+            xx = jnp.where(jnp.isnan(x), 0, x) if omitnan and np.dtype(x.dtype).kind == "f" else x
+            return jnp.sum(xx.astype(dt) if np.dtype(dt).kind == "f" else xx,
+                           axis=axes, keepdims=True).astype(dt)
+        if name == "prod":
+            xx = jnp.where(jnp.isnan(x), 1, x) if omitnan and np.dtype(x.dtype).kind == "f" else x
+            return jnp.prod(xx, axis=axes, keepdims=True).astype(dt)
+        if name == "mean":
+            if omitnan and np.dtype(x.dtype).kind == "f":
+                return jnp.nanmean(x, axis=axes, keepdims=True).astype(dt)
+            return jnp.mean(x.astype(dt) if np.dtype(dt).kind == "f" else x,
+                            axis=axes, keepdims=True).astype(dt)
+        if name == "min":
+            return jnp.nanmin(x, axis=axes, keepdims=True).astype(dt)
+        if name == "max":
+            return jnp.nanmax(x, axis=axes, keepdims=True).astype(dt)
+        if name == "any":
+            return jnp.any(x != 0, axis=axes, keepdims=True)
+        if name == "all":
+            return jnp.all(x != 0, axis=axes, keepdims=True)
+        if name in ("std0", "std1", "var0", "var1"):
+            ddof = 0 if name.endswith("1") else 1
+            xf = x.astype(dt)
+            if omitnan:
+                r = jnp.nanvar(xf, axis=axes, keepdims=True, ddof=ddof)
+            else:
+                r = jnp.var(xf, axis=axes, keepdims=True, ddof=ddof)
+            if name.startswith("std"):
+                r = jnp.sqrt(r)
+            return r.astype(dt)
+        raise MatError("MATLAB:internal", f"Unknown reduce '{name}'.")
+
+    def _exec_rng(self, kind: str, static: tuple, dt: np.dtype, args: list):
+        jnp = self.jnp
+        key, n, shape, mclass = static
+        lo, hi = args[0], args[1]
+        prec = np.float32 if mclass == "single" else np.float64
+        if kind == "rand":
+            vals, _ = philox.uniform(jnp, key, (lo, hi), n, prec)
+        else:
+            vals, _ = philox.normal(jnp, key, (lo, hi), n, prec)
+        return jnp.reshape(vals.astype(dt), shape, order="F")
+
+    # ----------------------------------------------------------------- info/misc
+
+    def device_info(self) -> dict:
+        return {
+            "name": str(self.device.device_kind if hasattr(self.device, "device_kind")
+                        else self.device),
+            "platform": self.platform,
+            "count": len(self.devices),
+            "memory": getattr(self.device, "memory_stats", lambda: {})() .get(
+                "bytes_limit", 0) if hasattr(self.device, "memory_stats") else 0,
+        }
+
+    def telemetry(self) -> dict:
+        return dict(self.stats)
+
+    def synchronize(self) -> None:
+        pass
+
+    def block_until_ready(self, x: MatArray):
+        if x.on_device:
+            arr = self.materialize(x.dev)
+            arr.block_until_ready()
+        return x

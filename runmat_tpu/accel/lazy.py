@@ -1,0 +1,99 @@
+"""Lazy operation DAG: the TPU-native fusion plan.
+
+Reference parity: runmat-accelerate's AccelGraph + fusion planner + WGSL codegen
+(crates/runmat-accelerate/src/{graph.rs,fusion.rs:94-120,1513-1765}). Where the
+reference detects fusible spans in bytecode and emits WGSL kernels, here every
+device-resident value *is* a node in a lazy DAG; materialization traces the DAG
+into one jax computation compiled under jax.jit (XLA performs the elementwise/
+reduction fusion the reference hand-generates). The jit cache keyed by DAG
+structure ≙ the reference's fusion-plan cache keyed by graph hash
+(fusion.rs:684-703) and the wgpu pipeline cache.
+
+Host scalars enter as *traced parameters* (hashed by dtype, not value), so loop
+iterations with varying constants hit the same compiled executable — the analog
+of the reference binding constants through uniform buffers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+# Node op-count cap before forced materialization: bounds trace size and
+# compile time while leaving whole benchmark pipelines (10-60 ops) fused.
+DEFAULT_FUSE_CAP = 96
+
+
+class LazyNode:
+    """One value in the device DAG. kind: 'leaf' (concrete jax.Array),
+    'scalar' (traced host scalar parameter), or an op name."""
+
+    __slots__ = ("op", "inputs", "static", "shape", "dtype", "value", "n_ops",
+                 "engine")
+
+    def __init__(self, engine, op: str, inputs: list, static: tuple,
+                 shape: tuple, dtype, value: Any = None):
+        self.engine = engine
+        self.op = op
+        self.inputs = inputs
+        self.static = static
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = np.dtype(dtype)
+        self.value = value          # concrete jax.Array for leaves / after force
+        self.n_ops = (0 if op in ("leaf", "scalar")
+                      else 1 + sum(i.n_ops for i in inputs))
+
+    # --- duck-typed device-handle protocol used by MatArray ----------------- #
+
+    @property
+    def is_complex(self) -> bool:
+        return self.dtype.kind == "c"
+
+    def gather(self) -> np.ndarray:
+        """Materialize and transfer to host (≙ provider.download)."""
+        return np.asarray(self.engine.materialize(self))
+
+    def concrete(self):
+        """Materialize on device without host transfer."""
+        return self.engine.materialize(self)
+
+    def __repr__(self):  # pragma: no cover
+        return f"Lazy<{self.op} {self.shape} {self.dtype} ops={self.n_ops}>"
+
+
+def topo_order(root: LazyNode) -> list[LazyNode]:
+    seen: dict[int, LazyNode] = {}
+    order: list[LazyNode] = []
+    stack: list[tuple[LazyNode, bool]] = [(root, False)]
+    while stack:
+        node, done = stack.pop()
+        if done:
+            order.append(node)
+            continue
+        if id(node) in seen:
+            continue
+        seen[id(node)] = node
+        stack.append((node, True))
+        if node.value is None:
+            for i in node.inputs:
+                stack.append((i, False))
+    return order
+
+
+def structure_key(root: LazyNode) -> tuple:
+    """Hashable structural fingerprint of the DAG reachable from root.
+    Leaves contribute (shape, dtype); scalar params contribute dtype only;
+    op nodes contribute (op, static args, input slots)."""
+    order = topo_order(root)
+    index = {id(n): i for i, n in enumerate(order)}
+    parts = []
+    for n in order:
+        if n.op == "scalar":
+            parts.append(("S", str(n.dtype)))
+        elif n.value is not None:
+            parts.append(("L", n.shape, str(n.dtype)))
+        else:
+            parts.append((n.op, n.static, tuple(index[id(i)] for i in n.inputs),
+                          str(n.dtype), n.shape))
+    return tuple(parts)

@@ -193,11 +193,11 @@ class Parser:
             raise self._err(t, "invalid multi-assignment target")
         out = []
         for el in m.rows[0]:
-            if isinstance(el, (A.Ident, A.Index, A.FieldAccess)):
+            if isinstance(el, A.Ident) and el.name == "~":
+                out.append(None)
+            elif isinstance(el, (A.Ident, A.Index, A.FieldAccess)):
                 out.append(el)
             elif isinstance(el, A.UnOp) and el.op == "~" and isinstance(el.operand, A.Ident):
-                out.append(None)
-            elif isinstance(el, A.Ident) and el.name == "~":
                 out.append(None)
             else:
                 raise self._err(t, "invalid multi-assignment target element")

@@ -1,0 +1,186 @@
+"""gpuArray programming model: gpuArray/gather/gpuDevice/arrayfun/...
+
+Reference parity: runmat-runtime/src/builtins/acceleration/gpu/
+(gpuarray.rs, gather.rs, gpudevice.rs, arrayfun.rs). On TPU, "gpuArray" means
+device residency in the accel engine (a live/lazy jax array); gather
+materializes to host numpy. The same builtins work against the jax-CPU engine
+in tests (≙ the reference's in-process fake provider, SURVEY.md §4 item 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...errors import MatError, bad_arg
+from ...values import CellArray, FunctionHandle, MatArray, StructArray, text_of
+from ..registry import builtin
+
+
+def _engine(required: bool = True):
+    from ...accel import active_engine
+    eng = active_engine()
+    if eng is None and required:
+        raise MatError("parallel:gpu:device:NoDevice",
+                       "No accelerator device available (engine not initialized).")
+    return eng
+
+
+@builtin("gpuArray", category="acceleration", min_in=1, max_in=1)
+def m_gpuarray(x):
+    eng = _engine()
+    if not isinstance(x, MatArray):
+        raise bad_arg("gpuArray", "Input must be numeric or logical.")
+    if x.on_device:
+        return x
+    return eng.upload(x)
+
+
+@builtin("gather", category="acceleration", min_in=1, max_in=1)
+def m_gather(x):
+    if isinstance(x, MatArray) and x.on_device:
+        x.host()
+        return x
+    if isinstance(x, CellArray):
+        out = x.copy()
+        flat = out.data.reshape(-1)
+        for i in range(flat.size):
+            v = flat[i]
+            if isinstance(v, MatArray) and v.on_device:
+                v.host()
+        return out
+    return x
+
+
+@builtin("existsOnGPU", category="acceleration", min_in=1, max_in=1)
+def m_exists_on_gpu(x):
+    return MatArray.logical_scalar(isinstance(x, MatArray) and x.on_device)
+
+
+@builtin("isgpuarray", category="acceleration", min_in=1, max_in=1)
+def m_isgpuarray(x):
+    return MatArray.logical_scalar(isinstance(x, MatArray) and x.on_device)
+
+
+@builtin("gpuDevice", category="acceleration", min_in=0, max_in=1)
+def m_gpudevice(idx=None):
+    eng = _engine()
+    info = eng.device_info()
+    return StructArray.scalar({
+        "Name": MatArray.char_from_str(info["name"]),
+        "Index": MatArray.scalar(1.0),
+        "TotalMemory": MatArray.scalar(float(info.get("memory", 0))),
+        "DeviceAvailable": MatArray.logical_scalar(True),
+        "Platform": MatArray.char_from_str(info["platform"]),
+        "DeviceCount": MatArray.scalar(float(info.get("count", 1))),
+    })
+
+
+@builtin("gpuDeviceCount", category="acceleration", min_in=0, max_in=1)
+def m_gpudevicecount(kind=None):
+    eng = _engine(required=False)
+    if eng is None:
+        return MatArray.scalar(0.0)
+    return MatArray.scalar(float(eng.device_info().get("count", 1)))
+
+
+@builtin("arrayfun", category="acceleration", min_in=2, pass_ctx=True, pass_nargout=True)
+def m_arrayfun(f, *arrays, ctx=None, nargout=1):
+    """arrayfun(f, A, ...) elementwise application.
+
+    Reference note: the reference host-executes scalar fns then re-uploads
+    (builtins/acceleration/gpu/arrayfun.rs:1-7); same here, with a
+    'UniformOutput' option. Device inputs are gathered first."""
+    opts = list(arrays)
+    uniform = True
+    arrs = []
+    i = 0
+    while i < len(opts):
+        a = opts[i]
+        from ...values import is_text
+        if is_text(a) and text_of(a) == "UniformOutput":
+            uniform = bool(opts[i + 1].is_true()) if i + 1 < len(opts) else True
+            i += 2
+            continue
+        arrs.append(a)
+        i += 1
+    if not arrs:
+        raise bad_arg("arrayfun", "Need at least one array input.")
+    hs = [a.host() for a in arrs]
+    shape = hs[0].shape
+    for h in hs[1:]:
+        if h.shape != shape:
+            raise MatError("MATLAB:arrayfun:ShapeMismatch",
+                           "All input arrays must have the same size.")
+    n = hs[0].size
+    out_flat: list = []
+    flats = [h.reshape(-1, order="F") for h in hs]
+    for k in range(n):
+        elem_args = [MatArray.from_np(np.array([[fl[k]]]), arrs[j].mclass)
+                     for j, fl in enumerate(flats)]
+        r = ctx.interp.call_value(f, elem_args, 1, ctx.frame) if isinstance(f, FunctionHandle) \
+            else ctx.interp.call_named(text_of(f), elem_args, 1, ctx.frame)
+        out_flat.append(r[0] if r else MatArray.empty())
+    if uniform:
+        vals = np.array([v.scalar_double() if isinstance(v, MatArray) and not v.is_complex
+                         else v.item() for v in out_flat])
+        out = np.reshape(vals, shape, order="F")
+        mc = out_flat[0].mclass if out_flat and isinstance(out_flat[0], MatArray) else "double"
+        from ... import dtypes
+        if mc not in ("double", "single") or out.dtype.kind == "c":
+            return MatArray.from_np(out)
+        return MatArray(dtypes.cast_to_class(out, mc), mc)
+    data = np.empty(shape if len(shape) >= 2 else (1, n), dtype=object)
+    df = data.reshape(-1, order="F" if len(shape) >= 2 else "C")
+    for k in range(n):
+        df[k] = out_flat[k]
+    return CellArray(data)
+
+
+@builtin("pagefun", category="acceleration", min_in=2, pass_ctx=True, pass_nargout=True)
+def m_pagefun(f, *arrays, ctx=None, nargout=1):
+    """pagefun(f, A, B, ...): apply f per 2-D page of ND inputs."""
+    arrs = list(arrays)
+    hs = [a.host() for a in arrs]
+    nd = max(h.ndim for h in hs)
+    hs = [h.reshape(h.shape + (1,) * (nd - h.ndim)) for h in hs]
+    page_counts = [int(np.prod(h.shape[2:])) if h.ndim > 2 else 1 for h in hs]
+    npages = max(page_counts)
+    outs = []
+    for p in range(npages):
+        elems = []
+        for j, h in enumerate(hs):
+            if h.ndim <= 2:
+                page = h
+            else:
+                flat = h.reshape(h.shape[0], h.shape[1], -1, order="F")
+                page = flat[:, :, p % flat.shape[2]]
+            elems.append(MatArray(np.ascontiguousarray(page), arrs[j].mclass))
+        r = ctx.interp.call_value(f, elems, 1, ctx.frame) if isinstance(f, FunctionHandle) \
+            else ctx.interp.call_named(text_of(f), elems, 1, ctx.frame)
+        outs.append(r[0].host())
+    stacked = np.stack(outs, axis=2)
+    if npages == 1:
+        stacked = stacked[:, :, 0]
+    return MatArray.from_np(stacked)
+
+
+@builtin("wait", category="acceleration", min_in=0, max_in=1)
+def m_wait(dev=None):
+    eng = _engine(required=False)
+    if eng is not None:
+        eng.synchronize()
+    return None
+
+
+@builtin("accelInfo", category="acceleration", min_in=0, pass_ctx=True)
+def m_accel_info(*args, ctx=None):
+    eng = _engine(required=False)
+    if eng is None:
+        ctx.session.write("accelerator: none (host numpy only)\n")
+        return None
+    info = eng.device_info()
+    tele = eng.telemetry()
+    ctx.session.write(f"accelerator: {info['platform']} ({info['name']})\n")
+    for k, v in tele.items():
+        ctx.session.write(f"  {k}: {v}\n")
+    return None

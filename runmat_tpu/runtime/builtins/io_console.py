@@ -1,0 +1,149 @@
+"""Console/diagnostics builtins: disp, fprintf, error, warning, format, display.
+
+Reference parity: runmat-runtime/src/{console.rs,builtins/diagnostics} and the
+warning store (warning_store.rs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...errors import MatError, bad_arg
+from ...values import (CellArray, MatArray, StringArray, StructArray, is_char,
+                       is_text, text_of)
+from ..registry import builtin
+from .strings import format_matlab
+
+_WARN_STATE = {"enabled": True, "last": ("", "")}
+
+
+@builtin("disp", category="io/console", min_in=1, max_in=1, pass_ctx=True, is_sink=True)
+def m_disp(x, ctx=None):
+    from ...utils.display import _format_body
+    if isinstance(x, MatArray) and x.mclass == "char":
+        ctx.session.write(x.to_str() + "\n")
+        return None
+    if isinstance(x, StringArray) and x.size == 1:
+        ctx.session.write((x.item() or "") + "\n")
+        return None
+    ctx.session.write(_format_body(x) + "\n")
+    return None
+
+
+@builtin("display", category="io/console", min_in=1, max_in=2, pass_ctx=True, is_sink=True)
+def m_display(x, name=None, ctx=None):
+    nm = text_of(name) if name is not None else "ans"
+    ctx.session.display_value(nm, x)
+    return None
+
+
+@builtin("fprintf", category="io/console", min_in=1, pass_ctx=True, is_sink=True)
+def m_fprintf(*args, ctx=None):
+    args = list(args)
+    fid = 1
+    if args and isinstance(args[0], MatArray) and args[0].mclass != "char" and args[0].size == 1 \
+            and not is_text(args[0]):
+        fid = int(args[0].scalar_double())
+        args = args[1:]
+    if not args:
+        return None
+    fmt = text_of(args[0])
+    s = format_matlab(fmt, args[1:])
+    if fid in (1, 2):
+        ctx.session.write(s)
+    else:
+        from .file_io import write_fid
+        write_fid(fid, s)
+    return None
+
+
+@builtin("error", category="diagnostics", min_in=1, pass_ctx=True)
+def m_error(*args, ctx=None):
+    if len(args) == 1 and isinstance(args[0], StructArray):
+        st = args[0]
+        ident = st.get_scalar_field("identifier") if "identifier" in st.fields else None
+        msg = st.get_scalar_field("message") if "message" in st.fields else None
+        raise MatError(text_of(ident) if ident is not None else "",
+                       text_of(msg) if msg is not None else "")
+    first = text_of(args[0])
+    rest = list(args[1:])
+    if ":" in first and " " not in first and "%" not in first:
+        ident = first
+        msg = format_matlab(text_of(rest[0]), rest[1:]) if rest else ident
+        raise MatError(ident, msg)
+    raise MatError("", format_matlab(first, rest))
+
+
+@builtin("warning", category="diagnostics", min_in=0, pass_ctx=True)
+def m_warning(*args, ctx=None):
+    if not args:
+        return None
+    first = text_of(args[0]) if is_text(args[0]) else ""
+    if first in ("on", "off"):
+        _WARN_STATE["enabled"] = first == "on"
+        return None
+    rest = list(args[1:])
+    if ":" in first and " " not in first and "%" not in first and rest:
+        ident = first
+        msg = format_matlab(text_of(rest[0]), rest[1:])
+    else:
+        ident = ""
+        msg = format_matlab(first, rest)
+    _WARN_STATE["last"] = (ident, msg)
+    if _WARN_STATE["enabled"]:
+        ctx.session.write(f"Warning: {msg}\n")
+    return None
+
+
+@builtin("lastwarn", category="diagnostics", min_in=0, max_in=0, pass_nargout=True)
+def m_lastwarn(nargout=1):
+    ident, msg = _WARN_STATE["last"]
+    if nargout <= 1:
+        return MatArray.char_from_str(msg)
+    return [MatArray.char_from_str(msg), MatArray.char_from_str(ident)]
+
+
+@builtin("format", category="io/console", min_in=0, max_in=2)
+def m_format(*args):
+    from ...utils.display import set_format
+    mode = text_of(args[0]).lower() if args else "short"
+    if mode in ("short", "long"):
+        set_format(mode)
+    return None
+
+
+@builtin("rethrow", category="diagnostics", min_in=1, max_in=1)
+def m_rethrow(err):
+    if isinstance(err, StructArray):
+        ident = err.get_scalar_field("identifier") if "identifier" in err.fields else None
+        msg = err.get_scalar_field("message") if "message" in err.fields else None
+        raise MatError(text_of(ident) if ident is not None else "",
+                       text_of(msg) if msg is not None else "")
+    raise bad_arg("rethrow", "Input must be an MException or error structure.")
+
+
+@builtin("assert", category="diagnostics", min_in=1, pass_ctx=True)
+def m_assert(cond, *args, ctx=None):
+    ok = cond.is_true() if isinstance(cond, MatArray) else bool(cond)
+    if not ok:
+        if args:
+            first = text_of(args[0])
+            if ":" in first and " " not in first and len(args) > 1:
+                raise MatError(first, format_matlab(text_of(args[1]), list(args[2:])))
+            raise MatError("MATLAB:assertion:failed", format_matlab(first, list(args[1:])))
+        raise MatError("MATLAB:assertion:failed", "Assertion failed.")
+    return None
+
+
+@builtin("input", category="io/console", min_in=1, max_in=2, pass_ctx=True)
+def m_input(prompt, mode=None, ctx=None):
+    p = text_of(prompt)
+    ctx.session.write(p)
+    line = ctx.session.read_line() if hasattr(ctx.session, "read_line") else input()
+    if mode is not None and text_of(mode) == "s":
+        return MatArray.char_from_str(line)
+    from ...frontend.parser import parse_expression
+    res = ctx.session.execute(f"ans = {line};")
+    if res.error:
+        raise res.error
+    return ctx.session.get("ans")

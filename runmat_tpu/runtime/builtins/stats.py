@@ -1,0 +1,168 @@
+"""Statistics builtins: histc/histcounts, corrcoef, cov, movmean family,
+normalize, prctile.
+
+Reference parity: runmat-runtime/src/builtins/stats/ (63k LoC category);
+moving-window provider hook (runmat-accelerate-api/src/lib.rs:2852).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...errors import bad_arg
+from ...values import MatArray, fortran_ravel, is_text, text_of
+from ..registry import builtin
+from .common import scalar_int
+
+
+def _f(x: MatArray) -> np.ndarray:
+    return x.host().astype(np.float64)
+
+
+@builtin("cov", category="stats", min_in=1, max_in=3)
+def m_cov(x, y=None, w=None):
+    hx = _f(x)
+    if y is not None and isinstance(y, MatArray) and y.size > 1:
+        hy = _f(y)
+        m = np.cov(hx.reshape(-1), hy.reshape(-1), ddof=1)
+        return MatArray(m, "double")
+    if hx.ndim == 2 and 1 in hx.shape:
+        return MatArray.scalar(float(np.var(hx, ddof=1)))
+    return MatArray(np.cov(hx, rowvar=False, ddof=1), "double")
+
+
+@builtin("corrcoef", category="stats", min_in=1, max_in=2)
+def m_corrcoef(x, y=None):
+    hx = _f(x)
+    if y is not None:
+        hy = _f(y)
+        r = np.corrcoef(hx.reshape(-1), hy.reshape(-1))
+        return MatArray(r, "double")
+    if hx.ndim == 2 and 1 in hx.shape:
+        return MatArray(np.ones((1, 1)), "double")
+    return MatArray(np.corrcoef(hx, rowvar=False), "double")
+
+
+@builtin("histc", category="stats", min_in=2, max_in=2)
+def m_histc(x, edges):
+    hx = fortran_ravel(_f(x))
+    e = fortran_ravel(_f(edges))
+    counts = np.zeros(e.size, dtype=np.float64)
+    idx = np.searchsorted(e, hx, side="right") - 1
+    exact_last = hx == e[-1]
+    idx = np.where(exact_last, e.size - 1, idx)
+    valid = (idx >= 0) & ((hx >= e[0]) & (hx <= e[-1]))
+    np.add.at(counts, idx[valid], 1)
+    eh = edges.host()
+    out = counts.reshape(1, -1) if eh.ndim == 2 and eh.shape[0] == 1 else counts.reshape(-1, 1)
+    return MatArray(out, "double")
+
+
+@builtin("histcounts", category="stats", min_in=1, max_in=2, pass_nargout=True)
+def m_histcounts(x, bins=None, nargout=1):
+    hx = fortran_ravel(_f(x))
+    hx = hx[np.isfinite(hx)]
+    if bins is None:
+        nb = max(int(np.ceil(np.sqrt(hx.size))), 1)
+        counts, edges = np.histogram(hx, bins=nb)
+    elif bins.size == 1:
+        counts, edges = np.histogram(hx, bins=int(bins.scalar_double()))
+    else:
+        counts, edges = np.histogram(hx, bins=fortran_ravel(_f(bins)))
+    out = [MatArray(counts.astype(np.float64).reshape(1, -1), "double"),
+           MatArray(edges.reshape(1, -1), "double")]
+    return out[:max(1, nargout)]
+
+
+def _movwin(x, k, fn, name):
+    h = _f(x)
+    w = scalar_int(k, "window")
+    ax = 0 if h.shape[0] != 1 else 1
+    v = np.moveaxis(h, ax, -1)
+    n = v.shape[-1]
+    out = np.empty_like(v)
+    half_lo = (w - 1) // 2
+    half_hi = w // 2
+    for i in range(n):
+        lo = max(0, i - half_lo)
+        hi = min(n, i + half_hi + 1)
+        out[..., i] = fn(v[..., lo:hi], axis=-1)
+    r = np.moveaxis(out, -1, ax)
+    out_class = "single" if x.mclass == "single" else "double"
+    from ... import dtypes
+    return MatArray(dtypes.cast_to_class(r, out_class), out_class)
+
+
+@builtin("movmean", category="stats", min_in=2, max_in=2)
+def m_movmean(x, k):
+    return _movwin(x, k, np.mean, "movmean")
+
+
+@builtin("movsum", category="stats", min_in=2, max_in=2)
+def m_movsum(x, k):
+    return _movwin(x, k, np.sum, "movsum")
+
+
+@builtin("movmax", category="stats", min_in=2, max_in=2)
+def m_movmax(x, k):
+    return _movwin(x, k, np.max, "movmax")
+
+
+@builtin("movmin", category="stats", min_in=2, max_in=2)
+def m_movmin(x, k):
+    return _movwin(x, k, np.min, "movmin")
+
+
+@builtin("movstd", category="stats", min_in=2, max_in=2)
+def m_movstd(x, k):
+    return _movwin(x, k, lambda v, axis: np.std(v, axis=axis, ddof=1 if v.shape[axis] > 1 else 0),
+                   "movstd")
+
+
+@builtin("prctile", category="stats", min_in=2, max_in=2)
+def m_prctile(x, p):
+    hx = fortran_ravel(_f(x))
+    hx = hx[~np.isnan(hx)]
+    pv = _f(p).reshape(-1)
+    if hx.size == 0:
+        return MatArray(np.full((1, pv.size), np.nan), "double")
+    # MATLAB interpolates order statistics at (k - 0.5)/n
+    n = hx.size
+    s = np.sort(hx)
+    q = (np.arange(1, n + 1) - 0.5) / n * 100.0
+    r = np.interp(pv, q, s, left=s[0], right=s[-1])
+    return MatArray(np.asarray(r).reshape(1, -1), "double")
+
+
+@builtin("quantile", category="stats", min_in=2, max_in=2)
+def m_quantile(x, p):
+    pv = p.host().astype(np.float64) * 100.0
+    return m_prctile(x, MatArray(pv, "double"))
+
+
+@builtin("normalize", category="stats", min_in=1, max_in=3)
+def m_normalize(x, *opts):
+    h = _f(x)
+    method = "zscore"
+    for o in opts:
+        if is_text(o):
+            method = text_of(o)
+    ax = 0 if h.shape[0] != 1 else 1
+    if method == "zscore":
+        mu = np.mean(h, axis=ax, keepdims=True)
+        sd = np.std(h, axis=ax, keepdims=True, ddof=1)
+        r = (h - mu) / np.where(sd == 0, 1, sd)
+    elif method == "range":
+        lo = np.min(h, axis=ax, keepdims=True)
+        hi = np.max(h, axis=ax, keepdims=True)
+        r = (h - lo) / np.where(hi - lo == 0, 1, hi - lo)
+    elif method == "norm":
+        nrm = np.linalg.norm(h, axis=ax, keepdims=True)
+        r = h / np.where(nrm == 0, 1, nrm)
+    elif method == "center":
+        r = h - np.mean(h, axis=ax, keepdims=True)
+    else:
+        raise bad_arg("normalize", f"Unknown method '{method}'.")
+    out_class = "single" if x.mclass == "single" else "double"
+    from ... import dtypes
+    return MatArray(dtypes.cast_to_class(r, out_class), out_class)

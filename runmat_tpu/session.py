@@ -1,0 +1,135 @@
+"""Session engine: persistent workspace + execute API.
+
+Reference parity: runmat-core RunMatSession (crates/runmat-core/src/session/
+mod.rs:55-113) and execute_request (run.rs:330-385): a session owns the base
+workspace, the function registry, global/persistent storage, RNG state, and the
+output stream; each execute() parses -> compiles -> interprets, preserving
+workspace bindings across inputs.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+import time
+from typing import Optional
+
+from .errors import MatError
+from .frontend.parser import parse
+from .values import MatArray
+from .vm.bytecode import CompiledProgram
+from .vm.compiler import Compiler
+from .vm.interp import Frame, Interp
+
+
+class ExecutionResult:
+    __slots__ = ("output", "error", "wall_time")
+
+    def __init__(self, output: str, error: Optional[MatError], wall_time: float):
+        self.output = output
+        self.error = error
+        self.wall_time = wall_time
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None
+
+
+class Session:
+    def __init__(self, accelerate: Optional[bool] = None, stdout=None):
+        """accelerate: None = auto (enable if a TPU/accelerator engine
+        initializes), True/False forces."""
+        self.global_vars: dict = {}
+        self.persistents: dict = {}
+        self.functions: dict = {}          # user functions defined via files
+        self.program: Optional[CompiledProgram] = None
+        self.interrupt_requested = False
+        self.last_error: Optional[MatError] = None
+        self.stdout = stdout if stdout is not None else sys.stdout
+        self.interp = Interp(self)
+        self.base_frame = Frame.__new__(Frame)
+        self.base_frame.vars = {}
+        self.base_frame.globals = set()
+        self.base_frame.persist = {}
+        self.base_frame.iters = []
+        self.base_frame.ixctx = []
+        self.base_frame.nargin = 0
+        self.base_frame.nargout = 0
+        self.base_frame.code = None
+        # RNG state lives on the session (≙ reference host-mirrored Philox state,
+        # backend/wgpu/provider/ops/random.rs:55-115)
+        from .ops.philox import PhiloxState
+        self.rng = PhiloxState(seed=0)
+        self._tic_stack: list[float] = []
+        self._tic_default: Optional[float] = None
+        if accelerate is not False:
+            from . import accel
+            try:
+                accel.init_engine(required=bool(accelerate))
+            except Exception:
+                if accelerate:
+                    raise
+
+    # -- output ---------------------------------------------------------------
+
+    def write(self, text: str) -> None:
+        self.stdout.write(text)
+
+    def display_value(self, name: str, v) -> None:
+        from .utils.display import format_value
+        self.write(format_value(name, v))
+
+    # -- execution -------------------------------------------------------------
+
+    def execute(self, source: str, name: str = "<input>") -> ExecutionResult:
+        """Execute MATLAB source in the base workspace, capturing output."""
+        buf = io.StringIO()
+        old = self.stdout
+        self.stdout = buf
+        t0 = time.perf_counter()
+        err = None
+        try:
+            self.run_source(source, name)
+        except MatError as e:
+            err = e
+            self.last_error = e
+        finally:
+            self.stdout = old
+        return ExecutionResult(buf.getvalue(), err, time.perf_counter() - t0)
+
+    def run_source(self, source: str, name: str = "<input>") -> None:
+        """Execute without capturing (raises MatError)."""
+        prog = parse(source, name)
+        compiled = Compiler.compile_program(prog, name)
+        for fname, fcode in compiled.functions.items():
+            self.functions[fname] = fcode
+        old_prog = self.program
+        self.program = compiled
+        try:
+            if compiled.main.instrs:
+                self.base_frame.code = compiled.main
+                self.interp.run(compiled.main, self.base_frame)
+        finally:
+            self.program = old_prog if old_prog is not None else compiled
+
+    def run_file(self, path: str) -> None:
+        with open(path, "r") as f:
+            src = f.read()
+        self.run_source(src, path)
+
+    # -- workspace -------------------------------------------------------------
+
+    def get(self, name: str):
+        return self.base_frame.vars.get(name)
+
+    def set(self, name: str, value) -> None:
+        self.base_frame.vars[name] = value
+
+    def workspace_names(self) -> list:
+        return sorted(k for k in self.base_frame.vars if not k.startswith("@"))
+
+    def clear(self, *names: str) -> None:
+        if not names:
+            self.base_frame.vars.clear()
+        for n in names:
+            self.base_frame.vars.pop(n, None)

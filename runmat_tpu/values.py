@@ -59,12 +59,17 @@ class MatArray:
     (accel handle) is set.
     """
 
-    __slots__ = ("_host", "_dev", "mclass")
+    __slots__ = ("_host", "_dev", "mclass", "shared")
 
     def __init__(self, host: Optional[np.ndarray], mclass: str, dev: Any = None):
         self._host = host
         self._dev = dev
         self.mclass = mclass
+        # Copy-on-write flag (≙ reference GC value semantics + residency
+        # copy-on-write, SpawnHandleConcurrency::CopyOnWrite in
+        # runmat-accelerate-api/src/lib.rs:824-845): set when this array is
+        # reachable from more than one binding; indexed writes must copy first.
+        self.shared = False
 
     # -- constructors ------------------------------------------------------- #
 
@@ -371,6 +376,22 @@ class FunctionHandle:
         if self.kind == "named":
             return f"@{self.name}"
         return f"@({', '.join(self.params)}) <anon>"
+
+
+class OutputList:
+    """A comma-list: result of c{:} / struct-array field access / multi-output
+    calls. Flattened into argument lists and concatenations by the VM.
+
+    Reference parity: Value::OutputList (runmat-builtins/src/lib.rs:73-123).
+    """
+
+    __slots__ = ("items",)
+
+    def __init__(self, items: list):
+        self.items = items
+
+    def __repr__(self):  # pragma: no cover
+        return f"OutputList({len(self.items)})"
 
 
 # --------------------------------------------------------------------------- #

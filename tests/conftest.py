@@ -8,8 +8,10 @@ deterministically with no GPU). Real-TPU runs happen via bench.py only.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. The axon TPU plugin overrides
+# JAX_PLATFORMS, so the engine honors RUNMAT_TPU_PLATFORM explicitly.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["RUNMAT_TPU_PLATFORM"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
