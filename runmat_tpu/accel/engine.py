@@ -498,13 +498,18 @@ class JaxEngine:
     # ----------------------------------------------------------------- info/misc
 
     def device_info(self) -> dict:
+        mem = 0
+        try:
+            ms = self.device.memory_stats()
+            if ms:
+                mem = ms.get("bytes_limit", 0)
+        except Exception:
+            pass
         return {
-            "name": str(self.device.device_kind if hasattr(self.device, "device_kind")
-                        else self.device),
+            "name": str(getattr(self.device, "device_kind", self.device)),
             "platform": self.platform,
             "count": len(self.devices),
-            "memory": getattr(self.device, "memory_stats", lambda: {})() .get(
-                "bytes_limit", 0) if hasattr(self.device, "memory_stats") else 0,
+            "memory": mem,
         }
 
     def telemetry(self) -> dict:

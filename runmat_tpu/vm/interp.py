@@ -670,6 +670,23 @@ def _push_results(stack: list, res: list, nargout: int) -> None:
         stack.append(res[0] if res else NOVALUE)
 
 
+def _switch_match(sw, case) -> bool:
+    """MATLAB switch semantics: scalar/string equality; a cell case matches if
+    any element matches."""
+    from ..runtime.builtins.control import _isequal_impl
+    if isinstance(case, CellArray):
+        return any(_switch_match(sw, e) for e in case.data.reshape(-1))
+    if isinstance(sw, MatArray) and sw.mclass == "char":
+        from ..values import is_text
+        if is_text(case) or isinstance(case, StringArray):
+            from ..values import text_of
+            return text_of(sw) == text_of(case)
+        return False
+    if isinstance(case, MatArray) and case.mclass == "char" and isinstance(sw, StringArray):
+        return sw.is_scalar and sw.item() == case.to_str()
+    return _isequal_impl(sw, case, False)
+
+
 def _truthy(v) -> bool:
     v = _unwrap1(v)
     if isinstance(v, MatArray):
