@@ -43,8 +43,14 @@ class JaxEngine:
         self.jnp = jnp
         # RUNMAT_TPU_PLATFORM pins the backend (tests use "cpu" — the
         # in-process fake-provider pattern, ≙ simple_provider.rs); some
-        # environments force a TPU plugin regardless of JAX_PLATFORMS.
+        # environments force a TPU plugin regardless of JAX_PLATFORMS, so pin
+        # through jax.config (which wins) when the backend isn't up yet.
         platform = platform or os.environ.get("RUNMAT_TPU_PLATFORM") or None
+        if platform:
+            try:
+                jax.config.update("jax_platforms", platform)
+            except Exception:
+                pass  # backends already initialized; fall through to filter
         devices = jax.devices(platform) if platform else jax.devices()
         if not devices:
             raise MatError("parallel:gpu:device:NoDevice", "No jax devices available.")

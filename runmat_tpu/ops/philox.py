@@ -9,6 +9,16 @@ chunked generation advances the same counter. `rng(seed)` resets the stream.
 
 The 32x32->64 multiply is done via 16-bit limbs in pure uint32 so the same code
 runs on numpy and on TPU XLA (no 64-bit integer ops on the device hot path).
+
+Stream contract (host vs device parity):
+  * uniform draws (rand/randi/randperm) are BIT-EXACT across numpy and every
+    jax backend — they are pure integer + exact float scaling.
+  * normal draws (randn) consume the identical uniform stream and block count,
+    but the Box-Muller transcendentals (log/cos/sin) go through each backend's
+    libm, so values agree only to a few ULPs across backends (like the
+    reference, whose WGSL Box-Muller is not bit-identical to its host libm).
+  * the (key, counter) state advance is identical everywhere, so draws can
+    migrate between host and device mid-stream without desync.
 """
 
 from __future__ import annotations
