@@ -32,12 +32,48 @@ _REDUCE_OPS = {"sum", "mean", "min", "max", "any", "all", "prod",
                "std0", "std1", "var0", "var1"}
 
 
+def phys_shape(shape: tuple) -> tuple:
+    """Logical MATLAB shape -> physical on-device shape.
+
+    TPU tiles the trailing two dims as (8, 128) sublanes x lanes; a MATLAB
+    row vector stored as (1, N) f32 would be padded 8x in HBM and compute
+    (observed: 8x memory expansion + pathological compile times on 10M-point
+    chains). Store scalars as (), vectors as rank-1, everything else in its
+    logical shape. The logical shape lives on the LazyNode / MatArray — the
+    analog of the reference's transpose-metadata handle trick
+    (runmat-accelerate-api/src/lib.rs:218-245)."""
+    n = 1
+    for s in shape:
+        n *= s
+    if n == 1:
+        return ()
+    nonsing = [s for s in shape if s != 1]
+    if len(nonsing) == 1:
+        return (nonsing[0],)
+    if n == 0:
+        return (0,) if len(nonsing) <= 1 else tuple(shape)
+    return tuple(shape)
+
+
 class JaxEngine:
     def __init__(self, platform: Optional[str] = None, required: bool = False,
                  auto_offload: Optional[bool] = None,
                  offload_threshold: Optional[int] = None):
         import jax
         jax.config.update("jax_enable_x64", True)
+        # Persistent executable cache (≙ the reference's on-disk pipeline
+        # warmup, backend/wgpu/cache/persist.rs + warmup.rs): TPU compiles in
+        # this environment go through a slow AOT helper (~40s for large fused
+        # graphs), so cache them across processes.
+        cache_dir = os.environ.get("RUNMAT_TPU_COMPILE_CACHE",
+                                   os.path.expanduser("~/.cache/runmat_tpu/xla"))
+        if cache_dir and cache_dir != "0":
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            except Exception:
+                pass
         self.jax = jax
         import jax.numpy as jnp
         self.jnp = jnp
@@ -82,7 +118,7 @@ class JaxEngine:
 
     def upload(self, x: MatArray) -> MatArray:
         h = x.host()
-        arr = self.jax.device_put(h, self.device)
+        arr = self.jax.device_put(h.reshape(phys_shape(h.shape)), self.device)
         self.stats["uploads"] += 1
         self.stats["upload_bytes"] += h.nbytes
         node = LazyNode(self, "leaf", [], (), h.shape, h.dtype, value=arr)
@@ -95,7 +131,7 @@ class JaxEngine:
         h = x._host
         if h.size == 1:
             return self._scalar_node(h.reshape(-1)[0], dt)
-        arr = self.jax.device_put(h, self.device)
+        arr = self.jax.device_put(h.reshape(phys_shape(h.shape)), self.device)
         self.stats["uploads"] += 1
         self.stats["upload_bytes"] += h.nbytes
         return LazyNode(self, "leaf", [], (), h.shape, h.dtype, value=arr)
@@ -239,14 +275,16 @@ class JaxEngine:
 
     def full(self, dims, value, mclass: str) -> MatArray:
         dt = self.dtype_for(mclass)
-        arr = self.jnp.full(normalize_shape(dims), value, dtype=dt,
+        shape = normalize_shape(dims)
+        arr = self.jnp.full(phys_shape(shape), value, dtype=dt,
                             device=self.device)
-        node = LazyNode(self, "leaf", [], (), arr.shape, dt, value=arr)
+        node = LazyNode(self, "leaf", [], (), shape, dt, value=arr)
         return MatArray.from_device(node, mclass)
 
     def linspace(self, start: float, stop: float, n: int, mclass: str) -> MatArray:
         dt = self.dtype_for(mclass)
-        arr = self.jnp.linspace(start, stop, n, dtype=np.float64).reshape(1, -1).astype(dt)
+        arr = self.jnp.linspace(np.asarray(start, dt), np.asarray(stop, dt), n,
+                                dtype=dt)
         node = LazyNode(self, "leaf", [], (), (1, n), dt, value=arr)
         return MatArray.from_device(node, mclass)
 
@@ -260,6 +298,37 @@ class JaxEngine:
         from ..vm.indexing import COLON, ColonMark
         nb = base.dev
         shape = nb.shape
+        if len(args) == 1 and len(shape) != 1:
+            # linear indexing: contiguous range over F-order; supported on
+            # device when the base is a vector (F-order == physical order)
+            nonsing = [s for s in shape if s != 1]
+            if len(nonsing) > 1:
+                return None
+            a = args[0]
+            n = int(np.prod(shape))
+            if isinstance(a, ColonMark):
+                start, stop = 0, n
+            else:
+                if not isinstance(a, MatArray) or a.on_device or a.mclass == "logical":
+                    return None
+                flat = a._host.reshape(-1)
+                if flat.size == 0:
+                    return None
+                start = int(flat[0]) - 1
+                stop = int(flat[-1])
+                if flat.size != stop - start or start < 0 or stop > n or \
+                        (flat.size > 1 and not np.all(np.diff(flat) == 1)):
+                    return None
+            ln = stop - start
+            if isinstance(a, ColonMark):
+                out_shape = (n, 1)               # v(:) is always a column
+            elif len(shape) == 2 and shape[0] == 1:
+                out_shape = (1, ln)
+            else:
+                out_shape = (ln, 1)
+            node = self._op("slice1", [nb], ((start, stop),),
+                            out_shape, nb.dtype)
+            return MatArray.from_device(node, base.mclass)
         if len(args) != len(shape):
             return None
         slices = []
@@ -325,6 +394,8 @@ class JaxEngine:
         if rhs.size not in (1, nelem):
             return None
         base_arr = self.materialize(nb)
+        if tuple(base_arr.shape) != tuple(nb.shape):
+            base_arr = base_arr.reshape(nb.shape)
         if rhs.on_device:
             rv = self.materialize(rhs.dev)
         else:
@@ -334,10 +405,12 @@ class JaxEngine:
         if rhs.size == 1:
             val = self.jnp.reshape(rv, ()).astype(nb.dtype)
         else:
-            val = self.jnp.reshape(rv, tuple(sel_shape), order="F").astype(nb.dtype)
+            val = self.jnp.reshape(rv.reshape(rhs.shape),
+                                   tuple(sel_shape), order="F").astype(nb.dtype)
         new_arr = base_arr.at[tuple(idx)].set(val)
         self.stats["dispatches"] += 1
-        node = LazyNode(self, "leaf", [], (), new_arr.shape, nb.dtype, value=new_arr)
+        node = LazyNode(self, "leaf", [], (), tuple(nb.shape), nb.dtype,
+                        value=new_arr.reshape(phys_shape(tuple(nb.shape))))
         return MatArray.from_device(node, base.mclass)
 
     # ------------------------------------------------------------ materialization
@@ -363,7 +436,7 @@ class JaxEngine:
                 env: list = [None] * len(program)
                 li = 0
                 si = 0
-                for i, (op, static, dt, in_idx) in enumerate(program):
+                for i, (op, static, dt, in_idx, in_shapes, out_shape) in enumerate(program):
                     if op == "__leaf__":
                         env[i] = leaf_args[li]
                         li += 1
@@ -371,7 +444,8 @@ class JaxEngine:
                         env[i] = scalar_args[si]
                         si += 1
                     else:
-                        env[i] = self._exec(op, static, dt, [env[j] for j in in_idx])
+                        env[i] = self._exec(op, static, dt, [env[j] for j in in_idx],
+                                            in_shapes, out_shape)
                 return env[-1]
 
             cached = self.jax.jit(fn)
@@ -391,30 +465,47 @@ class JaxEngine:
         program = []
         for n in order:
             if n.op == "scalar":
-                program.append(("scalar", (), n.dtype, ()))
+                program.append(("scalar", (), n.dtype, (), (), n.shape))
             elif n.value is not None:
-                program.append(("__leaf__", (), n.dtype, ()))
+                program.append(("__leaf__", (), n.dtype, (), (), n.shape))
             else:
                 program.append((n.op, n.static, n.dtype,
-                                tuple(index[id(i)] for i in n.inputs)))
+                                tuple(index[id(i)] for i in n.inputs),
+                                tuple(i.shape for i in n.inputs), n.shape))
         return program
 
     # --------------------------------------------------------------- op executor
 
-    def _exec(self, op: str, static: tuple, dt: np.dtype, args: list):
+    def _to_phys(self, x, lshape: tuple):
+        ps = phys_shape(tuple(lshape))
+        return x if tuple(x.shape) == ps else x.reshape(ps)
+
+    def _exec(self, op: str, static: tuple, dt: np.dtype, args: list,
+              in_shapes: tuple = (), out_shape: tuple = ()):
+        """Execute one DAG op on PHYSICAL arrays (vectors rank-1, scalars
+        rank-0); in_shapes/out_shape carry the logical MATLAB shapes for the
+        ops whose semantics depend on orientation."""
         jnp = self.jnp
         if op.startswith("b:"):
             name = op[2:]
             work_dt = np.dtype(static[0])
             a = self._coerce(args[0], work_dt)
             b = self._coerce(args[1], work_dt)
-            # MATLAB leading-dim broadcast alignment (right-pad singletons)
-            if a.ndim < b.ndim:
-                a = a.reshape(a.shape + (1,) * (b.ndim - a.ndim))
-            elif b.ndim < a.ndim:
-                b = b.reshape(b.shape + (1,) * (a.ndim - b.ndim))
+            la, lb = in_shapes
+            # orientation matters only when both operands are non-scalar and
+            # their logical shapes differ (e.g. row .* col -> outer product);
+            # otherwise physical shapes broadcast correctly as-is
+            if a.ndim and b.ndim and tuple(la) != tuple(lb):
+                a = a.reshape(la)
+                b = b.reshape(lb)
+                if a.ndim < b.ndim:
+                    a = a.reshape(a.shape + (1,) * (b.ndim - a.ndim))
+                elif b.ndim < a.ndim:
+                    b = b.reshape(b.shape + (1,) * (a.ndim - b.ndim))
             r = table.BINARY[name](jnp, a, b)
-            return r.astype(dt) if r.dtype != dt else r
+            if r.dtype != dt:
+                r = r.astype(dt)
+            return self._to_phys(r, out_shape)
         if op.startswith("u:"):
             name = op[2:]
             a = args[0]
@@ -423,26 +514,51 @@ class JaxEngine:
             r = table.UNARY[name](jnp, a)
             return r.astype(dt) if r.dtype != dt else r
         if op == "matmul":
-            a = args[0].astype(dt)
-            b = args[1].astype(dt)
+            la, lb = in_shapes
+            a = args[0].astype(dt).reshape(la)
+            b = args[1].astype(dt).reshape(lb)
             pe = np.dtype(np.float32) if dt == np.float16 else dt
-            return jnp.matmul(a, b, preferred_element_type=pe)
+            r = jnp.matmul(a, b, preferred_element_type=pe)
+            return self._to_phys(r, out_shape)
         if op == "transpose":
             conj = static[0]
+            la = in_shapes[0]
             a = args[0]
-            r = a.T if a.ndim == 2 else a
+            if len(la) == 2 and 1 in la:
+                r = a  # vector transpose = orientation metadata flip only
+            else:
+                r = a.T if a.ndim == 2 else a
             if conj and np.dtype(a.dtype).kind == "c":
                 r = jnp.conj(r)
-            return r
+            return self._to_phys(r, out_shape)
         if op == "cast":
             return args[0].astype(np.dtype(static[0]))
         if op == "reshapeF":
-            return jnp.reshape(args[0], static[0], order="F")
+            a = args[0]
+            la = in_shapes[0]
+            # F-order flatten of the logical array; for rank-1 physical
+            # vectors this is already the flat sequence
+            if a.ndim > 1:
+                flat = jnp.reshape(a, -1, order="F")
+            else:
+                flat = a.reshape(-1)
+            ps = phys_shape(tuple(static[0]))
+            if len(ps) <= 1:
+                return flat.reshape(ps)
+            return jnp.reshape(flat, static[0], order="F")
         if op == "slice":
+            la = in_shapes[0]
+            a = args[0].reshape(la)
             slices = tuple(slice(s, e) for s, e in static[0])
-            return args[0][slices]
+            return self._to_phys(a[slices], out_shape)
+        if op == "slice1":
+            # linear (F-order) contiguous slice of a vector: physical storage
+            # is already the flat sequence
+            start, stop = static[0]
+            return args[0].reshape(-1)[start:stop]
         if op.startswith("r:"):
-            return self._exec_reduce(op[2:], static, dt, args[0])
+            return self._exec_reduce(op[2:], static, dt, args[0],
+                                     in_shapes[0], out_shape)
         if op.startswith("rng:"):
             return self._exec_rng(op[4:], static, dt, args)
         raise MatError("MATLAB:internal", f"Unknown device op '{op}'.")
@@ -454,10 +570,27 @@ class JaxEngine:
             return a.astype(dt)
         return a
 
-    def _exec_reduce(self, name: str, static: tuple, dt: np.dtype, x):
+    def _exec_reduce(self, name: str, static: tuple, dt: np.dtype, x,
+                     lshape: tuple = (), out_shape: tuple = ()):
         jnp = self.jnp
         axes, omitnan, _ = static
         axes = tuple(axes)
+        # translate logical axes onto the physical array: a rank-1 vector
+        # reduces over phys axis 0 iff its non-singleton logical dim is among
+        # the axes; reductions over singleton dims are identity (axis=())
+        if lshape and tuple(x.shape) != tuple(lshape):
+            if x.ndim == 0:
+                axes = ()
+            elif x.ndim == 1:
+                nonsing = next((i for i, s in enumerate(lshape) if s != 1), None)
+                axes = (0,) if nonsing in axes else ()
+            else:
+                x = x.reshape(lshape)
+        r = self._reduce_impl(name, axes, omitnan, dt, x)
+        return self._to_phys(r, out_shape) if out_shape else r
+
+    def _reduce_impl(self, name: str, axes: tuple, omitnan, dt: np.dtype, x):
+        jnp = self.jnp
         if name == "sum":
             xx = jnp.where(jnp.isnan(x), 0, x) if omitnan and np.dtype(x.dtype).kind == "f" else x
             return jnp.sum(xx.astype(dt) if np.dtype(dt).kind == "f" else xx,
@@ -499,7 +632,11 @@ class JaxEngine:
             vals, _ = philox.uniform(jnp, key, (lo, hi), n, prec)
         else:
             vals, _ = philox.normal(jnp, key, (lo, hi), n, prec)
-        return jnp.reshape(vals.astype(dt), shape, order="F")
+        vals = vals.astype(dt)
+        ps = phys_shape(tuple(shape))
+        if len(ps) <= 1:
+            return vals.reshape(ps)
+        return jnp.reshape(vals, shape, order="F")
 
     # ----------------------------------------------------------------- info/misc
 

@@ -51,8 +51,15 @@ class LazyNode:
         return self.dtype.kind == "c"
 
     def gather(self) -> np.ndarray:
-        """Materialize and transfer to host (≙ provider.download)."""
-        return np.asarray(self.engine.materialize(self))
+        """Materialize and transfer to host (≙ provider.download).
+        device_get is the one sanctioned D2H path: np.asarray()/float()/.item()
+        on an unready jax Array take a pathologically slow per-element route
+        through the TPU transfer layer (measured 100-2000x slower).
+        Device values are stored in PHYSICAL shape (vectors squeezed to rank-1
+        to avoid TPU (1,N) sublane padding); reshape back to the logical
+        MATLAB shape here at the host boundary."""
+        h = self.engine.jax.device_get(self.engine.materialize(self))
+        return h if h.shape == self.shape else h.reshape(self.shape)
 
     def concrete(self):
         """Materialize on device without host transfer."""

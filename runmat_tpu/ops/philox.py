@@ -84,8 +84,10 @@ def raw_u32(xp, key: tuple[int, int], counter, n_blocks: int):
     if xp is np:
         i = np.arange(n_blocks, dtype=np.uint32)
     else:
+        # plain 1-D iota: a (n,1) iota would be tiled T(1,128) on TPU and
+        # padded 128x in HBM, OOMing large draws
         import jax
-        i = jax.lax.broadcasted_iota(xp.uint32, (n_blocks, 1), 0).reshape(n_blocks)
+        i = jax.lax.iota(xp.uint32, n_blocks)
     with np.errstate(over="ignore"):
         c0 = _u32(xp, lo0) + i
         carry = (c0 < i).astype(xp.uint32)
@@ -96,11 +98,16 @@ def raw_u32(xp, key: tuple[int, int], counter, n_blocks: int):
 
 
 def uniform_u32(xp, key, counter: int, n: int):
-    """n u32 values (consuming ceil(n/4) blocks). Returns (vals, blocks)."""
+    """n u32 values (consuming ceil(n/4) blocks). Returns (vals, blocks).
+
+    Word order is BLOCKED — [all c0 | all c1 | all c2 | all c3] — not
+    interleaved: a (nb, 4) stack would be tiled T(8,128) on TPU and padded
+    32x in HBM (observed OOM at 4K-image scale). Host numpy uses the same
+    order, so the cross-backend stream contract is unaffected."""
     nb = (n + 3) // 4
     with np.errstate(over="ignore"):
         c0, c1, c2, c3 = raw_u32(xp, key, counter, nb)
-        out = xp.stack([c0, c1, c2, c3], axis=1).reshape(-1)[:n]
+        out = xp.concatenate([c0, c1, c2, c3])[:n]
     return out, nb
 
 
