@@ -24,7 +24,8 @@ import numpy as np
 
 from .. import dtypes
 from ..errors import MatError
-from ..ops import philox, table
+from ..ops import ctrng as philox
+from ..ops import table
 from ..values import MatArray, normalize_shape
 from .lazy import DEFAULT_FUSE_CAP, LazyNode, structure_key, topo_order
 
@@ -258,13 +259,7 @@ class JaxEngine:
         n = 1
         for d in dims:
             n *= d
-        if kind == "randn":
-            m = 2 * ((n + 1) // 2)
-            consume = m if mclass == "single" else 2 * m
-        else:
-            consume = n if mclass == "single" else 2 * n
-        nblocks = (consume + 3) // 4
-        start = state.advance(nblocks)
+        start = state.advance(philox.blocks_for(kind, n, mclass))
         lo = self._scalar_node(np.uint32(start & 0xFFFFFFFF), np.dtype(np.uint32))
         hi = self._scalar_node(np.uint32((start >> 32) & 0xFFFFFFFF), np.dtype(np.uint32))
         dt = self.dtype_for(mclass)

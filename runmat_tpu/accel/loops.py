@@ -1,0 +1,463 @@
+"""Whole-loop device execution: MATLAB `for` loops whose bodies are pure
+device math run as ONE compiled `lax.fori_loop` kernel.
+
+Reference parity: the StochasticEvolution idiom — the reference detects a
+T-step evolution loop in MIR and folds it into a single provider call
+(runmat-vm/src/compiler/core.rs:814, vm/accel/idioms/stochastic_evolution.rs:6,
+backend/wgpu/shaders/stochastic_evolution.rs). Here the idiom is generalized:
+any `for` body made of elementwise math, matmul, reductions and Philox RNG
+draws traces into a fori_loop body, so the whole loop is one XLA program with
+zero per-iteration dispatch. RNG stream parity is preserved by computing each
+iteration's Philox counter as `C0 + i*blocks_per_iter + offset` inside the
+kernel and advancing the session state by `T*blocks_per_iter` afterwards —
+the same values every draw would have produced iteration-by-iteration.
+
+The gate is speculative and NEVER required for correctness (the reference's
+fusion-gate invariant): any unsupported opcode, builtin, shape change, or
+trace failure abandons the attempt and the interpreter runs the loop normally.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from ..errors import MatError
+from ..values import MatArray
+from .lazy import LazyNode
+
+# builtins that are safe to call during the trace: elementwise/broadcast math,
+# reductions, and creation — everything they produce for device args stays in
+# the lazy DAG
+_SAFE_BUILTINS = frozenset("""
+sin cos tan asin acos atan sinh cosh tanh asinh acosh atanh exp log log2
+log10 log1p expm1 sqrt abs sign floor ceil round fix real imag conj angle
+atan2 hypot power mod rem min max sum mean prod single double times plus
+minus rdivide ldivide uminus uplus zeros ones cumsum cumprod
+""".split())
+
+_RNG_BUILTINS = frozenset(("rand", "randn"))
+
+
+class _Bail(Exception):
+    pass
+
+
+class _Marker:
+    """Payload for scalar LazyNodes whose value is loop-iteration-dependent."""
+
+    __slots__ = ("tag", "arg")
+
+    def __init__(self, tag: str, arg: int = 0):
+        self.tag = tag      # "rng_lo" | "rng_hi" | "loopvar"
+        self.arg = arg      # rng: block offset within one iteration
+
+
+def try_device_loop(interp, frame, code, for_next_pc: int, iterable) -> Optional[int]:
+    """Attempt to run the whole for-loop at `for_next_pc` on device.
+
+    On success: binds final variable values into `frame`, advances the session
+    RNG state, and returns the pc to resume at (just past FOR_POP).
+    Returns None if the loop is ineligible — caller falls back to the normal
+    interpreter path with no semantic difference.
+    """
+    from ..runtime import registry
+    from . import active_engine
+    from .lazy import topo_order
+
+    eng = active_engine()
+    if eng is None:
+        return None
+    if not isinstance(iterable, MatArray) or iterable.on_device:
+        return None
+    if iterable.mclass not in ("double", "single") or iterable.is_complex:
+        return None
+    h = iterable.host()
+    if h.ndim != 2 or h.shape[0] != 1 or h.shape[1] < 8:
+        return None
+    T = int(h.shape[1])
+
+    B = _bc()
+    instrs = code.instrs
+    fn_op, loopvar, done, _, _ = instrs[for_next_pc]
+    if fn_op != B.FOR_NEXT or done is None:
+        return None
+    # window layout emitted by Compiler._for: body, CHECK_INTERRUPT, JMP back
+    if instrs[done - 1][0] != B.JMP or instrs[done - 2][0] != B.CHECK_INTERRUPT:
+        return None
+    lo_pc, hi_pc = for_next_pc + 1, done - 2
+
+    written: set[str] = set()
+    for i in range(lo_pc, hi_pc):
+        op, a, b, c, d = instrs[i]
+        if op == B.STORE:
+            if b:           # display output -> host side effect
+                return None
+            written.add(a)
+        elif op in (B.CONST, B.LOAD, B.BINOP, B.UNOP, B.MTIMES, B.TRANSPOSE,
+                    B.RESOLVE_CALL, B.POP, B.DUP, B.CHECK_INTERRUPT):
+            if op == B.RESOLVE_CALL and (d == 2 or c > 1):
+                return None
+        else:
+            return None
+    if not written:
+        return None
+
+    state = interp.session.rng
+    old_cap = eng.fuse_cap
+    eng.fuse_cap = 1 << 60
+    try:
+        tr = _Trace(interp, frame, eng, registry, state, loopvar, written,
+                    iterable)
+        tr.run(instrs, code.consts, lo_pc, hi_pc)
+        result = _build_and_run(eng, tr, T, state, h)
+    except (_Bail, MatError, NotImplementedError):
+        return None
+    except Exception:
+        return None
+    finally:
+        eng.fuse_cap = old_cap
+
+    for name, val in result.items():
+        frame.vars[name] = val
+    # MATLAB leaves the loop variable bound to its last iterate
+    frame.vars[loopvar] = MatArray(h[:, -1:].copy(), iterable.mclass)
+    state.advance(T * tr.rng_blocks)
+    return done + 1
+
+
+def _bc():
+    from ..vm import bytecode as B
+    return B
+
+
+# --------------------------------------------------------------------------- #
+# trace: mini-interpreter over the restricted body window
+# --------------------------------------------------------------------------- #
+
+
+class _Trace:
+    def __init__(self, interp, frame, eng, registry, state, loopvar, written,
+                 iterable):
+        self.interp = interp
+        self.frame = frame
+        self.eng = eng
+        self.registry = registry
+        self.state = state
+        self.loopvar = loopvar
+        self.written = written
+        self.iterable = iterable
+        self.shadow: dict[str, Any] = {}
+        self.carry_in: dict[str, LazyNode] = {}   # read-before-write tracers
+        self.carry_init: dict[str, Any] = {}      # their initial device values
+        self.rng_blocks = 0                       # Philox blocks per iteration
+        self.loopvar_node: Optional[LazyNode] = None
+        self.marker_nodes: list[LazyNode] = []
+
+    # -- value access -------------------------------------------------------- #
+
+    def _load(self, name: str):
+        if name in self.shadow:
+            return self.shadow[name]
+        if name == self.loopvar:
+            if self.loopvar_node is None:
+                dt = np.dtype(np.float64 if self.iterable.mclass == "double"
+                              else np.float32)
+                node = LazyNode(self.eng, "scalar", [], (), (1, 1), dt,
+                                value=_Marker("loopvar"))
+                self.marker_nodes.append(node)
+                self.loopvar_node = node
+            return MatArray.from_device(self.loopvar_node, self.iterable.mclass)
+        from ..vm.interp import NOVALUE
+        v = self.interp._load_name(self.frame, name)
+        if v is NOVALUE:
+            return NOVALUE
+        if name in self.written:
+            # loop-carried: replace with a tracer leaf bound to the carry slot
+            if not isinstance(v, MatArray) or v.mclass not in \
+                    ("double", "single", "logical"):
+                raise _Bail()
+            if v.on_device:
+                init = self.eng.materialize(v.dev)
+            else:
+                from .engine import phys_shape
+                init = self.eng.jax.device_put(
+                    v.host().reshape(phys_shape(v.host().shape)), self.eng.device)
+            node = LazyNode(self.eng, "leaf", [], (), v.shape,
+                            np.dtype(init.dtype), value=init)
+            tracer = MatArray.from_device(node, v.mclass)
+            self.carry_in[name] = node
+            self.carry_init[name] = init
+            self.shadow[name] = tracer
+            return tracer
+        return v   # loop-invariant: used as-is (lifts lazily on first op)
+
+    # -- rng ----------------------------------------------------------------- #
+
+    def _rng(self, kind: str, args: list) -> MatArray:
+        from ..values import text_of
+        dims = []
+        mclass = "double"
+        for a in args:
+            if isinstance(a, MatArray) and a.mclass == "char":
+                mclass = text_of(a)
+                if mclass not in ("double", "single"):
+                    raise _Bail()
+                continue
+            if not isinstance(a, MatArray) or a.on_device or a.size != 1:
+                raise _Bail()
+            dims.append(int(a.host().reshape(-1)[0]))
+        if not dims:
+            dims = [1]
+        if len(dims) == 1:
+            dims = [dims[0], dims[0]]
+        from ..values import normalize_shape
+        shape = normalize_shape(tuple(dims))
+        n = 1
+        for s in shape:
+            n *= s
+        from ..ops import ctrng
+        off = self.rng_blocks
+        self.rng_blocks += ctrng.blocks_for(kind, n, mclass)
+        lo = LazyNode(self.eng, "scalar", [], (), (1, 1), np.dtype(np.uint32),
+                      value=_Marker("rng_lo", off))
+        hi = LazyNode(self.eng, "scalar", [], (), (1, 1), np.dtype(np.uint32),
+                      value=_Marker("rng_hi", off))
+        self.marker_nodes += [lo, hi]
+        dt = self.eng.dtype_for(mclass)
+        node = self.eng._op("rng:" + kind, [lo, hi],
+                            (self.state.key, n, shape, mclass), shape, dt)
+        return MatArray.from_device(node, mclass)
+
+    # -- the mini-interpreter -------------------------------------------------#
+
+    def run(self, instrs, consts, lo_pc: int, hi_pc: int) -> None:
+        from ..runtime import dispatch as D
+        from ..vm.interp import NOVALUE, _collect_args, _unwrap1
+        B = _bc()
+        stack: list = []
+        pc = lo_pc
+        while pc < hi_pc:
+            op, a, b, c, d = instrs[pc]
+            pc += 1
+            if op == B.CONST:
+                stack.append(consts[a])
+            elif op == B.LOAD:
+                v = self._load(a)
+                if v is NOVALUE:
+                    raise _Bail()
+                stack.append(v)
+            elif op == B.STORE:
+                v = _unwrap1(stack.pop(), a)
+                self.shadow[a] = v
+            elif op == B.BINOP:
+                rhs = _unwrap1(stack.pop())
+                lhs = _unwrap1(stack.pop())
+                stack.append(self._op2(D.binary, a, lhs, rhs))
+            elif op == B.UNOP:
+                v = _unwrap1(stack.pop())
+                stack.append(self._op1(D.unary, a, v))
+            elif op == B.MTIMES:
+                rhs = _unwrap1(stack.pop())
+                lhs = _unwrap1(stack.pop())
+                stack.append(self._op2(D.mtimes, None, lhs, rhs))
+            elif op == B.TRANSPOSE:
+                v = _unwrap1(stack.pop())
+                r = D.ctranspose(v) if a else D.transpose(v)
+                self._check_taint([v], r)
+                stack.append(r)
+            elif op == B.DUP:
+                stack.append(stack[-1])
+            elif op == B.POP:
+                stack.pop()
+            elif op == B.CHECK_INTERRUPT:
+                pass
+            elif op == B.RESOLVE_CALL:
+                name, nargs, nargout = a, b, c
+                args = _collect_args(stack, nargs)
+                v = self._load(name) if d != 1 else NOVALUE
+                if v is not NOVALUE:
+                    if nargs == 0:
+                        stack.append(v)
+                        continue
+                    raise _Bail()   # paren-indexing a traced value: v1 bails
+                if name in _RNG_BUILTINS:
+                    stack.append(self._rng(name, args))
+                    continue
+                if name not in _SAFE_BUILTINS:
+                    raise _Bail()
+                bi = self.registry.lookup(name)
+                if bi is None:
+                    raise _Bail()
+                res = self.interp.call_builtin(bi, args, max(nargout, 1),
+                                               self.frame)
+                r = res[0] if res else NOVALUE
+                if r is NOVALUE:
+                    raise _Bail()
+                self._check_taint(args, r)
+                stack.append(r)
+            else:
+                raise _Bail()
+
+    def _op2(self, fn, opname, lhs, rhs):
+        r = fn(opname, lhs, rhs) if opname is not None else fn(lhs, rhs)
+        self._check_taint([lhs, rhs], r)
+        return r
+
+    def _op1(self, fn, opname, v):
+        r = fn(opname, v)
+        self._check_taint([v], r)
+        return r
+
+    def _check_taint(self, args, result) -> None:
+        """Any op consuming a device value must produce a device value; a host
+        escape would bake iteration-0 data into every iteration."""
+        if any(isinstance(x, MatArray) and x.on_device for x in args):
+            if not (isinstance(result, MatArray) and result.on_device):
+                raise _Bail()
+
+
+# --------------------------------------------------------------------------- #
+# build + run the fori_loop
+# --------------------------------------------------------------------------- #
+
+
+def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dict:
+    from .engine import phys_shape
+    from .lazy import topo_order
+
+    names = sorted(tr.written)
+    finals = {}
+    for name in names:
+        v = tr.shadow.get(name)
+        if not (isinstance(v, MatArray) and v.on_device):
+            raise _Bail()
+        finals[name] = v
+
+    if tr.rng_blocks and T * tr.rng_blocks >= (1 << 31):
+        raise _Bail()
+
+    # merged topo over all roots
+    order: list[LazyNode] = []
+    seen: set[int] = set()
+    for name in names:
+        for n in topo_order(finals[name].dev):
+            if id(n) not in seen:
+                seen.add(id(n))
+                order.append(n)
+    index = {id(n): i for i, n in enumerate(order)}
+
+    carry_slot = {name: k for k, name in enumerate(names)}
+    carried_leaf = {id(node): carry_slot[name]
+                    for name, node in tr.carry_in.items()
+                    if name in carry_slot}
+    # a read-carried var whose tracer leaf no longer feeds its own final value
+    # is still fine — the leaf just binds the carry slot wherever it's used
+
+    program = []           # (kind, payload)
+    inv_values = []        # loop-invariant device leaves, passed as args
+    key_parts: list = []   # structural key (T excluded: it's a traced arg)
+    for n in order:
+        if n.op == "scalar":
+            val = n.value
+            if isinstance(val, _Marker):
+                program.append((val.tag, val.arg))
+                key_parts.append(("M", val.tag, val.arg, str(n.dtype)))
+            else:
+                program.append(("const", np.asarray(val, dtype=n.dtype)))
+                key_parts.append(("C", str(n.dtype)))
+        elif n.value is not None:
+            if id(n) in carried_leaf:
+                program.append(("carry", carried_leaf[id(n)]))
+                key_parts.append(("K", carried_leaf[id(n)],
+                                  tuple(n.value.shape), str(n.value.dtype)))
+            else:
+                program.append(("inv", len(inv_values)))
+                inv_values.append(n.value)
+                key_parts.append(("I", tuple(n.value.shape), str(n.value.dtype)))
+        else:
+            ins = tuple(index[id(i)] for i in n.inputs)
+            ishapes = tuple(i.shape for i in n.inputs)
+            program.append(("op", (n.op, n.static, n.dtype, ins, ishapes,
+                                   n.shape)))
+            key_parts.append((n.op, n.static, ins, str(n.dtype), n.shape))
+    roots = [index[id(finals[name].dev)] for name in names]
+    key_parts.append(tuple(roots))
+    key_parts.append(("carry_shapes",
+                      tuple((tuple(finals[n].dev.shape), str(finals[n].dev.dtype))
+                            for n in names)))
+    key = ("device_loop", tuple(key_parts))
+
+    BPI = tr.rng_blocks
+    jnp = eng.jnp
+    jax = eng.jax
+
+    cached = eng._jit_cache.get(key)
+    if cached is None:
+        def run(T_, c0lo, c0hi, carry0, invs, itvec):
+            def body(i, carry):
+                env: list = [None] * len(program)
+                iu = i.astype(jnp.uint32)
+                for k, (kind, payload) in enumerate(program):
+                    if kind == "op":
+                        opn, static, dt, ins, ishapes, oshape = payload
+                        env[k] = eng._exec(opn, static, dt,
+                                           [env[j] for j in ins], ishapes, oshape)
+                    elif kind == "carry":
+                        env[k] = carry[payload]
+                    elif kind == "inv":
+                        env[k] = invs[payload]
+                    elif kind == "const":
+                        env[k] = payload
+                    elif kind == "rng_lo":
+                        d32 = iu * jnp.uint32(BPI) + jnp.uint32(payload)
+                        env[k] = c0lo + d32
+                    elif kind == "rng_hi":
+                        d32 = iu * jnp.uint32(BPI) + jnp.uint32(payload)
+                        lo = c0lo + d32
+                        env[k] = c0hi + (lo < c0lo).astype(jnp.uint32)
+                    elif kind == "loopvar":
+                        env[k] = jax.lax.dynamic_index_in_dim(
+                            itvec, i, keepdims=False)
+                return tuple(env[r] for r in roots)
+            return jax.lax.fori_loop(0, T_, body, carry0)
+
+        cached = jax.jit(run)
+        eng._jit_cache[key] = cached
+        eng.stats["compiles"] += 1
+    else:
+        eng.stats["cache_hits"] += 1
+
+    # initial carry: read-carried vars start from their live values;
+    # write-before-read vars get typed zero placeholders (never read)
+    carry0 = []
+    for name in names:
+        init = tr.carry_init.get(name)
+        root = finals[name].dev
+        ps = phys_shape(tuple(root.shape))
+        if init is not None and tuple(init.shape) == ps and \
+                init.dtype == root.dtype:
+            carry0.append(init)
+        elif init is not None:
+            raise _Bail()   # carried shape/dtype changes across iterations
+        else:
+            carry0.append(jnp.zeros(ps, dtype=root.dtype))
+
+    c0 = state.counter
+    itvec = jax.device_put(
+        iter_host.reshape(-1).astype(
+            np.float64 if tr.iterable.mclass == "double" else np.float32),
+        eng.device)
+    out = cached(np.int32(T), np.uint32(c0 & 0xFFFFFFFF),
+                 np.uint32((c0 >> 32) & 0xFFFFFFFF),
+                 tuple(carry0), tuple(inv_values), itvec)
+    eng.stats["dispatches"] += 1
+
+    result = {}
+    for k, name in enumerate(names):
+        root = finals[name].dev
+        node = LazyNode(eng, "leaf", [], (), tuple(root.shape), root.dtype,
+                        value=out[k])
+        result[name] = MatArray.from_device(node, finals[name].mclass)
+    return result

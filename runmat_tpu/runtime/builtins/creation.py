@@ -33,7 +33,11 @@ def _fill(dims, value, mclass, like):
     if mclass is None:
         mclass = "double"
     eng = _engine()
-    if on_device and eng is not None:
+    n = 1
+    for d in normalize_shape(dims):
+        n *= d
+    if eng is not None and (on_device or (eng.offload_creation(n)
+                                          and mclass in ("double", "single"))):
         return eng.full(dims, value, mclass)
     dt = dtypes.np_dtype(mclass)
     return MatArray(np.full(normalize_shape(dims), value, dtype=dt), mclass)

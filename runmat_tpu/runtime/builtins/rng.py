@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...errors import MatError, bad_arg
-from ...ops import philox
+from ...ops import ctrng as philox
 from ...values import MatArray, StructArray, is_text, normalize_shape, text_of
 from ..registry import builtin
 from .common import parse_size_args, scalar_int

@@ -58,7 +58,7 @@ class Session:
         self.base_frame.code = None
         # RNG state lives on the session (≙ reference host-mirrored Philox state,
         # backend/wgpu/provider/ops/random.rs:55-115)
-        from .ops.philox import PhiloxState
+        from .ops.ctrng import PhiloxState
         self.rng = PhiloxState(seed=0)
         self._tic_stack: list[float] = []
         self._tic_default: Optional[float] = None

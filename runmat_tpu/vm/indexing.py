@@ -300,8 +300,10 @@ def write_paren(base, args: list, rhs, in_place: bool = False):
                 return res
 
     bh, rh, out_class = _coerce_write_classes(base, rhs)
+    # arrays gathered from device are read-only numpy buffers (device_get
+    # returns a non-writable view); they must take the copy path
     can_inplace = in_place and out_class == base.mclass and bh is base._host \
-        and not base.shared
+        and not base.shared and bh.flags.writeable
     data = bh
     n = len(args)
     if n == 0:

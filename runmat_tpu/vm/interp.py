@@ -332,7 +332,16 @@ class Interp:
                 elif op == B.SPLIT:
                     self._split(stack, a)
                 elif op == B.FOR_INIT:
-                    frame.iters.append(_make_iter(_unwrap1(stack.pop())))
+                    itv = _unwrap1(stack.pop())
+                    npc = None
+                    if isinstance(itv, MatArray) and not itv.on_device and \
+                            itv.size >= 8:
+                        from ..accel.loops import try_device_loop
+                        npc = try_device_loop(self, frame, code, pc, itv)
+                    if npc is not None:
+                        pc = npc
+                    else:
+                        frame.iters.append(_make_iter(itv))
                 elif op == B.FOR_NEXT:
                     it = frame.iters[-1]
                     v = it.next()

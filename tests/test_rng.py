@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from helpers import run, scalar
-from runmat_tpu.ops import philox
+from runmat_tpu.ops import ctrng as philox
 
 
 def test_determinism_across_sessions():
