@@ -232,6 +232,7 @@ class ClassDef(Node):
     methods: list         # list[FunctionDef]
     static_methods: list
     line: int = 0
+    events: list = None   # event names declared in events blocks
 
 
 @dataclass

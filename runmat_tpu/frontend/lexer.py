@@ -16,8 +16,9 @@ from ..errors import MatError
 KEYWORDS = {
     "if", "elseif", "else", "end", "for", "while", "function", "return",
     "break", "continue", "switch", "case", "otherwise", "try", "catch",
-    "global", "persistent", "parfor", "spmd", "classdef", "properties",
-    "methods", "events", "enumeration", "arguments",
+    "global", "persistent", "parfor", "spmd", "classdef",
+    # properties/methods/events/enumeration/arguments are CONTEXTUAL keywords
+    # (valid function/variable names outside classdef/function blocks)
 }
 
 # multi-char operators, longest first

@@ -77,13 +77,14 @@ class Parser:
         classes: dict = {}
         self._skip_newlines()
         is_function_file = self.peek().is_kw("function")
-        if self.peek().is_kw("classdef"):
-            cd = self.parse_classdef()
-            classes[cd.name] = cd
-            self._skip_newlines()
-            return A.Program([], {}, classes)
         while self.peek().kind != "EOF":
-            if self.peek().is_kw("function"):
+            if self.peek().is_kw("classdef"):
+                # MATLAB requires classdef in its own file; as an extension
+                # (REPL/script convenience) trailing statements and further
+                # definitions after the classdef are kept and executed
+                cd = self.parse_classdef()
+                classes[cd.name] = cd
+            elif self.peek().is_kw("function"):
                 fd = self.parse_function_def()
                 functions[fd.name] = fd
             else:
@@ -467,10 +468,11 @@ class Parser:
         properties: list = []
         methods: list = []
         static_methods: list = []
+        events: list = []
         self._skip_newlines()
         while not self.peek().is_kw("end") and self.peek().kind != "EOF":
             t = self.peek()
-            if t.is_kw("properties"):
+            if _is_ctxkw(t, "properties"):
                 self.next()
                 attrs = self._parse_block_attrs()
                 self._skip_newlines()
@@ -490,7 +492,7 @@ class Parser:
                     properties.append((pname, default, attrs))
                     self._skip_newlines()
                 self.next()  # end
-            elif t.is_kw("methods"):
+            elif _is_ctxkw(t, "methods"):
                 self.next()
                 attrs = self._parse_block_attrs()
                 is_static = any(a.lower() == "static" for a in attrs)
@@ -503,7 +505,18 @@ class Parser:
                         self.next()
                     self._skip_newlines()
                 self.next()  # end
-            elif t.is_kw("events", "enumeration"):
+            elif _is_ctxkw(t, "events"):
+                self.next()
+                self._parse_block_attrs()
+                self._skip_newlines()
+                while not self.peek().is_kw("end") and self.peek().kind != "EOF":
+                    if self.peek().kind == "IDENT":
+                        events.append(self.next().text)
+                    else:
+                        self.next()
+                    self._skip_newlines()
+                self.next()  # end
+            elif _is_ctxkw(t, "enumeration"):
                 # skip block
                 self.next()
                 depth = 1
@@ -516,7 +529,8 @@ class Parser:
             self._skip_newlines()
         if self.peek().is_kw("end"):
             self.next()
-        return A.ClassDef(name, supers, properties, methods, static_methods, line)
+        return A.ClassDef(name, supers, properties, methods, static_methods,
+                          line, events)
 
     def _parse_block_attrs(self) -> list[str]:
         attrs: list[str] = []
@@ -826,6 +840,12 @@ class Parser:
         if cur:
             rows.append(cur)
         return ctor(rows)
+
+
+def _is_ctxkw(t, name: str) -> bool:
+    """Contextual keyword: properties/methods/events/... are keywords only
+    inside classdef blocks; plain identifiers elsewhere (MATLAB semantics)."""
+    return t.kind in ("KW", "IDENT") and t.text == name
 
 
 def parse(src: str, src_name: str = "<input>") -> A.Program:

@@ -42,6 +42,7 @@ class Session:
         self.global_vars: dict = {}
         self.persistents: dict = {}
         self.functions: dict = {}          # user functions defined via files
+        self.classes: dict = {}            # classdef registry (oop.MatClass)
         self.program: Optional[CompiledProgram] = None
         self.interrupt_requested = False
         self.last_error: Optional[MatError] = None
@@ -103,6 +104,9 @@ class Session:
         compiled = Compiler.compile_program(prog, name)
         for fname, fcode in compiled.functions.items():
             self.functions[fname] = fcode
+        for cname, cd in compiled.classes.items():
+            from .oop import build_class
+            self.classes[cname] = build_class(cd)
         old_prog = self.program
         self.program = compiled
         try:

@@ -54,6 +54,20 @@ def format_value(name: str, v) -> str:
 
 
 def _format_body(v, indent: str = "    ") -> str:
+    from ..oop import ClassRef, HandleObject, Listener, MatObject
+    if isinstance(v, (MatObject, HandleObject)):
+        lines = [f"{indent}{v.cls.name} with properties:", ""]
+        for pname in v.props:
+            pv = v.props[pname]
+            brief = _format_body(pv, "").strip()
+            if "\n" in brief:
+                brief = f"[{'x'.join(map(str, getattr(pv, 'shape', ())))}]"
+            lines.append(f"{indent}    {pname}: {brief}")
+        return "\n".join(lines)
+    if isinstance(v, ClassRef):
+        return f"{indent}<class {v.cls.name}>"
+    if isinstance(v, Listener):
+        return f"{indent}listener for event '{v.event}'"
     if isinstance(v, MatArray):
         if v.mclass == "char":
             s = v.to_str()

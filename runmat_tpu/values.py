@@ -424,6 +424,9 @@ def text_of(v) -> str:
 def class_name(v) -> str:
     if isinstance(v, MatArray):
         return v.mclass
+    cls = getattr(v, "cls", None)
+    if cls is not None and hasattr(cls, "name"):  # MatObject / HandleObject
+        return cls.name
     return getattr(v, "mclass", type(v).__name__)
 
 

@@ -58,7 +58,11 @@ from typing import Any, Optional
     SWITCH_MATCH,   # (SWITCH_MATCH,)              pop case_val, switch_val -> push bool (isequal / member)
     CHECK_INTERRUPT,
     BOOL_SCALAR,    # pop value -> logical scalar (&&/|| operand check)
-) = range(45)
+    CALL_METHOD,    # (CALL_METHOD, fname, nargs, nargout) pop args..., base ->
+                    # method dispatch on objects/ClassRef; falls back to
+                    # field-read + paren-index for structs/handles
+    LOADC,          # (LOADC, name) var load, else ClassRef, else 0-arg call
+) = range(47)
 
 OPNAMES = {v: k for k, v in list(globals().items()) if isinstance(v, int)}
 

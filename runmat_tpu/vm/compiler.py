@@ -110,6 +110,14 @@ class Compiler:
         code.emit(B.RET, line=fd.line)
         return code
 
+    @staticmethod
+    def compile_expr(e) -> B.Code:
+        """Compile a bare expression (e.g. a classdef property default) into a
+        Code unit that leaves its value on the stack."""
+        c = Compiler("@expr", is_script=False)
+        c.expr(e)
+        return c.code
+
     def compile_anon(self, e: A.AnonFunc) -> B.AnonDef:
         c = Compiler("@anon", is_script=False)
         c.code.params = list(e.params)
@@ -410,7 +418,10 @@ class Compiler:
         elif isinstance(e, A.Index):
             self._compile_callable_use(e, nargout=1, line=0)
         elif isinstance(e, A.FieldAccess):
-            self.expr(e.base)
+            if isinstance(e.base, A.Ident):
+                c.emit(B.LOADC, e.base.name)
+            else:
+                self.expr(e.base)
             if e.dynamic is not None:
                 self.expr(e.dynamic)
                 c.emit(B.FIELD, None)
@@ -470,6 +481,20 @@ class Compiler:
     def _compile_callable_use(self, e: A.Index, nargout: int, line: int) -> None:
         """x(args): runtime decides variable-indexing vs function call."""
         c = self.code
+        if e.kind == "paren" and isinstance(e.base, A.FieldAccess) and \
+                e.base.dynamic is None and \
+                not any(_contains_end(a) for a in e.args if not isinstance(a, A.Colon)):
+            # obj.m(args) / Class.static(args): method dispatch at runtime,
+            # falling back to field-read + paren-index for structs
+            base = e.base.base
+            if isinstance(base, A.Ident):
+                c.emit(B.LOADC, base.name, line=line)
+            else:
+                self.expr(base)
+            for a in e.args:
+                self._index_arg(a, 0, len(e.args))
+            c.emit(B.CALL_METHOD, e.base.name, len(e.args), nargout, line=line)
+            return
         if isinstance(e.base, A.Ident):
             has_end = any(_contains_end(a) for a in e.args if not isinstance(a, A.Colon))
             if has_end:

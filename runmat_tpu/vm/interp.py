@@ -96,6 +96,18 @@ class Interp:
         return None
 
     def call_named(self, name: str, args: list, nargout: int, frame: Frame) -> list:
+        # method dispatch on the dominant (object) argument takes precedence
+        # over path functions (MATLAB resolution order; ≙ vm/object/resolve.rs)
+        from .. import oop
+        for a in args:
+            if isinstance(a, (oop.MatObject, oop.HandleObject)):
+                m = a.cls.find_method(self.session, name)
+                if m is not None:
+                    return self.call_user(m, args, nargout)
+                break
+        cls = self.session.classes.get(name)
+        if cls is not None:
+            return [oop.construct(self, frame, cls, args)]
         r = self.resolve_function(name)
         if r is None:
             raise undefined(name)
@@ -135,7 +147,7 @@ class Interp:
         for i, p in enumerate(code.params[:nparams]):
             if i < len(args) and p != "~":
                 v = args[i]
-                if isinstance(v, MatArray):
+                if isinstance(v, MatArray) or type(v).__name__ == "MatObject":
                     v.shared = True
                 frame.vars[p] = v
         if code.has_varargin:
@@ -231,7 +243,7 @@ class Interp:
                         res = self._call_or_undef(a, frame)
                         stack.append(res)
                     else:
-                        if isinstance(v, MatArray):
+                        if isinstance(v, MatArray) or type(v).__name__ == "MatObject":
                             v.shared = True
                         stack.append(v)
                 elif op == B.STORE:
@@ -270,6 +282,27 @@ class Interp:
                     stack.append(IX.COLON)
                 elif op == B.RESOLVE_CALL:
                     self._resolve_call(stack, frame, a, b, c, d)
+                elif op == B.LOADC:
+                    v = self._load_name(frame, a)
+                    if v is NOVALUE:
+                        cls = session.classes.get(a)
+                        if cls is not None:
+                            from ..oop import ClassRef
+                            stack.append(ClassRef(cls))
+                        else:
+                            stack.append(self._call_or_undef(a, frame))
+                    else:
+                        if isinstance(v, MatArray):
+                            v.shared = True
+                        from ..oop import MatObject
+                        if isinstance(v, MatObject):
+                            v.shared = True
+                        stack.append(v)
+                elif op == B.CALL_METHOD:
+                    args = _collect_args(stack, b)
+                    base = _unwrap1(stack.pop())
+                    res = self._call_method(frame, base, a, args, max(c, 1))
+                    _push_results(stack, res, c)
                 elif op == B.DYNCALL:
                     args = _collect_args(stack, a)
                     fv = stack.pop()
@@ -482,7 +515,53 @@ class Interp:
         res = self.call_named(name, args, nargout, frame)
         _push_results(stack, res, nargout)
 
+    def _call_method(self, frame: Frame, base, fname: str, args: list,
+                     nargout: int) -> list:
+        """obj.m(args) / ClassRef.static(args); falls back to field-read +
+        paren indexing for structs and plain values."""
+        from .. import oop
+        if isinstance(base, (oop.MatObject, oop.HandleObject)):
+            m = base.cls.find_method(self.session, fname)
+            if m is not None:
+                return oop.call_method(self, frame, m, base, args, nargout)
+            m = base.cls.find_static(self.session, fname)
+            if m is not None:
+                return self.call_user(m, args, nargout)
+            v = oop.prop_read(base, fname)
+            return [IX.read_paren(v, args) if args else v]
+        if isinstance(base, oop.ClassRef):
+            m = base.cls.find_static(self.session, fname)
+            if m is None:
+                raise MatError("MATLAB:class:noStatic",
+                               f"Unrecognized static method '{fname}' for "
+                               f"class '{base.cls.name}'.")
+            return self.call_user(m, args, nargout)
+        v = self._field_read(base, fname)
+        if isinstance(v, FunctionHandle):
+            return self.call_value(v, args, nargout, frame)
+        if not args:
+            return [v]
+        return [IX.read_paren(_unwrap1(v), args)]
+
     def _field_read(self, base, fname: str):
+        from .. import oop
+        if isinstance(base, (oop.MatObject, oop.HandleObject)):
+            if fname in base.props:
+                return oop.prop_read(base, fname)
+            m = base.cls.find_method(self.session, fname)
+            if m is not None:
+                # MATLAB: obj.m == obj.m() — dot access invokes the method
+                res = oop.call_method(self, None, m, base, [], 1)
+                return res[0] if res else NOVALUE
+            return oop.prop_read(base, fname)   # raises the right error
+        if isinstance(base, oop.ClassRef):
+            m = base.cls.find_static(self.session, fname)
+            if m is not None:
+                res = self.call_user(m, [], 1)
+                return res[0] if res else NOVALUE
+            raise MatError("MATLAB:class:noStatic",
+                           f"Unrecognized static method '{fname}' for class "
+                           f"'{base.cls.name}'.")
         if isinstance(base, StructArray):
             if fname not in base.fields:
                 raise MatError("MATLAB:nonExistentField",
@@ -573,6 +652,13 @@ class Interp:
         rest = steps[1:]
         if kind == "field" or kind == "dynfield":
             fname = sarg
+            from .. import oop
+            if isinstance(cur, (oop.MatObject, oop.HandleObject)):
+                if rest:
+                    old = oop.prop_read(cur, fname)
+                    newf = self._path_write(old, rest, rhs)
+                    return oop.prop_write(cur, fname, newf)
+                return oop.prop_write(cur, fname, rhs)
             if cur is None or (isinstance(cur, MatArray) and cur.size == 0):
                 cur = StructArray.scalar()
             if not isinstance(cur, StructArray):
