@@ -408,20 +408,33 @@ class Parser:
         if self.peek().is_kw("arguments"):
             self._skip_arguments_block()
             self._skip_newlines()
+        first_nested_pos = None
+        saw_end = False
         while True:
             t = self.peek()
             if t.kind == "EOF":
                 break
             if t.is_kw("end"):
                 self.next()
+                saw_end = True
                 break
             if t.is_kw("function"):
-                # end-less function files: a new def terminates this one.
-                break
+                # tentatively parse as a NESTED function; if this def turns
+                # out to be end-less (no matching 'end' for the parent), the
+                # position is restored and the def re-parses as a sibling
+                if first_nested_pos is None:
+                    first_nested_pos = self.pos
+                nested.append(self.parse_function_def())
+                self._skip_newlines()
+                continue
             st = self.parse_statement()
             if st is not None:
                 body.append(st)
             self._skip_newlines()
+        if nested and not saw_end:
+            # end-less file: the tentatively-nested defs are actually siblings
+            self.pos = first_nested_pos
+            nested = []
         return A.FunctionDef(name, params, outs, body, line, nested)
 
     def _skip_arguments_block(self) -> None:

@@ -86,6 +86,7 @@ class Code:
     has_varargout: bool = False
     lines: list = field(default_factory=list)   # per-instr source line (for stacks)
     is_script: bool = True
+    nested: dict = field(default_factory=dict)   # name -> Code (nested functions)
 
     def emit(self, op: int, a=None, b=None, c=None, d=None, line: int = 0) -> int:
         self.instrs.append((op, a, b, c, d))

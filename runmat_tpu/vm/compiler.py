@@ -108,6 +108,8 @@ class Compiler:
         for st in fd.body:
             c.stmt(st)
         code.emit(B.RET, line=fd.line)
+        for nf in fd.nested:
+            code.nested[nf.name] = Compiler.compile_function(nf)
         return code
 
     @staticmethod

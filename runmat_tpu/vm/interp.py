@@ -38,9 +38,10 @@ NOVALUE = _NoValue()
 
 class Frame:
     __slots__ = ("vars", "globals", "persist", "iters", "ixctx", "nargin",
-                 "nargout", "code", "varargout_names")
+                 "nargout", "code", "varargout_names", "parent")
 
-    def __init__(self, code: B.Code, nargin: int = 0, nargout: int = 0):
+    def __init__(self, code: B.Code, nargin: int = 0, nargout: int = 0,
+                 parent: "Frame" = None):
         self.vars: dict[str, Any] = {}
         self.globals: set[str] = set()
         self.persist: dict[str, tuple] = {}
@@ -49,6 +50,7 @@ class Frame:
         self.nargin = nargin
         self.nargout = nargout
         self.code = code
+        self.parent = parent   # enclosing frame for NESTED functions
 
 
 class Ctx:
@@ -96,6 +98,13 @@ class Interp:
         return None
 
     def call_named(self, name: str, args: list, nargout: int, frame: Frame) -> list:
+        # nested functions of the current (or enclosing) function bind tightest
+        f = frame
+        while f is not None:
+            if f.code is not None and name in f.code.nested:
+                return self.call_user(f.code.nested[name], args, nargout,
+                                      parent=f)
+            f = f.parent
         # method dispatch on the dominant (object) argument takes precedence
         # over path functions (MATLAB resolution order; ≙ vm/object/resolve.rs)
         from .. import oop
@@ -138,12 +147,13 @@ class Interp:
             return res.items
         return [res]
 
-    def call_user(self, code: B.Code, args: list, nargout: int) -> list:
+    def call_user(self, code: B.Code, args: list, nargout: int,
+                  parent: Frame = None) -> list:
         nparams = len(code.params) - (1 if code.has_varargin else 0)
         if len(args) > nparams and not code.has_varargin:
             raise MatError("MATLAB:TooManyInputs",
                            f"Too many input arguments for '{code.name}'.")
-        frame = Frame(code, nargin=len(args), nargout=nargout)
+        frame = Frame(code, nargin=len(args), nargout=nargout, parent=parent)
         for i, p in enumerate(code.params[:nparams]):
             if i < len(args) and p != "~":
                 v = args[i]
@@ -467,6 +477,12 @@ class Interp:
         key = frame.persist.get(name)
         if key is not None:
             return self.session.persistents[key]
+        # nested function: shared workspace with the enclosing function
+        p = frame.parent
+        while p is not None:
+            if name in p.vars:
+                return p.vars[name]
+            p = p.parent
         return NOVALUE
 
     def _store_name(self, frame: Frame, name: str, v) -> None:
@@ -477,6 +493,13 @@ class Interp:
         if key is not None:
             self.session.persistents[key] = v
             return
+        if name not in frame.vars:
+            p = frame.parent
+            while p is not None:
+                if name in p.vars:
+                    p.vars[name] = v
+                    return
+                p = p.parent
         frame.vars[name] = v
 
     def _call_or_undef(self, name: str, frame: Frame):

@@ -446,3 +446,39 @@ def test_exist():
     assert scalar("a = 5; x = exist('a', 'var');") == 1.0
     assert scalar("x = exist('nonexistent_xyz', 'var');") == 0.0
     assert scalar("x = exist('sin', 'builtin');") == 5.0
+
+
+def test_nested_function_reads_parent():
+    s = run("""function r = outer(x)
+n = 10;
+r = inner(x);
+    function y = inner(z)
+    y = z + n;
+    end
+end
+v = outer(5);""")
+    assert scalar_of(s, "v") == 15.0
+
+
+def test_nested_function_writes_shared_var():
+    s = run("""function r = outer()
+n = 1;
+bump(); bump();
+r = n;
+    function bump()
+    n = n + 1;
+    end
+end
+v = outer();""")
+    assert scalar_of(s, "v") == 3.0
+
+
+def test_endless_sibling_functions_still_parse():
+    s = run("function r = f(x)\nr = g(x) + 1;\nfunction r = g(x)\nr = x * 2;")
+    s.run_source("v = f(4);", "t")
+    assert scalar_of(s, "v") == 9.0
+
+
+def scalar_of(s, name):
+    h = s.get(name).host()
+    return float(h.reshape(-1)[0].real)
