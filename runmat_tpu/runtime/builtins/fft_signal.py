@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...errors import MatError, bad_arg
-from ...values import MatArray, text_of
+from ...values import MatArray, is_text, text_of
 from ..registry import builtin
 from .common import scalar_int
 
@@ -147,3 +147,183 @@ def m_xcorr(a, b=None):
     vb = b.host().astype(np.float64).reshape(-1) if b is not None else va
     r = np.correlate(va, vb, mode="full")
     return MatArray(r.reshape(1, -1), "double")
+
+
+# --------------------------------------------------------------------------- #
+# windows + spectral analysis
+# (≙ reference math/signal family; provider hooks api lib.rs:2535-2577)
+# --------------------------------------------------------------------------- #
+
+
+def _window_vec(n: int, kind: str) -> np.ndarray:
+    if n == 1:
+        return np.ones(1)
+    k = np.arange(n, dtype=np.float64)
+    if kind == "hamming":
+        return 0.54 - 0.46 * np.cos(2 * np.pi * k / (n - 1))
+    if kind in ("hann", "hanning"):
+        return 0.5 - 0.5 * np.cos(2 * np.pi * k / (n - 1))
+    if kind == "blackman":
+        return 0.42 - 0.5 * np.cos(2 * np.pi * k / (n - 1)) \
+            + 0.08 * np.cos(4 * np.pi * k / (n - 1))
+    if kind == "bartlett":
+        return 1.0 - np.abs((k - (n - 1) / 2) / ((n - 1) / 2))
+    if kind == "rectwin":
+        return np.ones(n)
+    raise bad_arg("window", f"Unknown window '{kind}'.")
+
+
+def _win_builtin(name):
+    @builtin(name, category="math/signal", min_in=1, max_in=1)
+    def _f(n, _name=name):
+        nn = int(n.host().reshape(-1)[0])
+        return MatArray(_window_vec(nn, _name).reshape(-1, 1), "double")
+    return _f
+
+
+for _w in ("hamming", "hann", "hanning", "blackman", "bartlett", "rectwin"):
+    _win_builtin(_w)
+
+
+@builtin("kaiser", category="math/signal", min_in=1, max_in=2)
+def m_kaiser(n, beta=None):
+    nn = int(n.host().reshape(-1)[0])
+    b = float(beta.host().reshape(-1)[0]) if beta is not None else 0.5
+    k = np.arange(nn, dtype=np.float64)
+    r = 2 * k / max(nn - 1, 1) - 1
+    w = np.i0(b * np.sqrt(np.maximum(1 - r * r, 0))) / np.i0(b)
+    return MatArray(w.reshape(-1, 1), "double")
+
+
+@builtin("sinc", category="math/signal", min_in=1, max_in=1, accel_op="u:sinc")
+def m_sinc(x):
+    h = x.host().astype(np.float64)
+    return MatArray(np.sinc(h), "single" if x.mclass == "single" else "double")
+
+
+@builtin("hilbert", category="math/signal", min_in=1, max_in=2)
+def m_hilbert(x, n=None):
+    """Analytic signal via the one-sided FFT method."""
+    h = x.host().astype(np.float64)
+    vec = h.reshape(-1)
+    npts = int(n.host().reshape(-1)[0]) if n is not None else vec.size
+    sp = np.fft.fft(vec, npts)
+    w = np.zeros(npts)
+    if npts % 2 == 0:
+        w[0] = w[npts // 2] = 1
+        w[1:npts // 2] = 2
+    else:
+        w[0] = 1
+        w[1:(npts + 1) // 2] = 2
+    r = np.fft.ifft(sp * w)
+    shape = (1, npts) if h.shape[0] == 1 else (npts, 1)
+    return MatArray(r.reshape(shape), "double")
+
+
+@builtin("envelope", category="math/signal", min_in=1, max_in=1)
+def m_envelope(x):
+    h = x.host().astype(np.float64).reshape(-1)
+    sp = np.fft.fft(h)
+    w = np.zeros(h.size)
+    if h.size % 2 == 0:
+        w[0] = w[h.size // 2] = 1
+        w[1:h.size // 2] = 2
+    else:
+        w[0] = 1
+        w[1:(h.size + 1) // 2] = 2
+    analytic = np.fft.ifft(sp * w)
+    env = np.abs(analytic)
+    shape = x.host().shape
+    return MatArray(env.reshape(shape), "double")
+
+
+@builtin("spectrogram", category="math/signal", min_in=1, max_in=4, max_out=4,
+         pass_nargout=True)
+def m_spectrogram(x, window=None, noverlap=None, nfft=None, nargout=1):
+    h = x.host().astype(np.float64).reshape(-1)
+    if window is None:
+        nseg = max(8, h.size // 8)
+        w = _window_vec(nseg, "hamming")
+    elif window.size == 1:
+        nseg = int(window.host().reshape(-1)[0])
+        w = _window_vec(nseg, "hamming")
+    else:
+        w = window.host().astype(np.float64).reshape(-1)
+        nseg = w.size
+    nov = int(noverlap.host().reshape(-1)[0]) if noverlap is not None else nseg // 2
+    nf = int(nfft.host().reshape(-1)[0]) if nfft is not None else max(256, nseg)
+    hop = nseg - nov
+    nwin = max(0, (h.size - nov) // hop)
+    nbins = nf // 2 + 1
+    S = np.empty((nbins, nwin), dtype=complex)
+    for i in range(nwin):
+        seg = h[i * hop: i * hop + nseg] * w
+        S[:, i] = np.fft.fft(seg, nf)[:nbins]
+    if nargout <= 1:
+        return MatArray(S, "double")
+    F = np.arange(nbins, dtype=np.float64).reshape(-1, 1) / nf
+    T = ((np.arange(nwin) * hop + nseg / 2)).reshape(1, -1)
+    return [MatArray(S, "double"), MatArray(F, "double"),
+            MatArray(T.astype(np.float64), "double")][:max(1, nargout)]
+
+
+@builtin("freqz", category="math/signal", min_in=1, max_in=3, max_out=2,
+         pass_nargout=True)
+def m_freqz(b, a=None, n=None, nargout=1):
+    hb = b.host().astype(np.float64).reshape(-1)
+    ha = a.host().astype(np.float64).reshape(-1) if a is not None else np.ones(1)
+    npts = int(n.host().reshape(-1)[0]) if n is not None else 512
+    w = np.pi * np.arange(npts) / npts
+    z = np.exp(-1j * w)
+    num = sum(hb[k] * z ** k for k in range(hb.size))
+    den = sum(ha[k] * z ** k for k in range(ha.size))
+    H = num / den
+    if nargout <= 1:
+        return MatArray(H.reshape(-1, 1), "double")
+    return [MatArray(H.reshape(-1, 1), "double"),
+            MatArray(w.reshape(-1, 1), "double")]
+
+
+@builtin("pwelch", category="math/signal", min_in=1, max_in=4, max_out=2,
+         pass_nargout=True)
+def m_pwelch(x, window=None, noverlap=None, nfft=None, nargout=1):
+    h = x.host().astype(np.float64).reshape(-1)
+    nseg = int(window.host().reshape(-1)[0]) if window is not None and \
+        window.size == 1 else min(256, h.size)
+    w = window.host().astype(np.float64).reshape(-1) if window is not None and \
+        window.size > 1 else _window_vec(nseg, "hamming")
+    nseg = w.size
+    nov = int(noverlap.host().reshape(-1)[0]) if noverlap is not None else nseg // 2
+    nf = int(nfft.host().reshape(-1)[0]) if nfft is not None else max(256, nseg)
+    hop = nseg - nov
+    nwin = max(1, (h.size - nov) // hop)
+    nbins = nf // 2 + 1
+    acc = np.zeros(nbins)
+    U = np.sum(w ** 2)
+    for i in range(nwin):
+        seg = h[i * hop: i * hop + nseg]
+        if seg.size < nseg:
+            seg = np.pad(seg, (0, nseg - seg.size))
+        sp = np.fft.fft(seg * w, nf)[:nbins]
+        acc += (np.abs(sp) ** 2) / U
+    pxx = acc / nwin / (2 * np.pi)
+    pxx[1:-1] *= 2
+    if nargout <= 1:
+        return MatArray(pxx.reshape(-1, 1), "double")
+    w_out = np.pi * np.arange(nbins) / (nbins - 1)
+    return [MatArray(pxx.reshape(-1, 1), "double"),
+            MatArray(w_out.reshape(-1, 1), "double")]
+
+
+@builtin("detrend", category="math/signal", min_in=1, max_in=2)
+def m_detrend(x, mode=None):
+    h = x.host().astype(np.float64)
+    m = text_of(mode) if mode is not None and is_text(mode) else "linear"
+    vec = h.reshape(-1)
+    if m == "constant":
+        r = vec - vec.mean()
+    else:
+        t = np.arange(vec.size, dtype=np.float64)
+        p = np.polyfit(t, vec, 1)
+        r = vec - np.polyval(p, t)
+    return MatArray(r.reshape(h.shape), "double")

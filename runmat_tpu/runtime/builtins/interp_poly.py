@@ -128,3 +128,234 @@ def m_interp2(*args):
           (yq_f.reshape(-1) < y1[0]) | (yq_f.reshape(-1) > y1[-1])
     r = np.where(oob, np.nan, r)
     return MatArray(r.reshape(xq_f.shape), "double")
+
+
+# --------------------------------------------------------------------------- #
+# cubic splines / pchip (natural-spline and Fritsch-Carlson algorithms,
+# implemented from the standard formulations)
+# --------------------------------------------------------------------------- #
+
+
+def _spline_coeffs(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Not-a-knot cubic spline; returns per-interval [a,b,c,d] for
+    s(t) = a + b*dt + c*dt^2 + d*dt^3."""
+    n = x.size
+    if n == 2:
+        b = (y[1] - y[0]) / (x[1] - x[0])
+        return np.array([[y[0], b, 0.0, 0.0]])
+    h = np.diff(x)
+    A = np.zeros((n, n))
+    rhs = np.zeros(n)
+    for i in range(1, n - 1):
+        A[i, i - 1] = h[i - 1]
+        A[i, i] = 2 * (h[i - 1] + h[i])
+        A[i, i + 1] = h[i]
+        rhs[i] = 3 * ((y[i + 1] - y[i]) / h[i] - (y[i] - y[i - 1]) / h[i - 1])
+    if n == 3:
+        A[0, 0] = 1; A[-1, -1] = 1          # natural fallback for 3 points
+    else:
+        # not-a-knot end conditions
+        A[0, 0] = h[1]; A[0, 1] = -(h[0] + h[1]); A[0, 2] = h[0]
+        A[-1, -3] = h[-1]; A[-1, -2] = -(h[-2] + h[-1]); A[-1, -1] = h[-2]
+    c = np.linalg.solve(A, rhs)
+    coeffs = np.empty((n - 1, 4))
+    for i in range(n - 1):
+        coeffs[i, 0] = y[i]
+        coeffs[i, 2] = c[i]
+        coeffs[i, 3] = (c[i + 1] - c[i]) / (3 * h[i])
+        coeffs[i, 1] = (y[i + 1] - y[i]) / h[i] - h[i] * (2 * c[i] + c[i + 1]) / 3
+    return coeffs
+
+
+def _pchip_slopes(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Fritsch-Carlson monotone slopes."""
+    h = np.diff(x)
+    delta = np.diff(y) / h
+    n = x.size
+    d = np.zeros(n)
+    for i in range(1, n - 1):
+        if delta[i - 1] * delta[i] > 0:
+            w1 = 2 * h[i] + h[i - 1]
+            w2 = h[i] + 2 * h[i - 1]
+            d[i] = (w1 + w2) / (w1 / delta[i - 1] + w2 / delta[i])
+    def endslope(h0, h1, d0, d1):
+        s = ((2 * h0 + h1) * d0 - h0 * d1) / (h0 + h1)
+        if s * d0 <= 0:
+            return 0.0
+        if d0 * d1 <= 0 and abs(s) > 3 * abs(d0):
+            return 3 * d0
+        return s
+    d[0] = endslope(h[0], h[1] if n > 2 else h[0], delta[0],
+                    delta[1] if n > 2 else delta[0])
+    d[-1] = endslope(h[-1], h[-2] if n > 2 else h[-1], delta[-1],
+                     delta[-2] if n > 2 else delta[-1])
+    return d
+
+
+def _eval_piecewise_cubic(x, coeffs, xq):
+    idx = np.clip(np.searchsorted(x, xq, side="right") - 1, 0, coeffs.shape[0] - 1)
+    dt = xq - x[idx]
+    a, b, c, d = (coeffs[idx, k] for k in range(4))
+    return ((d * dt + c) * dt + b) * dt + a
+
+
+def _hermite_eval(x, y, d, xq):
+    idx = np.clip(np.searchsorted(x, xq, side="right") - 1, 0, x.size - 2)
+    h = x[idx + 1] - x[idx]
+    t = (xq - x[idx]) / h
+    h00 = (1 + 2 * t) * (1 - t) ** 2
+    h10 = t * (1 - t) ** 2
+    h01 = t * t * (3 - 2 * t)
+    h11 = t * t * (t - 1)
+    return h00 * y[idx] + h10 * h * d[idx] + h01 * y[idx + 1] + h11 * h * d[idx + 1]
+
+
+def _xy_prep(x, y):
+    hx = x.host().astype(np.float64).reshape(-1)
+    hy = y.host().astype(np.float64).reshape(-1)
+    order = np.argsort(hx)
+    return hx[order], hy[order]
+
+
+@builtin("spline", category="math/interpolation", min_in=2, max_in=3)
+def m_spline(x, y, xq=None):
+    hx, hy = _xy_prep(x, y)
+    coeffs = _spline_coeffs(hx, hy)
+    if xq is None:
+        from ...values import StructArray
+        return StructArray.scalar({
+            "form": MatArray.char_from_str("pp"),
+            "breaks": MatArray(hx.reshape(1, -1), "double"),
+            "coefs": MatArray(coeffs[:, ::-1].copy(), "double"),
+            "pieces": MatArray.scalar(coeffs.shape[0]),
+            "order": MatArray.scalar(4),
+            "dim": MatArray.scalar(1),
+        })
+    hq = xq.host().astype(np.float64)
+    r = _eval_piecewise_cubic(hx, coeffs, hq.reshape(-1))
+    return MatArray(r.reshape(hq.shape), "double")
+
+
+@builtin("pchip", category="math/interpolation", min_in=2, max_in=3)
+def m_pchip(x, y, xq=None):
+    hx, hy = _xy_prep(x, y)
+    d = _pchip_slopes(hx, hy)
+    if xq is None:
+        from ...values import StructArray
+        return StructArray.scalar({"form": MatArray.char_from_str("pp"),
+                                   "breaks": MatArray(hx.reshape(1, -1), "double")})
+    hq = xq.host().astype(np.float64)
+    r = _hermite_eval(hx, hy, d, hq.reshape(-1))
+    return MatArray(r.reshape(hq.shape), "double")
+
+
+@builtin("ppval", category="math/interpolation", min_in=2, max_in=2)
+def m_ppval(pp, xq):
+    from ...values import StructArray
+    if not isinstance(pp, StructArray):
+        raise bad_arg("ppval", "First argument must be a pp struct.")
+    breaks = pp.fields["breaks"].reshape(-1)[0].host().reshape(-1)
+    coefs = pp.fields["coefs"].reshape(-1)[0].host()
+    hq = xq.host().astype(np.float64)
+    coeffs = coefs[:, ::-1]
+    r = _eval_piecewise_cubic(breaks, coeffs, hq.reshape(-1))
+    return MatArray(r.reshape(hq.shape), "double")
+
+
+@builtin("interp3", category="math/interpolation", min_in=4, max_in=8)
+def m_interp3(*args):
+    """interp3(X,Y,Z,V,xq,yq,zq) or interp3(V,xq,yq,zq) — trilinear."""
+    if len(args) >= 7:
+        X, Y, Z, V, xq, yq, zq = args[:7]
+        gx = X.host().astype(np.float64)
+        gy = Y.host().astype(np.float64)
+        gz = Z.host().astype(np.float64)
+        # meshgrid convention: X varies along dim2, Y along dim1, Z along dim3
+        xs = gx[0, :, 0] if gx.ndim == 3 else gx[0, :]
+        ys = gy[:, 0, 0] if gy.ndim == 3 else gy[:, 0]
+        zs = gz[0, 0, :] if gz.ndim == 3 else np.asarray([0.0])
+    else:
+        V, xq, yq, zq = args[:4]
+        v = V.host()
+        ys = np.arange(1, v.shape[0] + 1, dtype=np.float64)
+        xs = np.arange(1, v.shape[1] + 1, dtype=np.float64)
+        zs = np.arange(1, (v.shape[2] if v.ndim > 2 else 1) + 1, dtype=np.float64)
+    v = V.host().astype(np.float64)
+    if v.ndim == 2:
+        v = v[:, :, None]
+    q = [a.host().astype(np.float64).reshape(-1) for a in (xq, yq, zq)]
+
+    def locate(grid, vals):
+        i = np.clip(np.searchsorted(grid, vals, side="right") - 1, 0,
+                    max(grid.size - 2, 0))
+        g1 = grid[np.minimum(i + 1, grid.size - 1)]
+        denom = np.where(g1 > grid[i], g1 - grid[i], 1.0)
+        t = np.clip((vals - grid[i]) / denom, 0.0, 1.0)
+        return i, t
+
+    ix, tx = locate(xs, q[0])
+    iy, ty = locate(ys, q[1])
+    iz, tz = locate(zs, q[2])
+    ix1 = np.minimum(ix + 1, xs.size - 1)
+    iy1 = np.minimum(iy + 1, ys.size - 1)
+    iz1 = np.minimum(iz + 1, zs.size - 1)
+    r = np.zeros_like(q[0])
+    for (jy, wy) in ((iy, 1 - ty), (iy1, ty)):
+        for (jx, wx) in ((ix, 1 - tx), (ix1, tx)):
+            for (jz, wz) in ((iz, 1 - tz), (iz1, tz)):
+                r += wy * wx * wz * v[jy, jx, jz]
+    oob = (q[0] < xs[0]) | (q[0] > xs[-1]) | (q[1] < ys[0]) | (q[1] > ys[-1]) \
+        | (q[2] < zs[0]) | (q[2] > zs[-1])
+    r = np.where(oob, np.nan, r)
+    shape = xq.host().shape
+    return MatArray(r.reshape(shape if len(shape) >= 2 else (1, -1)), "double")
+
+
+@builtin("interpft", category="math/interpolation", min_in=2, max_in=2)
+def m_interpft(x, n):
+    h = x.host().astype(np.float64).reshape(-1)
+    npts = int(n.host().reshape(-1)[0])
+    sp = np.fft.fft(h)
+    half = h.size // 2
+    out_sp = np.zeros(npts, dtype=complex)
+    k = min(half + 1, (npts // 2) + 1)
+    out_sp[:k] = sp[:k]
+    out_sp[-(h.size - half - 1):] = sp[half + 1:] if h.size - half - 1 else 0
+    r = np.fft.ifft(out_sp).real * (npts / h.size)
+    shape = x.host().shape
+    return MatArray(r.reshape((1, -1) if shape[0] == 1 else (-1, 1)), "double")
+
+
+# --------------------------------------------------------------------------- #
+# polynomial calculus
+# --------------------------------------------------------------------------- #
+
+
+@builtin("polyder", category="math/poly", min_in=1, max_in=2)
+def m_polyder(p, q=None):
+    hp = p.host().astype(np.float64).reshape(-1)
+    if q is not None:
+        hp = np.polymul(hp, q.host().astype(np.float64).reshape(-1))
+    d = np.polyder(hp)
+    if d.size == 0:
+        d = np.zeros(1)
+    return MatArray(d.reshape(1, -1), "double")
+
+
+@builtin("polyint", category="math/poly", min_in=1, max_in=2)
+def m_polyint(p, k=None):
+    hp = p.host().astype(np.float64).reshape(-1)
+    kk = float(k.host().reshape(-1)[0]) if k is not None else 0.0
+    r = np.append(np.polyint(hp)[:-1], kk)
+    return MatArray(r.reshape(1, -1), "double")
+
+
+@builtin("polyvalm", category="math/poly", min_in=2, max_in=2)
+def m_polyvalm(p, X):
+    hp = p.host().astype(np.float64).reshape(-1)
+    A = X.host().astype(np.float64)
+    n = A.shape[0]
+    R = np.zeros_like(A)
+    for c in hp:
+        R = R @ A + c * np.eye(n)
+    return MatArray(R, "double")

@@ -1,0 +1,119 @@
+"""ODE / optimization / quadrature / interpolation / signal conformance.
+
+≙ reference builtin tests for math/ode, math/optim, math/interpolation,
+math/signal (runmat-runtime/src/builtins/math/{ode,optim,interpolation}/)."""
+
+import numpy as np
+
+from helpers import run, scalar, val
+
+
+def test_ode45_exponential_decay():
+    assert scalar("[t, y] = ode45(@(t,y) -2*y, [0 1], 1); x = abs(y(end) - exp(-2));") < 1e-5
+
+
+def test_ode45_dense_output():
+    s = run("[t, y] = ode45(@(t,y) -y, 0:0.25:1, 1);")
+    t = s.get("t").host().reshape(-1)
+    y = s.get("y").host().reshape(-1)
+    assert t.size == 5
+    np.testing.assert_allclose(y, np.exp(-t), rtol=1e-3)
+
+
+def test_ode45_system():
+    assert scalar("[t, y] = ode45(@(t,y) [y(2); -y(1)], [0 2*pi], [1; 0]); "
+                  "x = abs(y(end,1) - 1);") < 1e-3
+
+
+def test_ode45_sol_struct():
+    assert scalar("sol = ode45(@(t,y) -y, [0 1], 1); x = sol.x(end);") == 1.0
+
+
+def test_ode23():
+    assert scalar("[t, y] = ode23(@(t,y) -y, [0 1], 1); x = abs(y(end) - exp(-1));") < 1e-3
+
+
+def test_ode15s_stiff():
+    assert scalar("[t, y] = ode15s(@(t,y) -1000*(y - cos(t)), [0 1], 0); "
+                  "x = abs(y(end) - cos(1));") < 5e-3
+
+
+def test_odeset_tolerances():
+    assert scalar("o = odeset('RelTol', 1e-8); [t, y] = ode45(@(t,y) -y, [0 1], 1, o); "
+                  "x = abs(y(end) - exp(-1));") < 1e-7
+
+
+def test_fzero_bracket_and_scalar():
+    assert scalar("x = abs(fzero(@(x) x^3 - 2, 1) - 2^(1/3));") < 1e-10
+    assert scalar("x = abs(fzero(@cos, [1 2]) - pi/2);") < 1e-10
+
+
+def test_fminbnd():
+    assert scalar("x = abs(fminbnd(@(x) (x-2)^2, 0, 5) - 2);") < 1e-6
+
+
+def test_fminsearch_2d():
+    assert scalar("v = fminsearch(@(p) (p(1)-1)^2 + (p(2)+2)^2, [0 0]); "
+                  "x = norm(v - [1 -2]);") < 1e-6
+
+
+def test_integral_quad():
+    assert scalar("x = abs(integral(@(x) sin(x), 0, pi) - 2);") < 1e-10
+    assert scalar("x = abs(quad(@(x) x.^2, 0, 1) - 1/3);") < 1e-5
+
+
+def test_cumtrapz():
+    h = val("x = cumtrapz([0 1 2 3], [0 1 2 3]);")
+    np.testing.assert_allclose(h.reshape(-1), [0, 0.5, 2.0, 4.5])
+
+
+def test_spline_accuracy():
+    assert scalar("x = abs(spline(0:0.5:3, sin(0:0.5:3), 1.1) - sin(1.1));") < 1e-3
+
+
+def test_pchip_monotone():
+    s = run("y = pchip([1 2 3 4], [0 0 1 1], 1:0.1:4);")
+    h = s.get("y").host().reshape(-1)
+    assert h.min() >= -1e-12 and h.max() <= 1 + 1e-12
+
+
+def test_ppval_matches_direct():
+    assert scalar("pp = spline(0:5, cos(0:5)); "
+                  "x = abs(ppval(pp, 2.5) - spline(0:5, cos(0:5), 2.5));") < 1e-12
+
+
+def test_interp3_trilinear():
+    assert scalar("[X,Y,Z] = meshgrid(1:3, 1:3, 1:3); V = X + 10*Y + 100*Z; "
+                  "x = abs(interp3(X,Y,Z,V, 1.5, 2, 2.5) - 271.5);") < 1e-12
+
+
+def test_polyder_polyint_roundtrip():
+    h = val("x = polyder(polyint([3 2 1]));")
+    np.testing.assert_allclose(h.reshape(-1), [3, 2, 1])
+
+
+def test_polyvalm():
+    h = val("x = polyvalm([1 0 -1], [2 0; 0 3]);")
+    np.testing.assert_allclose(h, [[3, 0], [0, 8]])
+
+
+def test_windows():
+    assert abs(scalar("x = sum(hamming(8));") - 3.86) < 1e-10
+    assert scalar("w = hann(5); x = w(3);") == 1.0
+
+
+def test_hilbert_analytic():
+    assert scalar("h = hilbert(cos(2*pi*(0:99)/10)); x = mean(abs(abs(h) - 1));") < 1e-12
+
+
+def test_spectrogram_shape():
+    h = val("[S, F, T] = spectrogram(sin(2*pi*(0:999)*0.1), 128, 64, 256); x = size(S);")
+    np.testing.assert_allclose(h.reshape(-1), [129, 14])
+
+
+def test_freqz_dc_gain():
+    assert scalar("[H, W] = freqz([1 1], 1, 64); x = abs(H(1));") == 2.0
+
+
+def test_detrend_removes_trend():
+    assert scalar("x = abs(mean(detrend(1:100)));") < 1e-10
