@@ -249,6 +249,8 @@ def m_kron(a, b):
 
 @builtin("find", category="array", min_in=1, max_in=3, pass_nargout=True)
 def m_find(x, n=None, direction=None, nargout=1):
+    if type(x).__name__ == "SparseMatrix":
+        x = x.to_matarray()
     h = x.host()
     flat = fortran_ravel(h)
     idx = np.nonzero(flat != 0)[0]

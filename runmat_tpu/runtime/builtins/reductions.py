@@ -349,6 +349,9 @@ def m_all(x, *rest):
 
 @builtin("nnz", category="math/reduction", min_in=1, max_in=1)
 def m_nnz(x):
+    if type(x).__name__ == "SparseMatrix":
+        from ...values import MatArray as _MA
+        return _MA.scalar(float(x.prune().nnz))
     return MatArray.scalar(float(np.count_nonzero(x.host())))
 
 

@@ -114,6 +114,9 @@ def binary(op: str, a, b):
 
     op: name in ops.table.BINARY ('add','sub','mul','div','pow','mod',...).
     """
+    from ..sparse import SparseMatrix
+    if isinstance(a, SparseMatrix) or isinstance(b, SparseMatrix):
+        return _sparse_binary(op, a, b)
     # string concatenation via plus (MATLAB string class semantics)
     if op == "add" and (isinstance(a, StringArray) or isinstance(b, StringArray)):
         return _string_plus(a, b)
@@ -249,7 +252,17 @@ _INT_PRESERVING_UNARY = {"neg", "uplus", "abs", "sign", "floor", "ceil", "fix",
                          "round", "square", "real", "imag", "conj", "mod"}
 
 
-def unary(op: str, a) -> MatArray:
+def unary(op: str, a):
+    from ..sparse import SparseMatrix
+    if isinstance(a, SparseMatrix):
+        fn = table.UNARY.get(op)
+        if fn is not None and float(fn(np, np.zeros(1))[0]) == 0.0:
+            return a.map_nonzeros(lambda d: fn(np, d)).prune()
+        return unary(op, a.to_matarray())
+    return _unary_impl(op, a)
+
+
+def _unary_impl(op: str, a) -> MatArray:
     a = as_matarray(a)
     out_class = _unary_out_class(op, a)
 
@@ -319,7 +332,19 @@ def _unary_out_class(op: str, a: MatArray) -> str:
 # matrix binary ops: mtimes, mldivide, mrdivide, mpower
 # --------------------------------------------------------------------------- #
 
-def mtimes(a, b) -> MatArray:
+def mtimes(a, b):
+    from ..sparse import SparseMatrix
+    if isinstance(a, SparseMatrix) or isinstance(b, SparseMatrix):
+        if isinstance(a, SparseMatrix) and isinstance(b, SparseMatrix):
+            return a.spmm(b)
+        if isinstance(a, SparseMatrix):
+            if getattr(b, "size", 0) == 1:
+                return a.map_nonzeros(lambda d: d * float(b.host().reshape(-1)[0])).prune()
+            return MatArray(a.matmul(b.host().astype(np.float64)), "double")
+        if getattr(a, "size", 0) == 1:
+            return b.map_nonzeros(lambda d: float(a.host().reshape(-1)[0]) * d).prune()
+        return MatArray(b.transpose().matmul(a.host().astype(np.float64).T).T.copy(),
+                        "double")
     a, b = as_matarray(a), as_matarray(b)
     if a.is_scalar or b.is_scalar:
         return binary("mul", a, b)
@@ -343,13 +368,20 @@ def mtimes(a, b) -> MatArray:
     return _wrap(dtypes.cast_to_class(r, out_class), out_class)
 
 
-def mldivide(a, b) -> MatArray:
+def mldivide(a, b):
     """A\\b: square -> factorized solve; rectangular -> least squares.
 
     Reference parity: AccelProvider::mldivide/linsolve
     (runmat-accelerate-api/src/lib.rs:2422-2530); host LAPACK paths
     (runmat-runtime/src/lapack.rs).
     """
+    from ..sparse import SparseMatrix
+    if isinstance(a, SparseMatrix):
+        bb = b.to_dense() if isinstance(b, SparseMatrix) else \
+            b.host().astype(np.float64)
+        return MatArray(a.solve(bb), "double")
+    if isinstance(b, SparseMatrix):
+        b = b.to_matarray()
     a, b = as_matarray(a), as_matarray(b)
     if a.is_scalar:
         return binary("ldiv", a, b)
@@ -410,7 +442,10 @@ def mpower(a, b) -> MatArray:
 # transpose
 # --------------------------------------------------------------------------- #
 
-def transpose(a) -> MatArray:
+def transpose(a):
+    from ..sparse import SparseMatrix
+    if isinstance(a, SparseMatrix):
+        return a.transpose()
     a = as_matarray(a)
     if len(a.shape) > 2:
         raise MatError("MATLAB:transpose:NDArray",
@@ -421,7 +456,10 @@ def transpose(a) -> MatArray:
     return MatArray(a.host().T.copy(), a.mclass)
 
 
-def ctranspose(a) -> MatArray:
+def ctranspose(a):
+    from ..sparse import SparseMatrix
+    if isinstance(a, SparseMatrix):
+        return a.transpose()   # sparse is real double: ' == .'
     a = as_matarray(a)
     if len(a.shape) > 2:
         raise MatError("MATLAB:transpose:NDArray",
@@ -432,3 +470,31 @@ def ctranspose(a) -> MatArray:
     h = a.host()
     r = h.conj().T if np.iscomplexobj(h) else h.T
     return MatArray(r.copy(), a.mclass)
+
+
+def _sparse_binary(op, a, b):
+    """Sparse elementwise semantics: ops where zeros stay zero keep sparsity;
+    everything else densifies (MATLAB rules for +,-,.*,&)."""
+    from ..sparse import SparseMatrix
+    sa = isinstance(a, SparseMatrix)
+    sb = isinstance(b, SparseMatrix)
+    if sa and sb:
+        if op in ("add", "sub"):
+            fn = (lambda x, y: x + y) if op == "add" else (lambda x, y: x - y)
+            return a._binary_sparse(b, fn)
+        if op in ("mul", "and"):
+            return a._binary_sparse(b, lambda x, y: x * y)
+        return binary(op, a.to_matarray(), b.to_matarray())
+    sp, dn = (a, b) if sa else (b, a)
+    dsize = getattr(dn, "size", None)
+    if op == "mul" and dsize == 1:
+        c = float(dn.host().reshape(-1)[0])
+        return sp.map_nonzeros(lambda d: d * c).prune()
+    if op == "mul" and getattr(dn, "shape", None) == sp.shape:
+        hd = dn.host().astype(np.float64)
+        ii, jj, vv = sp.triplets()
+        return SparseMatrix.from_triplets(ii, jj, vv * hd[ii, jj],
+                                          sp.m, sp.n).prune()
+    da = sp.to_matarray() if sa else a
+    db = sp.to_matarray() if sb else b
+    return binary(op, da if sa else a, b if sa else db)

@@ -424,6 +424,8 @@ def text_of(v) -> str:
 def class_name(v) -> str:
     if isinstance(v, MatArray):
         return v.mclass
+    if type(v).__name__ == "SparseMatrix":
+        return v.mclass          # MATLAB: class(sparse(...)) == 'double' 
     cls = getattr(v, "cls", None)
     if cls is not None and hasattr(cls, "name"):  # MatObject / HandleObject
         return cls.name
@@ -433,10 +435,14 @@ def class_name(v) -> str:
 def shape_of(v) -> tuple[int, ...]:
     if isinstance(v, (MatArray, StringArray, CellArray, StructArray)):
         return tuple(v.shape)
+    if type(v).__name__ == "SparseMatrix":
+        return tuple(v.shape)
     return (1, 1)
 
 
 def numel(v) -> int:
     if isinstance(v, (MatArray, StringArray, CellArray, StructArray)):
+        return v.size
+    if type(v).__name__ == "SparseMatrix":
         return v.size
     return 1

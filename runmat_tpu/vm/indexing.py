@@ -102,6 +102,10 @@ def _rewrap(base, data: np.ndarray):
 # --------------------------------------------------------------------------- #
 
 def read_paren(base, args: list):
+    if type(base).__name__ == "SparseMatrix":
+        # v1 deviation: indexed reads of sparse matrices densify (MATLAB keeps
+        # sparsity); values are identical
+        base = base.to_matarray()
     """A(args) for array-like base. Returns same container class."""
     if isinstance(base, StructArray):
         return _read_struct_paren(base, args)
@@ -264,6 +268,13 @@ def _is_empty_literal(rhs) -> bool:
 
 
 def write_paren(base, args: list, rhs, in_place: bool = False):
+    if type(base).__name__ == "SparseMatrix":
+        from ..sparse import SparseMatrix
+        dense = base.to_matarray()
+        if type(rhs).__name__ == "SparseMatrix":
+            rhs = rhs.to_matarray()
+        out = write_paren(dense, args, rhs)
+        return SparseMatrix.from_dense(out.host())
     """A(args) = rhs. Returns the (possibly new) base value.
 
     in_place=True (VM passes it when the target binding is unshared — the
