@@ -1,0 +1,245 @@
+"""datetime / duration types and builtins.
+
+Reference parity: crates/runmat-runtime/src/builtins/{datetime,duration}.
+Storage: datetime = microseconds since the MATLAB epoch proleptic 0000-01-00
+representation is avoided — we store numpy datetime64[us]; duration = numpy
+timedelta64[us]. Arithmetic follows MATLAB: datetime±duration -> datetime,
+datetime-datetime -> duration, duration arithmetic elementwise.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+
+from ...errors import MatError, bad_arg
+from ...values import MatArray, StringArray, is_text, normalize_shape, text_of
+from ..registry import builtin
+
+
+class MatDatetime:
+    __slots__ = ("data", "shared")
+    mclass = "datetime"
+
+    def __init__(self, data: np.ndarray):
+        d = np.asarray(data, dtype="datetime64[us]")
+        if d.ndim < 2:
+            d = d.reshape(normalize_shape(d.shape))
+        self.data = d
+        self.shared = False
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def size(self):
+        return self.data.size
+
+    def copy(self):
+        return MatDatetime(self.data.copy())
+
+
+class MatDuration:
+    __slots__ = ("data", "shared")
+    mclass = "duration"
+
+    def __init__(self, data: np.ndarray):
+        d = np.asarray(data, dtype="timedelta64[us]")
+        if d.ndim < 2:
+            d = d.reshape(normalize_shape(d.shape))
+        self.data = d
+        self.shared = False
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def size(self):
+        return self.data.size
+
+    def copy(self):
+        return MatDuration(self.data.copy())
+
+    def seconds_array(self) -> np.ndarray:
+        return self.data.astype("timedelta64[us]").astype(np.int64) / 1e6
+
+
+def _num(v) -> np.ndarray:
+    return v.host().astype(np.float64)
+
+
+@builtin("datetime", category="datetime", max_in=None)
+def m_datetime(*args):
+    if not args:
+        now = np.datetime64(_dt.datetime.now(), "us")
+        return MatDatetime(np.full((1, 1), now))
+    if len(args) == 1 and is_text(args[0]):
+        t = text_of(args[0])
+        if t == "now":
+            return MatDatetime(np.full((1, 1), np.datetime64(_dt.datetime.now(), "us")))
+        if t == "today":
+            today = _dt.date.today()
+            return MatDatetime(np.full((1, 1), np.datetime64(today, "us")))
+        try:
+            return MatDatetime(np.full((1, 1), np.datetime64(t.replace("/", "-"), "us")))
+        except ValueError:
+            raise bad_arg("datetime", f"Cannot parse datetime text '{t}'.")
+    # numeric (Y, M, D [, H, MI, S]) component form, arrays broadcast
+    comps = [_num(a) for a in args[:6]]
+    while len(comps) < 6:
+        comps.append(np.zeros_like(comps[0]))
+    comps = np.broadcast_arrays(*comps)
+    shape = comps[0].shape
+    flat = [c.reshape(-1) for c in comps]
+    out = np.empty(flat[0].size, dtype="datetime64[us]")
+    for i in range(flat[0].size):
+        y, mo, d, h, mi, se = (flat[k][i] for k in range(6))
+        micro = int(round((se - int(se)) * 1e6))
+        out[i] = np.datetime64(_dt.datetime(int(y), int(mo), int(d), int(h),
+                                            int(mi), int(se)) +
+                               _dt.timedelta(microseconds=micro), "us")
+    return MatDatetime(out.reshape(shape))
+
+
+@builtin("isdatetime", category="datetime", min_in=1, max_in=1)
+def m_isdatetime(x):
+    return MatArray.logical_scalar(isinstance(x, MatDatetime))
+
+
+@builtin("isduration", category="datetime", min_in=1, max_in=1)
+def m_isduration(x):
+    return MatArray.logical_scalar(isinstance(x, MatDuration))
+
+
+@builtin("duration", category="datetime", min_in=1, max_in=3)
+def m_duration(h, mi=None, s=None):
+    hh = _num(h)
+    mm = _num(mi) if mi is not None else np.zeros_like(hh)
+    ss = _num(s) if s is not None else np.zeros_like(hh)
+    hh, mm, ss = np.broadcast_arrays(hh, mm, ss)
+    us = ((hh * 3600 + mm * 60 + ss) * 1e6).astype(np.int64)
+    return MatDuration(us.astype("timedelta64[us]"))
+
+
+def _dur_from(factor_us: float):
+    def mk(x):
+        if isinstance(x, MatDuration):
+            # extraction form: days(d) -> numeric
+            return MatArray(x.seconds_array() / (factor_us / 1e6), "double")
+        us = (_num(x) * factor_us).astype(np.int64)
+        return MatDuration(us.astype("timedelta64[us]"))
+    return mk
+
+
+for _name, _f in (("days", 86400e6), ("hours", 3600e6), ("minutes", 60e6),
+                  ("seconds", 1e6), ("milliseconds", 1e3)):
+    builtin(_name, category="datetime", min_in=1, max_in=1)(_dur_from(_f))
+
+
+def _comp(name, getter):
+    @builtin(name, category="datetime", min_in=1, max_in=1)
+    def _g(x, _get=getter):
+        if not isinstance(x, MatDatetime):
+            raise bad_arg(name, "Input must be a datetime array.")
+        flat = x.data.reshape(-1)
+        out = np.array([_get(t.astype(_dt.datetime)) for t in flat],
+                       dtype=np.float64)
+        return MatArray(out.reshape(x.shape), "double")
+    return _g
+
+
+_comp("year", lambda t: t.year)
+_comp("month", lambda t: t.month)
+_comp("day", lambda t: t.day)
+_comp("hour", lambda t: t.hour)
+_comp("minute", lambda t: t.minute)
+_comp("second", lambda t: t.second + t.microsecond / 1e6)
+
+
+@builtin("datestr", category="datetime", min_in=1, max_in=2)
+def m_datestr(x, fmt=None):
+    if isinstance(x, MatDatetime):
+        t = x.data.reshape(-1)[0].astype(_dt.datetime)
+    else:
+        t = _datenum_to_dt(float(_num(x).reshape(-1)[0]))
+    return MatArray.char_from_str(t.strftime("%d-%b-%Y %H:%M:%S"))
+
+
+_MATLAB_EPOCH = _dt.datetime(1, 1, 1)  # datenum 367
+
+
+def _datenum_to_dt(dn: float) -> _dt.datetime:
+    return _MATLAB_EPOCH + _dt.timedelta(days=dn - 367.0)
+
+
+def _dt_to_datenum(t: _dt.datetime) -> float:
+    delta = t - _MATLAB_EPOCH
+    return delta.days + delta.seconds / 86400.0 + delta.microseconds / 86400e6 + 367.0
+
+
+@builtin("datenum", category="datetime", min_in=1, max_in=6)
+def m_datenum(*args):
+    if len(args) == 1 and isinstance(args[0], MatDatetime):
+        flat = args[0].data.reshape(-1)
+        out = np.array([_dt_to_datenum(t.astype(_dt.datetime)) for t in flat])
+        return MatArray(out.reshape(args[0].shape), "double")
+    if len(args) >= 3:
+        dtv = m_datetime(*args)
+        return m_datenum(dtv)
+    raise bad_arg("datenum", "Unsupported datenum form.")
+
+
+@builtin("calendar_now", category="datetime", max_in=0)
+def m_calendar_now():
+    return MatDatetime(np.full((1, 1), np.datetime64(_dt.datetime.now(), "us")))
+
+
+# -- arithmetic hooks (registered into the dispatch layer lazily) ------------- #
+
+
+def dt_binary(op, a, b):
+    """datetime/duration arithmetic; returns None when not applicable."""
+    da = isinstance(a, MatDatetime)
+    db = isinstance(b, MatDatetime)
+    ua = isinstance(a, MatDuration)
+    ub = isinstance(b, MatDuration)
+    if not (da or db or ua or ub):
+        return None
+    if op == "add":
+        if da and ub:
+            return MatDatetime(a.data + b.data)
+        if ua and db:
+            return MatDatetime(b.data + a.data)
+        if ua and ub:
+            return MatDuration(a.data + b.data)
+        if ua and isinstance(b, MatArray):
+            return MatDuration(a.data + (_num(b) * 1e6).astype("timedelta64[us]"))
+        if ub and isinstance(a, MatArray):
+            return MatDuration(b.data + (_num(a) * 1e6).astype("timedelta64[us]"))
+    if op == "sub":
+        if da and db:
+            return MatDuration(a.data - b.data)
+        if da and ub:
+            return MatDatetime(a.data - b.data)
+        if ua and ub:
+            return MatDuration(a.data - b.data)
+    if op in ("mul",) and ua and isinstance(b, MatArray):
+        return MatDuration((a.seconds_array() * _num(b) * 1e6)
+                           .astype(np.int64).astype("timedelta64[us]"))
+    if op in ("mul",) and ub and isinstance(a, MatArray):
+        return dt_binary("mul", b, a)
+    if op in ("div",) and ua and isinstance(b, MatArray):
+        return MatDuration((a.seconds_array() / _num(b) * 1e6)
+                           .astype(np.int64).astype("timedelta64[us]"))
+    if op in ("lt", "le", "gt", "ge", "eq", "ne"):
+        import operator
+        fn = {"lt": operator.lt, "le": operator.le, "gt": operator.gt,
+              "ge": operator.ge, "eq": operator.eq, "ne": operator.ne}[op]
+        xa = a.data if (da or ua) else _num(a)
+        xb = b.data if (db or ub) else _num(b)
+        return MatArray(np.asarray(fn(xa, xb)), "logical")
+    raise MatError("MATLAB:datetime:badOp",
+                   f"Operation '{op}' is not defined for datetime/duration.")

@@ -117,6 +117,12 @@ def binary(op: str, a, b):
     from ..sparse import SparseMatrix
     if isinstance(a, SparseMatrix) or isinstance(b, SparseMatrix):
         return _sparse_binary(op, a, b)
+    if type(a).__name__ in ("MatDatetime", "MatDuration") or \
+            type(b).__name__ in ("MatDatetime", "MatDuration"):
+        from .builtins.datetime_builtins import dt_binary
+        r = dt_binary(op, a, b)
+        if r is not None:
+            return r
     # string concatenation via plus (MATLAB string class semantics)
     if op == "add" and (isinstance(a, StringArray) or isinstance(b, StringArray)):
         return _string_plus(a, b)
@@ -333,6 +339,9 @@ def _unary_out_class(op: str, a: MatArray) -> str:
 # --------------------------------------------------------------------------- #
 
 def mtimes(a, b):
+    if type(a).__name__ in ("MatDatetime", "MatDuration") or \
+            type(b).__name__ in ("MatDatetime", "MatDuration"):
+        return binary("mul", a, b)
     from ..sparse import SparseMatrix
     if isinstance(a, SparseMatrix) or isinstance(b, SparseMatrix):
         if isinstance(a, SparseMatrix) and isinstance(b, SparseMatrix):

@@ -54,6 +54,42 @@ def format_value(name: str, v) -> str:
 
 
 def _format_body(v, indent: str = "    ") -> str:
+    tn = type(v).__name__
+    if tn == "MatTable":
+        widths = [max(len(nm), 8) for nm in v.varnames]
+        lines = [indent + "    ".join(nm.rjust(w) for nm, w in
+                                      zip(v.varnames, widths)),
+                 indent + "    ".join("_" * w for w in widths)]
+        import numpy as _np
+        for r in range(min(v.height, 20)):
+            cells = []
+            for c, w in zip(v.cols, widths):
+                if isinstance(c, MatArray):
+                    cells.append(_fmt_scalar(c.host()[r, 0], c.mclass).rjust(w))
+                else:
+                    cells.append(str(c.data[r, 0]).rjust(w))
+            lines.append(indent + "    ".join(cells))
+        if v.height > 20:
+            lines.append(indent + f"... ({v.height} rows)")
+        return "\n".join(lines)
+    if tn == "MatDatetime":
+        flat = v.data.reshape(-1)
+        txt = "   ".join(str(t).replace("T", " ") for t in flat[:6])
+        return indent + txt
+    if tn == "MatDuration":
+        secs = v.seconds_array().reshape(-1)
+        parts = []
+        for s_ in secs[:6]:
+            hh = int(s_ // 3600); mm = int((s_ % 3600) // 60); ss = s_ % 60
+            parts.append(f"{hh:02d}:{mm:02d}:{ss:06.3f}")
+        return indent + "   ".join(parts)
+    if tn == "SparseMatrix":
+        ii, jj, vv = v.triplets()
+        import numpy as _np
+        order = _np.lexsort((ii, jj))
+        lines = [f"{indent}({ii[k]+1},{jj[k]+1})\t{vv[k]:g}"
+                 for k in order[:25]]
+        return "\n".join(lines) if lines else f"{indent}All zero sparse: {v.m}x{v.n}"
     from ..oop import ClassRef, HandleObject, Listener, MatObject
     if isinstance(v, (MatObject, HandleObject)):
         lines = [f"{indent}{v.cls.name} with properties:", ""]

@@ -425,7 +425,10 @@ def class_name(v) -> str:
     if isinstance(v, MatArray):
         return v.mclass
     if type(v).__name__ == "SparseMatrix":
-        return v.mclass          # MATLAB: class(sparse(...)) == 'double' 
+        return v.mclass          # MATLAB: class(sparse(...)) == 'double'
+    if type(v).__name__ in ("MatTable", "MatDatetime", "MatDuration"):
+        return {"MatTable": "table", "MatDatetime": "datetime",
+                "MatDuration": "duration"}[type(v).__name__]
     cls = getattr(v, "cls", None)
     if cls is not None and hasattr(cls, "name"):  # MatObject / HandleObject
         return cls.name
@@ -435,7 +438,8 @@ def class_name(v) -> str:
 def shape_of(v) -> tuple[int, ...]:
     if isinstance(v, (MatArray, StringArray, CellArray, StructArray)):
         return tuple(v.shape)
-    if type(v).__name__ == "SparseMatrix":
+    if type(v).__name__ in ("SparseMatrix", "MatTable", "MatDatetime",
+                            "MatDuration"):
         return tuple(v.shape)
     return (1, 1)
 
@@ -443,6 +447,7 @@ def shape_of(v) -> tuple[int, ...]:
 def numel(v) -> int:
     if isinstance(v, (MatArray, StringArray, CellArray, StructArray)):
         return v.size
-    if type(v).__name__ == "SparseMatrix":
+    if type(v).__name__ in ("SparseMatrix", "MatTable", "MatDatetime",
+                            "MatDuration"):
         return v.size
     return 1

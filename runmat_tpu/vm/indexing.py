@@ -102,6 +102,11 @@ def _rewrap(base, data: np.ndarray):
 # --------------------------------------------------------------------------- #
 
 def read_paren(base, args: list):
+    if type(base).__name__ == "MatTable":
+        if len(args) != 2:
+            raise MatError("MATLAB:table:badSubscript",
+                           "Tables require two subscripts: t(rows, vars).")
+        return base.index_paren(args[0], args[1])
     if type(base).__name__ == "SparseMatrix":
         # v1 deviation: indexed reads of sparse matrices densify (MATLAB keeps
         # sparsity); values are identical
@@ -180,8 +185,13 @@ def _read_struct_paren(base: StructArray, args: list) -> StructArray:
     return StructArray(new_fields, dims)
 
 
-def read_brace(base, args: list) -> OutputList:
+def read_brace(base, args: list):
     """c{args}: contents comma-list."""
+    if type(base).__name__ == "MatTable":
+        if len(args) != 2:
+            raise MatError("MATLAB:table:badSubscript",
+                           "Tables require two subscripts: t{rows, vars}.")
+        return base.index_brace(args[0], args[1])
     if not isinstance(base, CellArray):
         raise MatError("MATLAB:cellRefFromNonCell",
                        "Brace indexing is only supported for cell arrays.")

@@ -567,6 +567,17 @@ class Interp:
         return [IX.read_paren(_unwrap1(v), args)]
 
     def _field_read(self, base, fname: str):
+        from ..tables import MatTable
+        if isinstance(base, MatTable):
+            if fname == "Properties":
+                from ..values import CellArray
+                data = np.empty((1, len(base.varnames)), dtype=object)
+                for i, nm in enumerate(base.varnames):
+                    data[0, i] = MatArray.char_from_str(nm)
+                return StructArray.scalar({
+                    "VariableNames": CellArray(data),
+                })
+            return base.col(fname)
         from .. import oop
         if isinstance(base, (oop.MatObject, oop.HandleObject)):
             if fname in base.props:
@@ -675,6 +686,12 @@ class Interp:
         rest = steps[1:]
         if kind == "field" or kind == "dynfield":
             fname = sarg
+            from ..tables import MatTable
+            if isinstance(cur, MatTable):
+                if rest:
+                    old = cur.col(fname)
+                    return cur.set_col(fname, self._path_write(old, rest, rhs))
+                return cur.set_col(fname, rhs)
             from .. import oop
             if isinstance(cur, (oop.MatObject, oop.HandleObject)):
                 if rest:
