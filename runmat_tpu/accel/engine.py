@@ -200,7 +200,9 @@ class JaxEngine:
         _broadcast_check(na.shape, nb.shape)
         shape = matlab_broadcast_shape(na.shape, nb.shape)
         node = self._op("b:" + op, [na, nb], (str(work_dt),), shape, dt)
-        return MatArray.from_device(node, out_class)
+        out = MatArray.from_device(node, out_class)
+        out.dl = getattr(a, "dl", False) or getattr(b, "dl", False)
+        return out
 
     def unary(self, op: str, a: MatArray, out_class: str) -> MatArray:
         is_cx = a.is_complex and op not in ("abs", "real", "imag", "angle",
@@ -209,7 +211,9 @@ class JaxEngine:
             self.dtype_for(out_class, is_cx)
         na = self._lift(a, dt)
         node = self._op("u:" + op, [na], (), na.shape, dt)
-        return MatArray.from_device(node, out_class)
+        out = MatArray.from_device(node, out_class)
+        out.dl = getattr(a, "dl", False)
+        return out
 
     def matmul(self, a: MatArray, b: MatArray, out_class: str) -> MatArray:
         is_cx = a.is_complex or b.is_complex
@@ -221,7 +225,9 @@ class JaxEngine:
                            "Incorrect dimensions for matrix multiplication.")
         shape = (na.shape[0], nb.shape[1])
         node = self._op("matmul", [na, nb], (str(dt),), shape, dt)
-        return MatArray.from_device(node, out_class)
+        out = MatArray.from_device(node, out_class)
+        out.dl = getattr(a, "dl", False) or getattr(b, "dl", False)
+        return out
 
     def transpose(self, a: MatArray, conj: bool) -> MatArray:
         na = a.dev if a.on_device else self._lift(a, a.host().dtype)
@@ -252,7 +258,9 @@ class JaxEngine:
         shape = tuple(1 if i in axes else s for i, s in enumerate(nx.shape))
         node = self._op("r:" + op, [nx], (axes, nan_mode == "omitnan", str(dt)),
                         normalize_shape(shape), dt)
-        return MatArray.from_device(node, keep_class)
+        out = MatArray.from_device(node, keep_class)
+        out.dl = getattr(x, "dl", False)
+        return out
 
     def random(self, kind: str, state: philox.PhiloxState, dims: tuple,
                mclass: str) -> MatArray:

@@ -59,12 +59,14 @@ class MatArray:
     (accel handle) is set.
     """
 
-    __slots__ = ("_host", "_dev", "mclass", "shared")
+    __slots__ = ("_host", "_dev", "mclass", "shared", "dl")
 
     def __init__(self, host: Optional[np.ndarray], mclass: str, dev: Any = None):
         self._host = host
         self._dev = dev
         self.mclass = mclass
+        # dlarray marker (deep-learning toolbox; see runmat_tpu/dl/autodiff.py)
+        self.dl = False
         # Copy-on-write flag (≙ reference GC value semantics + residency
         # copy-on-write, SpawnHandleConcurrency::CopyOnWrite in
         # runmat-accelerate-api/src/lib.rs:824-845): set when this array is
