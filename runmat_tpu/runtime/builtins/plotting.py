@@ -1,0 +1,693 @@
+"""Plot commands: the MATLAB plotting builtin surface over runmat_tpu.plot.
+
+Reference parity: runmat-runtime/src/builtins/plotting (83k LoC, 30+ commands)
+over the runmat-plot engine. Device-resident inputs are gathered at figure
+build time (the analog of the reference's zero-copy GPU vertex consumption,
+export_wgpu_buffer — here the transfer is explicit and batched).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...errors import MatError, bad_arg
+from ...plot import figure as figmod
+from ...plot.colors import NAMED, colormap, parse_linespec
+from ...plot.figure import (Axes, ImageObj, Line, Patch, Scatter, TextObj,
+                            close_all, close_figure, gca, gcf)
+from ...values import CellArray, MatArray, StringArray, is_text, text_of
+from ..registry import builtin
+
+
+def _np1(v) -> np.ndarray:
+    return v.host().astype(np.float64).reshape(-1)
+
+
+def _np2(v) -> np.ndarray:
+    return v.host().astype(np.float64)
+
+
+def _prep_ax(hold_default=False) -> Axes:
+    ax = gca()
+    if not ax.hold:
+        ax.children = []
+        ax.color_idx = 0
+        ax.is3d = False
+    return ax
+
+
+def _parse_pairs(rest, line_obj=None):
+    """Name-value pairs ('LineWidth', 'Color', 'DisplayName', ...)."""
+    i = 0
+    props = {}
+    while i + 1 < len(rest):
+        if is_text(rest[i]):
+            props[text_of(rest[i]).lower()] = rest[i + 1]
+            i += 2
+        else:
+            i += 1
+    return props
+
+
+def _apply_line_props(obj, props):
+    if "linewidth" in props:
+        obj.width = float(_np1(props["linewidth"])[0])
+    if "color" in props:
+        c = props["color"]
+        if is_text(c):
+            obj.color = NAMED.get(text_of(c), obj.color)
+        else:
+            obj.color = tuple(_np1(c)[:3])
+    if "displayname" in props:
+        obj.label = text_of(props["displayname"])
+    if "marker" in props:
+        obj.marker = text_of(props["marker"])
+    if "linestyle" in props:
+        obj.style = text_of(props["linestyle"])
+
+
+# ------------------------------------------------------------------ figures - #
+
+
+@builtin("figure", category="plotting", max_in=1)
+def m_figure(num=None):
+    f = figmod.figure(None if num is None else int(_np1(num)[0]))
+    return MatArray.scalar(float(f.num))
+
+
+@builtin("close", category="plotting", max_in=1)
+def m_close(which=None):
+    if which is not None and is_text(which) and text_of(which) == "all":
+        close_all()
+    elif which is not None and isinstance(which, MatArray) and \
+            which.mclass != "char":
+        close_figure(int(_np1(which)[0]))
+    else:
+        close_figure()
+    return None
+
+
+@builtin("clf", category="plotting", max_in=0)
+def m_clf():
+    gcf().axes = [Axes()]
+    gcf().current = 0
+    return None
+
+
+@builtin("hold", category="plotting", max_in=1)
+def m_hold(mode=None):
+    ax = gca()
+    if mode is None:
+        ax.hold = not ax.hold
+    else:
+        ax.hold = text_of(mode) == "on"
+    return None
+
+
+@builtin("subplot", category="plotting", min_in=3, max_in=3)
+def m_subplot(r, c, k):
+    gcf().subplot(int(_np1(r)[0]), int(_np1(c)[0]), int(_np1(k)[0]))
+    return None
+
+
+@builtin("drawnow", category="plotting", max_in=0)
+def m_drawnow():
+    return None
+
+
+# ------------------------------------------------------------------ 2-D plots #
+
+
+def _plot_impl(ax, args, threed=False):
+    args = list(args)
+    # consume triples/pairs: x, y[, z][, linespec]
+    while args:
+        if threed:
+            if len(args) < 3:
+                break
+            x, y, z = _np1(args[0]), _np1(args[1]), _np1(args[2])
+            args = args[3:]
+        else:
+            if len(args) >= 2 and isinstance(args[1], MatArray) and \
+                    args[1].mclass != "char":
+                x, y = _np2(args[0]), _np2(args[1])
+                args = args[2:]
+            else:
+                y = _np2(args[0])
+                x = None
+                args = args[1:]
+            z = None
+        spec = None
+        if args and is_text(args[0]) and text_of(args[0]) and \
+                all(ch in "rgbcmykw-.:ox+*sd^v<>ph" for ch in text_of(args[0])):
+            spec = text_of(args[0])
+            args = args[1:]
+        props = _parse_pairs(args)
+        color, style, marker = parse_linespec(spec) if spec else (None, None, None)
+        if not threed and y.ndim == 2 and 1 not in y.shape:
+            cols = [y[:, k] for k in range(y.shape[1])]
+        else:
+            cols = [np.asarray(y).reshape(-1)]
+        for yc in cols:
+            xv = np.arange(1, yc.size + 1, dtype=np.float64) if x is None \
+                else np.asarray(x).reshape(-1)
+            ln = Line(xv, yc, z,
+                      color or ax.next_color(),
+                      style or ("none" if (marker and not style) else "-"),
+                      marker)
+            _apply_line_props(ln, props)
+            ax.add(ln)
+    return None
+
+
+@builtin("plot", category="plotting", min_in=1, max_in=None)
+def m_plot(*args):
+    ax = _prep_ax()
+    return _plot_impl(ax, args)
+
+
+@builtin("plot3", category="plotting", min_in=3, max_in=None)
+def m_plot3(*args):
+    ax = _prep_ax()
+    ax.is3d = True
+    return _plot_impl(ax, args, threed=True)
+
+
+@builtin("loglog", category="plotting", min_in=1, max_in=None)
+def m_loglog(*args):
+    ax = _prep_ax()
+    ax.xscale = ax.yscale = "log"
+    return _plot_impl(ax, args)
+
+
+@builtin("semilogx", category="plotting", min_in=1, max_in=None)
+def m_semilogx(*args):
+    ax = _prep_ax()
+    ax.xscale = "log"
+    return _plot_impl(ax, args)
+
+
+@builtin("semilogy", category="plotting", min_in=1, max_in=None)
+def m_semilogy(*args):
+    ax = _prep_ax()
+    ax.yscale = "log"
+    return _plot_impl(ax, args)
+
+
+@builtin("scatter", category="plotting", min_in=2, max_in=None)
+def m_scatter(x, y, *rest):
+    ax = _prep_ax()
+    sizes = 36.0
+    color = None
+    rest = list(rest)
+    if rest and isinstance(rest[0], MatArray) and rest[0].mclass != "char" \
+            and rest[0].size:
+        sizes = _np1(rest[0])
+        rest = rest[1:]
+    if rest and is_text(rest[0]) and text_of(rest[0]) in NAMED:
+        color = NAMED[text_of(rest[0])]
+        rest = rest[1:]
+    sc = Scatter(_np1(x), _np1(y), None, sizes, color or ax.next_color())
+    props = _parse_pairs(rest)
+    if "displayname" in props:
+        sc.label = text_of(props["displayname"])
+    ax.add(sc)
+    return None
+
+
+@builtin("scatter3", category="plotting", min_in=3, max_in=None)
+def m_scatter3(x, y, z, *rest):
+    ax = _prep_ax()
+    ax.is3d = True
+    ax.add(Scatter(_np1(x), _np1(y), _np1(z), 36.0, ax.next_color()))
+    return None
+
+
+@builtin("bar", category="plotting", min_in=1, max_in=2)
+def m_bar(a, b=None):
+    ax = _prep_ax()
+    if b is None:
+        y = _np1(a)
+        x = np.arange(1, y.size + 1, dtype=np.float64)
+    else:
+        x, y = _np1(a), _np1(b)
+    w = 0.8 * (np.min(np.diff(np.sort(x))) if x.size > 1 else 1.0)
+    color = ax.next_color()
+    polys = [np.array([[xi - w / 2, 0], [xi + w / 2, 0],
+                       [xi + w / 2, yi], [xi - w / 2, yi]])
+             for xi, yi in zip(x, y)]
+    ax.add(Patch(polys, color, (0, 0, 0)))
+    return None
+
+
+@builtin("barh", category="plotting", min_in=1, max_in=2)
+def m_barh(a, b=None):
+    ax = _prep_ax()
+    if b is None:
+        y = _np1(a)
+        x = np.arange(1, y.size + 1, dtype=np.float64)
+    else:
+        x, y = _np1(a), _np1(b)
+    w = 0.8
+    color = ax.next_color()
+    polys = [np.array([[0, xi - w / 2], [0, xi + w / 2],
+                       [yi, xi + w / 2], [yi, xi - w / 2]])
+             for xi, yi in zip(x, y)]
+    ax.add(Patch(polys, color, (0, 0, 0)))
+    return None
+
+
+@builtin("histogram", category="plotting", min_in=1, max_in=2)
+def m_histogram(v, nbins=None):
+    ax = _prep_ax()
+    h = _np1(v)
+    h = h[np.isfinite(h)]
+    nb = int(_np1(nbins)[0]) if nbins is not None else \
+        max(4, int(np.ceil(np.sqrt(max(h.size, 1)))))
+    counts, edges = np.histogram(h, bins=nb)
+    color = ax.next_color()
+    polys = [np.array([[edges[i], 0], [edges[i + 1], 0],
+                       [edges[i + 1], counts[i]], [edges[i], counts[i]]])
+             for i in range(nb)]
+    ax.add(Patch(polys, color, (1, 1, 1)))
+    return None
+
+
+@builtin("histogram2", category="plotting", min_in=2, max_in=3)
+def m_histogram2(x, y, nbins=None):
+    ax = _prep_ax()
+    nb = int(_np1(nbins)[0]) if nbins is not None else 16
+    Hc, xe, ye = np.histogram2d(_np1(x), _np1(y), bins=nb)
+    img = Hc.T[::-1] / max(Hc.max(), 1)
+    cm = colormap(ax.cmap)
+    rgb = cm[(img * 255).astype(int)]
+    ax.add(ImageObj(rgb, (xe[0], xe[-1], ye[0], ye[-1])))
+    return None
+
+
+@builtin("pie", category="plotting", min_in=1, max_in=1)
+def m_pie(v):
+    ax = _prep_ax()
+    vals = _np1(v)
+    total = vals.sum() or 1.0
+    th0 = np.pi / 2
+    for val in vals:
+        th1 = th0 - 2 * np.pi * val / total
+        ts = np.linspace(th0, th1, 40)
+        poly = np.vstack([[0, 0], np.stack([np.cos(ts), np.sin(ts)], axis=1)])
+        ax.add(Patch([poly], ax.next_color(), (1, 1, 1)))
+        th0 = th1
+    ax.axis_equal = True
+    ax.axis_off = True
+    return None
+
+
+@builtin("stairs", category="plotting", min_in=1, max_in=2)
+def m_stairs(a, b=None):
+    ax = _prep_ax()
+    if b is None:
+        y = _np1(a)
+        x = np.arange(1, y.size + 1, dtype=np.float64)
+    else:
+        x, y = _np1(a), _np1(b)
+    xs = np.repeat(x, 2)[1:]
+    ys = np.repeat(y, 2)[:-1]
+    ax.add(Line(xs, ys, None, ax.next_color()))
+    return None
+
+
+@builtin("stem", category="plotting", min_in=1, max_in=2)
+def m_stem(a, b=None):
+    ax = _prep_ax()
+    if b is None:
+        y = _np1(a)
+        x = np.arange(1, y.size + 1, dtype=np.float64)
+    else:
+        x, y = _np1(a), _np1(b)
+    color = ax.next_color()
+    xs, ys = [], []
+    for xi, yi in zip(x, y):
+        xs += [xi, xi, np.nan]
+        ys += [0.0, yi, np.nan]
+    ax.add(Line(np.array(xs), np.array(ys), None, color))
+    ax.add(Scatter(x, y, None, 20.0, color))
+    return None
+
+
+@builtin("area", category="plotting", min_in=1, max_in=2)
+def m_area(a, b=None):
+    ax = _prep_ax()
+    if b is None:
+        y = _np1(a)
+        x = np.arange(1, y.size + 1, dtype=np.float64)
+    else:
+        x, y = _np1(a), _np1(b)
+    poly = np.vstack([np.stack([x, y], axis=1), [[x[-1], 0]], [[x[0], 0]]])
+    ax.add(Patch([poly], ax.next_color(), (0, 0, 0)))
+    return None
+
+
+@builtin("fill", category="plotting", min_in=3, max_in=3)
+def m_fill(x, y, c):
+    ax = _prep_ax()
+    color = NAMED.get(text_of(c), (0, 0, 1)) if is_text(c) else tuple(_np1(c)[:3])
+    ax.add(Patch([np.stack([_np1(x), _np1(y)], axis=1)], color, (0, 0, 0)))
+    return None
+
+
+@builtin("errorbar", category="plotting", min_in=3, max_in=3)
+def m_errorbar(x, y, e):
+    ax = _prep_ax()
+    xv, yv, ev = _np1(x), _np1(y), _np1(e)
+    color = ax.next_color()
+    ax.add(Line(xv, yv, None, color, marker="o"))
+    xs, ys = [], []
+    for xi, yi, ei in zip(xv, yv, ev):
+        xs += [xi, xi, np.nan]
+        ys += [yi - ei, yi + ei, np.nan]
+    ax.add(Line(np.array(xs), np.array(ys), None, color))
+    return None
+
+
+@builtin("quiver", category="plotting", min_in=4, max_in=4)
+def m_quiver(x, y, u, v):
+    ax = _prep_ax()
+    xv, yv, uv, vv = (_np1(a) for a in (x, y, u, v))
+    color = ax.next_color()
+    xs, ys = [], []
+    for xi, yi, ui, vi in zip(xv, yv, uv, vv):
+        xs += [xi, xi + ui, np.nan]
+        ys += [yi, yi + vi, np.nan]
+    ax.add(Line(np.array(xs), np.array(ys), None, color))
+    return None
+
+
+@builtin("imagesc", category="plotting", min_in=1, max_in=3)
+def m_imagesc(*args):
+    ax = _prep_ax()
+    v = args[-1]
+    h = _np2(v)
+    lo, hi = float(np.nanmin(h)), float(np.nanmax(h))
+    if hi == lo:
+        hi = lo + 1
+    norm = (h - lo) / (hi - lo)
+    cm = colormap(ax.cmap)
+    rgb = cm[np.clip((norm * 255).astype(int), 0, 255)]
+    if len(args) >= 3:
+        x, y = _np1(args[0]), _np1(args[1])
+        extent = (x[0], x[-1], y[-1], y[0])
+    else:
+        extent = (0.5, h.shape[1] + 0.5, h.shape[0] + 0.5, 0.5)
+    ax.add(ImageObj(rgb[::-1] if extent[2] > extent[3] else rgb, extent))
+    ax.clim = (lo, hi)
+    return None
+
+
+@builtin("image", category="plotting", min_in=1, max_in=1)
+def m_image(v):
+    return m_imagesc(v)
+
+
+@builtin("pcolor", category="plotting", min_in=1, max_in=1)
+def m_pcolor(v):
+    return m_imagesc(v)
+
+
+@builtin("contour", category="plotting", min_in=1, max_in=2)
+def m_contour(z, n=None):
+    return _contour_impl(z, n, filled=False)
+
+
+@builtin("contourf", category="plotting", min_in=1, max_in=2)
+def m_contourf(z, n=None):
+    return _contour_impl(z, n, filled=True)
+
+
+def _contour_impl(z, n, filled):
+    """Marching-squares contour lines/bands."""
+    ax = _prep_ax()
+    h = _np2(z)
+    levels = int(_np1(n)[0]) if n is not None else 8
+    lo, hi = float(np.nanmin(h)), float(np.nanmax(h))
+    cm = colormap(ax.cmap)
+    if filled:
+        norm = (h - lo) / ((hi - lo) or 1)
+        rgb = cm[np.clip((norm * 255).astype(int), 0, 255)]
+        ax.add(ImageObj(rgb, (1, h.shape[1], h.shape[0], 1)))
+    for li in range(1, levels + 1):
+        lev = lo + (hi - lo) * li / (levels + 1)
+        segs_x, segs_y = _marching_squares(h, lev)
+        color = cm[int(255 * (li / (levels + 1)))]
+        ax.add(Line(np.array(segs_x), np.array(segs_y), None, tuple(color)))
+    return None
+
+
+def _marching_squares(h, lev):
+    xs, ys = [], []
+    R, C = h.shape
+    for r in range(R - 1):
+        for c in range(C - 1):
+            vals = [h[r, c], h[r, c + 1], h[r + 1, c + 1], h[r + 1, c]]
+            pts = []
+            corners = [(c + 1, r + 1), (c + 2, r + 1), (c + 2, r + 2), (c + 1, r + 2)]
+            for k in range(4):
+                v1, v2 = vals[k], vals[(k + 1) % 4]
+                if (v1 < lev) != (v2 < lev):
+                    t = (lev - v1) / (v2 - v1)
+                    x1, y1 = corners[k]
+                    x2, y2 = corners[(k + 1) % 4]
+                    pts.append((x1 + t * (x2 - x1), y1 + t * (y2 - y1)))
+            if len(pts) >= 2:
+                xs += [pts[0][0], pts[1][0], np.nan]
+                ys += [pts[0][1], pts[1][1], np.nan]
+    return xs, ys
+
+
+# ------------------------------------------------------------------ 3-D plots #
+
+
+def _surface_impl(*args, edges):
+    ax = _prep_ax()
+    ax.is3d = True
+    if len(args) >= 3:
+        X, Y, Z = (_np2(a) for a in args[:3])
+        if X.ndim == 1 or 1 in X.shape:
+            X, Y = np.meshgrid(X.reshape(-1), Y.reshape(-1))
+    else:
+        Z = _np2(args[0])
+        X, Y = np.meshgrid(np.arange(1, Z.shape[1] + 1),
+                           np.arange(1, Z.shape[0] + 1))
+    lo, hi = float(np.nanmin(Z)), float(np.nanmax(Z))
+    cm = colormap(ax.cmap)
+    R, C = Z.shape
+    step = max(1, int(np.ceil(max(R, C) / 60)))
+    for r in range(0, R - step, step):
+        for c in range(0, C - step, step):
+            quad = np.array([
+                [X[r, c], Y[r, c], Z[r, c]],
+                [X[r, c + step], Y[r, c + step], Z[r, c + step]],
+                [X[r + step, c + step], Y[r + step, c + step], Z[r + step, c + step]],
+                [X[r + step, c], Y[r + step, c], Z[r + step, c]],
+            ])
+            zm = float(np.mean(quad[:, 2]))
+            t = (zm - lo) / ((hi - lo) or 1)
+            fc = tuple(cm[int(255 * np.clip(t, 0, 1))])
+            ax.add(Patch([quad], None if edges == "only" else fc,
+                         (0.3, 0.3, 0.3) if edges else None,
+                         depth=zm))
+    return None
+
+
+@builtin("surf", category="plotting", min_in=1, max_in=4)
+def m_surf(*args):
+    return _surface_impl(*args, edges=True)
+
+
+@builtin("mesh", category="plotting", min_in=1, max_in=4)
+def m_mesh(*args):
+    return _surface_impl(*args, edges="only")
+
+
+@builtin("surfc", category="plotting", min_in=1, max_in=4)
+def m_surfc(*args):
+    return _surface_impl(*args, edges=True)
+
+
+@builtin("waterfall", category="plotting", min_in=1, max_in=3)
+def m_waterfall(*args):
+    return _surface_impl(*args, edges="only")
+
+
+# ---------------------------------------------------------------- decorations #
+
+
+def _settext(attr):
+    @builtin(attr, category="plotting", min_in=1, max_in=None)
+    def _f(s, *rest, _attr=attr):
+        setattr(gca(), _attr, text_of(s))
+        return None
+    return _f
+
+
+_settext("title")
+_settext("xlabel")
+_settext("ylabel")
+_settext("zlabel")
+
+
+@builtin("legend", category="plotting", max_in=None)
+def m_legend(*args):
+    ax = gca()
+    ax.legend_on = True
+    labels = []
+    for a in args:
+        if is_text(a):
+            t = text_of(a)
+            if t in ("off", "hide"):
+                ax.legend_on = False
+                return None
+            labels.append(t)
+        elif isinstance(a, CellArray):
+            for k in range(a.size):
+                labels.append(text_of(a.data.reshape(-1, order="F")[k]))
+    ax.legend_labels = labels or None
+    return None
+
+
+@builtin("grid", category="plotting", max_in=1)
+def m_grid(mode=None):
+    ax = gca()
+    ax.grid = (text_of(mode) == "on") if mode is not None else not ax.grid
+    return None
+
+
+@builtin("xlim", category="plotting", min_in=1, max_in=1)
+def m_xlim(v):
+    h = _np1(v)
+    gca().xlim = (float(h[0]), float(h[1]))
+    return None
+
+
+@builtin("ylim", category="plotting", min_in=1, max_in=1)
+def m_ylim(v):
+    h = _np1(v)
+    gca().ylim = (float(h[0]), float(h[1]))
+    return None
+
+
+@builtin("zlim", category="plotting", min_in=1, max_in=1)
+def m_zlim(v):
+    h = _np1(v)
+    gca().zlim = (float(h[0]), float(h[1]))
+    return None
+
+
+@builtin("axis", category="plotting", min_in=1, max_in=1)
+def m_axis(v):
+    ax = gca()
+    if is_text(v):
+        t = text_of(v)
+        if t == "equal":
+            ax.axis_equal = True
+        elif t == "off":
+            ax.axis_off = True
+        elif t == "on":
+            ax.axis_off = False
+        elif t == "tight":
+            ax.xlim = ax.ylim = None
+        return None
+    h = _np1(v)
+    ax.xlim = (float(h[0]), float(h[1]))
+    ax.ylim = (float(h[2]), float(h[3]))
+    return None
+
+
+@builtin("colormap", category="plotting", max_in=1)
+def m_colormap(name=None):
+    if name is not None:
+        gca().cmap = text_of(name)
+    return None
+
+
+@builtin("colorbar", category="plotting", max_in=0)
+def m_colorbar():
+    gca().colorbar = True
+    return None
+
+
+@builtin("view", category="plotting", min_in=1, max_in=2)
+def m_view(a, b=None):
+    ax = gca()
+    if b is not None:
+        ax.view = (float(_np1(a)[0]), float(_np1(b)[0]))
+    else:
+        h = _np1(a)
+        if h.size >= 2:
+            ax.view = (float(h[0]), float(h[1]))
+    return None
+
+
+@builtin("text", category="plotting", min_in=3, max_in=3)
+def m_text(x, y, s):
+    gca().add(TextObj(float(_np1(x)[0]), float(_np1(y)[0]), text_of(s)))
+    return None
+
+
+# --------------------------------------------------------------------- export #
+
+
+def _export(path: str):
+    fig = gcf()
+    if path.lower().endswith(".svg"):
+        from ...plot.svg import render_svg
+        data = render_svg(fig).encode()
+    elif path.lower().endswith(".png"):
+        from ...plot.raster import render_png
+        data = render_png(fig)
+    else:
+        raise bad_arg("saveas", f"Unsupported image format for '{path}' "
+                      "(use .svg or .png).")
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+@builtin("saveas", category="plotting", min_in=2, max_in=3)
+def m_saveas(fig, path, fmt=None):
+    p = text_of(path)
+    if fmt is not None:
+        p = p.rsplit(".", 1)[0] + "." + text_of(fmt)
+    _export(p)
+    return None
+
+
+@builtin("exportgraphics", category="plotting", min_in=2, max_in=2)
+def m_exportgraphics(obj, path):
+    _export(text_of(path))
+    return None
+
+
+@builtin("print", category="plotting", min_in=1, max_in=2)
+def m_print(a, b=None):
+    """print('file.png') / print('-dpng', 'file')"""
+    if b is None:
+        _export(text_of(a))
+        return None
+    flag = text_of(a)
+    path = text_of(b)
+    if flag == "-dpng" and not path.endswith(".png"):
+        path += ".png"
+    if flag == "-dsvg" and not path.endswith(".svg"):
+        path += ".svg"
+    _export(path)
+    return None
+
+
+@builtin("gcf", category="plotting", max_in=0)
+def m_gcf():
+    return MatArray.scalar(float(gcf().num))
+
+
+@builtin("gca", category="plotting", max_in=0)
+def m_gca():
+    gca()
+    return MatArray.scalar(float(gcf().num))
