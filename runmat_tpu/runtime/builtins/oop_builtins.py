@@ -66,7 +66,19 @@ def m_isvalid(h):
 @builtin("delete", category="handles", min_in=1, max_in=1, pass_ctx=True)
 def m_delete(h, ctx=None):
     """delete(h): invalidate a handle object (runs the class delete method
-    first, if any)."""
+    first, if any); delete('file') removes a file (MATLAB's dual use)."""
+    from ...values import is_text
+    if is_text(h):
+        import glob as _glob
+        import os as _os
+        pattern = text_of(h)
+        matches = _glob.glob(pattern) or [pattern]
+        for p in matches:
+            try:
+                _os.remove(p)
+            except OSError as e:
+                raise MatError("MATLAB:DELETE:FileNotFound", str(e))
+        return None
     if not isinstance(h, oop.HandleObject):
         raise MatError("MATLAB:class:mustBeHandle",
                        "delete requires a handle object.")
