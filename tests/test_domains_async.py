@@ -52,7 +52,7 @@ def test_awgn_snr():
 def test_image_pipeline():
     assert scalar("g = rgb2gray(0.5 * ones(4, 4, 3)); x = abs(g(1,1) - 0.49995) < 1e-9;") == 1.0
     assert scalar("x = size(imresize(eye(4), 2), 1);") == 8.0
-    assert scalar("f = imfilter(ones(5), fspecial('average', 3)); x = f(3,3);") == 1.0
+    assert abs(scalar("f = imfilter(ones(5), fspecial('average', 3)); x = f(3,3);") - 1.0) < 1e-12
 
 
 def test_imwrite_imread_roundtrip():
