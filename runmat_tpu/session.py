@@ -64,10 +64,19 @@ class Session:
         self.rng = PhiloxState(seed=0)
         self._tic_stack: list[float] = []
         self._tic_default: Optional[float] = None
+        from .config import load as _load_config
+        self.config = _load_config()
+        if accelerate is None and self.config.get("accelerate", "provider") == "none":
+            accelerate = False
         if accelerate is not False:
             from . import accel
             try:
-                accel.init_engine(required=bool(accelerate))
+                accel.init_engine(
+                    required=bool(accelerate),
+                    platform=self.config.get("accelerate", "platform"),
+                    auto_offload=self.config.get("accelerate", "auto_offload"),
+                    offload_threshold=self.config.get("accelerate",
+                                                      "offload_threshold"))
             except Exception:
                 if accelerate:
                     raise
@@ -101,8 +110,10 @@ class Session:
 
     def run_source(self, source: str, name: str = "<input>") -> None:
         """Execute without capturing (raises MatError)."""
-        prog = parse(source, name)
-        compiled = Compiler.compile_program(prog, name)
+        from . import telemetry
+        with telemetry.span("runtime.lower", unit=name):
+            prog = parse(source, name)
+            compiled = Compiler.compile_program(prog, name)
         for fname, fcode in compiled.functions.items():
             self.functions[fname] = fcode
         for cname, cd in compiled.classes.items():
@@ -113,7 +124,9 @@ class Session:
         try:
             if compiled.main.instrs:
                 self.base_frame.code = compiled.main
-                self.interp.run(compiled.main, self.base_frame)
+                from . import telemetry
+                with telemetry.span("runtime.execute", unit=name):
+                    self.interp.run(compiled.main, self.base_frame)
         finally:
             self.program = old_prog if old_prog is not None else compiled
 
