@@ -18,7 +18,8 @@ def main(argv=None) -> int:
 
     # subcommand style: runmat-tpu <cmd> [...]
     if argv and argv[0] in ("repl", "run", "check", "version", "info",
-                            "accel-info", "gc-stats", "benchmark", "config"):
+                            "accel-info", "gc-stats", "benchmark", "config",
+                            "lsp"):
         cmd = argv[0]
         rest = argv[1:]
         return _dispatch(cmd, rest)
@@ -146,6 +147,10 @@ def _dispatch(cmd: str, rest: list) -> int:
         from .config import load
         print(json.dumps(load().describe(), indent=2, default=str))
         return 0
+
+    if cmd == "lsp":
+        from .lsp import main as lsp_main
+        return lsp_main()
 
     print(f"unknown command '{cmd}'", file=sys.stderr)
     return 2

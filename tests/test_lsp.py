@@ -1,0 +1,96 @@
+"""LSP server: JSON-RPC framing, diagnostics, completion, hover, symbols.
+
+≙ reference runmat-lsp (tower-lsp backend)."""
+
+import io
+import json
+
+from runmat_tpu.lsp import Server, diagnostics
+
+
+def lsp_session(messages):
+    """Feed framed messages, collect server output messages."""
+    buf = io.BytesIO()
+    for m in messages:
+        body = json.dumps(m).encode()
+        buf.write(f"Content-Length: {len(body)}\r\n\r\n".encode())
+        buf.write(body)
+    buf.seek(0)
+    out = io.BytesIO()
+    Server(stdin=buf, stdout=out).serve()
+    out.seek(0)
+    results = []
+    data = out.read()
+    while data:
+        head, _, rest = data.partition(b"\r\n\r\n")
+        n = int(head.split(b":")[1])
+        results.append(json.loads(rest[:n]))
+        data = rest[n:]
+    return results
+
+
+URI = "file:///t.m"
+
+
+def _open(text):
+    return {"jsonrpc": "2.0", "method": "textDocument/didOpen",
+            "params": {"textDocument": {"uri": URI, "text": text}}}
+
+
+def test_initialize_and_diagnostics_clean():
+    out = lsp_session([
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+        _open("x = 1 + 2;\n"),
+    ])
+    init = out[0]["result"]
+    assert init["capabilities"]["hoverProvider"]
+    diag = [m for m in out if m.get("method") == "textDocument/publishDiagnostics"][0]
+    assert diag["params"]["diagnostics"] == []
+
+
+def test_diagnostics_reports_parse_error():
+    out = lsp_session([_open("x = 1 +;\n")])
+    diag = out[0]["params"]["diagnostics"]
+    assert len(diag) == 1
+    assert "parseError" in diag[0]["message"]
+
+
+def test_completion_includes_builtins():
+    out = lsp_session([
+        _open("si"),
+        {"jsonrpc": "2.0", "id": 2, "method": "textDocument/completion",
+         "params": {"textDocument": {"uri": URI},
+                    "position": {"line": 0, "character": 2}}},
+    ])
+    comp = [m for m in out if m.get("id") == 2][0]["result"]
+    labels = {c["label"] for c in comp}
+    assert "sin" in labels and "single" in labels
+
+
+def test_hover_builtin():
+    out = lsp_session([
+        _open("y = sin(x);"),
+        {"jsonrpc": "2.0", "id": 3, "method": "textDocument/hover",
+         "params": {"textDocument": {"uri": URI},
+                    "position": {"line": 0, "character": 5}}},
+    ])
+    hov = [m for m in out if m.get("id") == 3][0]["result"]
+    assert "sin" in hov["contents"]["value"]
+
+
+def test_document_symbols():
+    src = "function y = f(x)\ny = x;\nend\nclassdef K\nend\n"
+    out = lsp_session([
+        _open(src),
+        {"jsonrpc": "2.0", "id": 4, "method": "textDocument/documentSymbol",
+         "params": {"textDocument": {"uri": URI}}},
+    ])
+    syms = [m for m in out if m.get("id") == 4][0]["result"]
+    names = {s["name"] for s in syms}
+    assert "f" in names and "K" in names
+
+
+def test_diagnostics_function():
+    assert diagnostics("x = 3;") == []
+    d = diagnostics("x = 1 +;")
+    assert d and d[0]["severity"] == 1
