@@ -113,10 +113,10 @@ def m_readmatrix(path):
 
 @builtin("save", category="io", min_in=1, pass_ctx=True)
 def m_save(path, *names, ctx=None):
-    """save('file.mat', 'x', 'y') — numpy .npz-backed container with MATLAB
-    class metadata (full MAT v5 codec: later milestone)."""
+    """save('file.mat', 'x', 'y') — Level-5 MAT-file (runmat_tpu/matio.py)."""
+    from ...matio import save_mat
     p = text_of(path)
-    if not p.endswith((".mat", ".npz")):
+    if not p.endswith(".mat"):
         p += ".mat"
     frame = ctx.frame
     to_save = {}
@@ -124,29 +124,28 @@ def m_save(path, *names, ctx=None):
         [k for k in frame.vars if not k.startswith("@")]
     for n in sel:
         v = frame.vars.get(n)
-        if isinstance(v, MatArray):
-            to_save[n] = v.host()
-            to_save["__class__" + n] = np.array(v.mclass)
-    np.savez(p, **to_save)
-    if not p.endswith(".npz") and os.path.exists(p + ".npz"):
-        os.replace(p + ".npz", p)
+        if v is None:
+            raise MatError("MATLAB:save:variableNotFound",
+                           f"Variable '{n}' not found.")
+        to_save[n] = v
+    save_mat(p, to_save)
     return None
 
 
 @builtin("load", category="io", min_in=1, pass_ctx=True, pass_nargout=True)
 def m_load(path, *names, ctx=None, nargout=0):
+    from ...matio import load_mat
     p = text_of(path)
     if not os.path.exists(p) and os.path.exists(p + ".mat"):
         p += ".mat"
-    data = np.load(p, allow_pickle=False)
-    sel = [text_of(n) for n in names] if names else \
-        [k for k in data.files if not k.startswith("__class__")]
+    data = load_mat(p)
+    sel = [text_of(n) for n in names] if names else list(data)
     loaded = {}
     for n in sel:
-        arr = data[n]
-        cls_key = "__class__" + n
-        mclass = str(data[cls_key]) if cls_key in data.files else None
-        loaded[n] = MatArray.from_np(arr, mclass)
+        if n not in data:
+            raise MatError("MATLAB:load:variableNotFound",
+                           f"Variable '{n}' not found in '{p}'.")
+        loaded[n] = data[n]
     if nargout >= 1:
         out = StructArray.scalar({k: v for k, v in loaded.items()})
         return out
