@@ -1,0 +1,143 @@
+// Turbine: native tier-2 executor for scalar-numeric bytecode loops.
+//
+// Reference parity: runmat-turbine — the Cranelift JIT tier that compiles
+// hot bytecode to native code (crates/runmat-turbine/src/compiler.rs:249,
+// profiler threshold, fallback-on-unsupported). On TPU the array hot path is
+// already XLA; the remaining Python-slow path is scalar host loops, which
+// this stack VM executes at native speed. The Python side translates a
+// restricted bytecode window (all-scalar doubles, arithmetic + comparisons +
+// branches + libm intrinsics) into this ISA; anything else falls back to the
+// interpreter, preserving the reference's "never required for correctness"
+// invariant.
+//
+// Build: g++ -O2 -shared -fPIC -o libturbine.so turbine.cpp
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+enum Op : int32_t {
+    OP_CONST = 0,    // a = const index        push consts[a]
+    OP_LOAD = 1,     // a = slot               push slots[a]
+    OP_STORE = 2,    // a = slot               slots[a] = pop
+    OP_ADD = 3, OP_SUB = 4, OP_MUL = 5, OP_DIV = 6, OP_POW = 7,
+    OP_NEG = 8,
+    OP_LT = 9, OP_LE = 10, OP_GT = 11, OP_GE = 12, OP_EQ = 13, OP_NE = 14,
+    OP_AND = 15, OP_OR = 16, OP_NOT = 17,
+    OP_JMP = 18,          // a = target
+    OP_JMP_IF_FALSE = 19, // a = target (pops)
+    OP_JMP_IF_TRUE = 20,  // a = target (pops)
+    OP_CALL1 = 21,        // a = intrinsic id   unary call
+    OP_CALL2 = 22,        // a = intrinsic id   binary call
+    OP_DUP = 23,
+    OP_POP = 24,
+    OP_HALT = 25,
+};
+
+enum Fn1 : int32_t {
+    F_SIN, F_COS, F_TAN, F_ASIN, F_ACOS, F_ATAN, F_SINH, F_COSH, F_TANH,
+    F_EXP, F_LOG, F_LOG2, F_LOG10, F_SQRT, F_ABS, F_FLOOR, F_CEIL, F_ROUND,
+    F_SIGN, F_FIX, F_EXPM1, F_LOG1P,
+};
+
+enum Fn2 : int32_t {
+    F2_ATAN2, F2_HYPOT, F2_MOD, F2_REM, F2_MAX, F2_MIN, F2_POWER,
+};
+
+static double call1(int32_t f, double x) {
+    switch (f) {
+        case F_SIN: return sin(x);
+        case F_COS: return cos(x);
+        case F_TAN: return tan(x);
+        case F_ASIN: return asin(x);
+        case F_ACOS: return acos(x);
+        case F_ATAN: return atan(x);
+        case F_SINH: return sinh(x);
+        case F_COSH: return cosh(x);
+        case F_TANH: return tanh(x);
+        case F_EXP: return exp(x);
+        case F_LOG: return log(x);
+        case F_LOG2: return log2(x);
+        case F_LOG10: return log10(x);
+        case F_SQRT: return sqrt(x);
+        case F_ABS: return fabs(x);
+        case F_FLOOR: return floor(x);
+        case F_CEIL: return ceil(x);
+        case F_ROUND: return round(x);
+        case F_SIGN: return (x > 0) - (x < 0);
+        case F_FIX: return trunc(x);
+        case F_EXPM1: return expm1(x);
+        case F_LOG1P: return log1p(x);
+    }
+    return NAN;
+}
+
+static double matlab_mod(double a, double b) {
+    if (b == 0) return a;
+    double r = fmod(a, b);
+    if (r != 0 && ((r < 0) != (b < 0))) r += b;
+    return r;
+}
+
+static double call2(int32_t f, double a, double b) {
+    switch (f) {
+        case F2_ATAN2: return atan2(a, b);
+        case F2_HYPOT: return hypot(a, b);
+        case F2_MOD: return matlab_mod(a, b);
+        case F2_REM: return (b == 0) ? a : fmod(a, b);
+        case F2_MAX: return (a >= b || std::isnan(b)) ? a : b;
+        case F2_MIN: return (a <= b || std::isnan(b)) ? a : b;
+        case F2_POWER: return pow(a, b);
+    }
+    return NAN;
+}
+
+// returns: 0 ok, 1 stack error, 2 step budget exceeded, 3 bad opcode
+int32_t turbine_run(const int32_t* ops, const double* opargs, int32_t n_instr,
+                    const double* consts, double* slots, int64_t max_steps) {
+    double stack[256];
+    int sp = 0;
+    int64_t steps = 0;
+    int32_t pc = 0;
+    while (pc < n_instr) {
+        if (++steps > max_steps) return 2;
+        int32_t op = ops[pc];
+        int32_t a = (int32_t)opargs[pc];
+        pc++;
+        switch (op) {
+            case OP_CONST: stack[sp++] = consts[a]; break;
+            case OP_LOAD: stack[sp++] = slots[a]; break;
+            case OP_STORE: slots[a] = stack[--sp]; break;
+            case OP_ADD: sp--; stack[sp - 1] += stack[sp]; break;
+            case OP_SUB: sp--; stack[sp - 1] -= stack[sp]; break;
+            case OP_MUL: sp--; stack[sp - 1] *= stack[sp]; break;
+            case OP_DIV: sp--; stack[sp - 1] /= stack[sp]; break;
+            case OP_POW: sp--; stack[sp - 1] = pow(stack[sp - 1], stack[sp]); break;
+            case OP_NEG: stack[sp - 1] = -stack[sp - 1]; break;
+            case OP_LT: sp--; stack[sp - 1] = stack[sp - 1] < stack[sp]; break;
+            case OP_LE: sp--; stack[sp - 1] = stack[sp - 1] <= stack[sp]; break;
+            case OP_GT: sp--; stack[sp - 1] = stack[sp - 1] > stack[sp]; break;
+            case OP_GE: sp--; stack[sp - 1] = stack[sp - 1] >= stack[sp]; break;
+            case OP_EQ: sp--; stack[sp - 1] = stack[sp - 1] == stack[sp]; break;
+            case OP_NE: sp--; stack[sp - 1] = stack[sp - 1] != stack[sp]; break;
+            case OP_AND: sp--; stack[sp - 1] = (stack[sp - 1] != 0) && (stack[sp] != 0); break;
+            case OP_OR: sp--; stack[sp - 1] = (stack[sp - 1] != 0) || (stack[sp] != 0); break;
+            case OP_NOT: stack[sp - 1] = stack[sp - 1] == 0; break;
+            case OP_JMP: pc = a; break;
+            case OP_JMP_IF_FALSE: if (stack[--sp] == 0) pc = a; break;
+            case OP_JMP_IF_TRUE: if (stack[--sp] != 0) pc = a; break;
+            case OP_CALL1: stack[sp - 1] = call1(a, stack[sp - 1]); break;
+            case OP_CALL2: sp--; stack[sp - 1] = call2(a, stack[sp - 1], stack[sp]); break;
+            case OP_DUP: stack[sp] = stack[sp - 1]; sp++; break;
+            case OP_POP: sp--; break;
+            case OP_HALT: return 0;
+            default: return 3;
+        }
+        if (sp < 0 || sp > 250) return 1;
+    }
+    return 0;
+}
+
+}  // extern "C"

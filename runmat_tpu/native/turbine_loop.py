@@ -1,0 +1,251 @@
+"""Turbine gate: translate scalar-numeric for-loops to the native stack VM.
+
+Reference parity: runmat-turbine's execute_or_compile path — hot bytecode is
+compiled to native code, with fallback to the interpreter on any unsupported
+construct (runmat-core/src/session/run.rs:812-832, turbine/src/compiler.rs).
+The translation runs on loop ENTRY (the loop trip count is the hotness
+signal, like the reference's threshold-10 profiler) and bails to the Python
+interpreter unless every instruction in the window is scalar-double math.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..values import MatArray
+
+# Turbine ISA (mirror of native/turbine.cpp)
+(T_CONST, T_LOAD, T_STORE, T_ADD, T_SUB, T_MUL, T_DIV, T_POW, T_NEG,
+ T_LT, T_LE, T_GT, T_GE, T_EQ, T_NE, T_AND, T_OR, T_NOT,
+ T_JMP, T_JMP_IF_FALSE, T_JMP_IF_TRUE, T_CALL1, T_CALL2, T_DUP, T_POP,
+ T_HALT) = range(26)
+
+_BIN = {"add": T_ADD, "sub": T_SUB, "mul": T_MUL, "div": T_DIV,
+        "pow": T_POW, "lt": T_LT, "le": T_LE, "gt": T_GT, "ge": T_GE,
+        "eq": T_EQ, "ne": T_NE, "and": T_AND, "or": T_OR}
+_UN = {"neg": T_NEG, "logical_not": T_NOT, "uplus": None}
+
+_FN1 = {n: i for i, n in enumerate(
+    "sin cos tan asin acos atan sinh cosh tanh exp log log2 log10 sqrt abs "
+    "floor ceil round sign fix expm1 log1p".split())}
+_FN2 = {n: i for i, n in enumerate(
+    "atan2 hypot mod rem max min power".split())}
+
+
+class _Bail(Exception):
+    pass
+
+
+def try_native_loop(interp, frame, code, for_next_pc: int, iterable):
+    """Execute the whole scalar loop natively. Returns resume pc or None."""
+    from . import turbine
+    lib = turbine()
+    if lib is None:
+        return None
+    if not isinstance(iterable, MatArray) or iterable.on_device or \
+            iterable.is_complex or iterable.mclass != "double":
+        return None
+    h = iterable.host()
+    if h.ndim != 2 or h.shape[0] != 1 or h.shape[1] < 64:
+        return None
+
+    from ..vm import bytecode as B
+    instrs = code.instrs
+    fn_op, loopvar, done, _, _ = instrs[for_next_pc]
+    if fn_op != B.FOR_NEXT or done is None:
+        return None
+    if instrs[done - 1][0] != B.JMP or instrs[done - 2][0] != B.CHECK_INTERRUPT:
+        return None
+    lo, hi = for_next_pc + 1, done - 2
+
+    try:
+        prog, consts, slot_map, init = _translate(
+            interp, frame, code, instrs, lo, hi, loopvar, h, done)
+    except _Bail:
+        return None
+
+    ops = np.array([p[0] for p in prog], dtype=np.int32)
+    args = np.array([float(p[1]) for p in prog], dtype=np.float64)
+    cons = np.asarray(consts, dtype=np.float64)
+    slots = np.asarray(init, dtype=np.float64).copy()
+    if cons.size == 0:
+        cons = np.zeros(1)
+    status = lib.turbine_run(
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        args.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        np.int32(len(prog)),
+        cons.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        slots.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        np.int64(200_000_000))
+    if status != 0:
+        return None    # budget/VM error: fall back, original state untouched
+    for name, k in slot_map.items():
+        frame.vars[name] = MatArray.scalar(float(slots[k]))
+    return done + 1
+
+
+def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
+    """Bytecode window -> turbine program implementing the WHOLE loop."""
+    from ..vm import bytecode as B
+    from ..vm.interp import NOVALUE
+
+    slot_of: dict[str, int] = {}
+    init: list[float] = []
+    consts: list[float] = []
+
+    def slot(name: str) -> int:
+        if name in slot_of:
+            return slot_of[name]
+        v = interp._load_name(frame, name)
+        if v is NOVALUE:
+            val = 0.0    # write-before-read target
+        else:
+            if not (isinstance(v, MatArray) and v.size == 1
+                    and not v.on_device and not v.is_complex
+                    and v.mclass in ("double", "logical", "single")):
+                raise _Bail()
+            val = float(v.host().reshape(-1)[0])
+        slot_of[name] = len(init)
+        init.append(val)
+        return slot_of[name]
+
+    def const_idx(v: float) -> int:
+        consts.append(float(v))
+        return len(consts) - 1
+
+    # reads must see pre-loop values; pre-register the loop variable
+    lv_slot = slot(loopvar) if loopvar not in slot_of else slot_of[loopvar]
+
+    # iterable handling: uniform-step ranges run natively; other vectors bail
+    it = itvals.reshape(-1)
+    if it.size >= 2:
+        steps = np.diff(it)
+        if not np.allclose(steps, steps[0], rtol=1e-12, atol=1e-300):
+            raise _Bail()
+        step = float(steps[0])
+    else:
+        step = 1.0
+    start, count = float(it[0]), int(it.size)
+
+    prog: list = []
+    jump_map: dict[int, int] = {}     # bytecode pc -> turbine index
+    patches: list = []                # (turbine idx, bytecode target)
+
+    # prologue: lv = start; counter in a dedicated slot
+    cnt_slot = len(init)
+    init.append(0.0)
+    prog.append((T_CONST, const_idx(start)))
+    prog.append((T_STORE, lv_slot))
+    loop_top = len(prog)
+
+    body_base = len(prog)
+    pc = lo
+    while pc < hi:
+        jump_map[pc] = len(prog)
+        op, a, b, c, d = instrs[pc]
+        pc += 1
+        if op == B.CONST:
+            v = code.consts[a]
+            if not (isinstance(v, MatArray) and v.size == 1
+                    and not v.is_complex and v.mclass in ("double", "int32")):
+                raise _Bail()
+            prog.append((T_CONST, const_idx(float(v.host().reshape(-1)[0]))))
+        elif op == B.LOAD:
+            prog.append((T_LOAD, slot(a)))
+        elif op == B.STORE:
+            if b:
+                raise _Bail()        # display side effect
+            prog.append((T_STORE, slot(a)))
+        elif op == B.BINOP:
+            t = _BIN.get(a)
+            if t is None:
+                raise _Bail()
+            prog.append((t, 0))
+        elif op == B.UNOP:
+            t = _UN.get(a, -1)
+            if t == -1:
+                raise _Bail()
+            if t is not None:
+                prog.append((t, 0))
+        elif op in (B.MTIMES, B.MPOW):
+            prog.append((T_MUL if op == B.MTIMES else T_POW, 0))
+        elif op == B.MLDIV or op == B.MRDIV:
+            raise _Bail()
+        elif op == B.JMP:
+            idx = len(prog)
+            prog.append((T_JMP, 0))
+            patches.append((idx, a))
+        elif op == B.JMP_IF_FALSE:
+            idx = len(prog)
+            prog.append((T_JMP_IF_FALSE, 0))
+            patches.append((idx, a))
+        elif op == B.JMP_IF_TRUE:
+            idx = len(prog)
+            prog.append((T_JMP_IF_TRUE, 0))
+            patches.append((idx, a))
+        elif op == B.BOOL_SCALAR:
+            pass                     # scalars are already 0/1 doubles
+        elif op == B.DUP:
+            prog.append((T_DUP, 0))
+        elif op == B.POP:
+            prog.append((T_POP, 0))
+        elif op == B.CHECK_INTERRUPT:
+            pass
+        elif op == B.RESOLVE_CALL:
+            name, nargs, nargout, mode = a, b, c, d
+            if mode != 0 or nargout > 1:
+                raise _Bail()
+            if name in slot_of or interp._load_name(frame, name) is not NOVALUE:
+                if nargs == 0:
+                    prog.append((T_LOAD, slot(name)))
+                    continue
+                raise _Bail()        # indexing a scalar? bail
+            if nargs == 1 and name in _FN1:
+                prog.append((T_CALL1, _FN1[name]))
+            elif nargs == 2 and name in _FN2:
+                prog.append((T_CALL2, _FN2[name]))
+            elif nargs == 0 and name == "pi":
+                prog.append((T_CONST, const_idx(float(np.pi))))
+            else:
+                raise _Bail()
+        else:
+            raise _Bail()
+    jump_map[hi] = len(prog)
+
+    break_patches = []
+    for idx, target in patches:
+        if target in jump_map:
+            t = jump_map[target]
+        elif target == done:
+            break_patches.append(idx)   # 'break': resolved to HALT below
+            continue
+        else:
+            raise _Bail()               # jump out of the window
+        prog[idx] = (prog[idx][0], t)
+
+    # epilogue: counter++, lv += step, loop while counter < count
+    prog.append((T_LOAD, cnt_slot))
+    prog.append((T_CONST, const_idx(1.0)))
+    prog.append((T_ADD, 0))
+    prog.append((T_DUP, 0))
+    prog.append((T_STORE, cnt_slot))
+    prog.append((T_CONST, const_idx(float(count))))
+    prog.append((T_GE, 0))
+    idx = len(prog)
+    prog.append((T_JMP_IF_TRUE, 0))   # done
+    # lv = start + counter*step (no drift accumulation)
+    prog.append((T_LOAD, cnt_slot))
+    prog.append((T_CONST, const_idx(step)))
+    prog.append((T_MUL, 0))
+    prog.append((T_CONST, const_idx(start)))
+    prog.append((T_ADD, 0))
+    prog.append((T_STORE, lv_slot))
+    prog.append((T_JMP, body_base))
+    done_idx = len(prog)
+    prog[idx] = (T_JMP_IF_TRUE, done_idx)
+    prog.append((T_HALT, 0))
+    for bidx in break_patches:
+        prog[bidx] = (prog[bidx][0], done_idx)
+    return prog, consts, dict(slot_of), init

@@ -381,6 +381,10 @@ class Interp:
                             itv.size >= 8:
                         from ..accel.loops import try_device_loop
                         npc = try_device_loop(self, frame, code, pc, itv)
+                        if npc is None:
+                            # tier-2: native scalar-loop executor (≙ Turbine)
+                            from ..native.turbine_loop import try_native_loop
+                            npc = try_native_loop(self, frame, code, pc, itv)
                     if npc is not None:
                         pc = npc
                     else:
