@@ -274,6 +274,9 @@ def m_find(x, n=None, direction=None, nargout=1):
 
 @builtin("diff", category="array", min_in=1, max_in=3)
 def m_diff(x, n=None, dim=None):
+    if type(x).__name__ == "SymValue":
+        from .symbolic import _diff
+        return _diff(x, n, dim)
     h = x.host()
     order = scalar_int(n) if n is not None else 1
     ax = scalar_int(dim) - 1 if dim is not None else (0 if h.shape[0] != 1 else 1)

@@ -256,3 +256,171 @@ def m_jsondecode(s):
         raise bad_arg("jsondecode", "Unsupported JSON value.")
 
     return dec(json.loads(text_of(s)))
+
+
+# --------------------------------------------------------------------------- #
+# HDF5 (≙ reference builtins/io/hdf5.rs)
+# --------------------------------------------------------------------------- #
+
+
+@builtin("h5create", category="io", min_in=3, max_in=3)
+def m_h5create(path, dset, size):
+    import h5py
+    dims = tuple(int(v) for v in size.host().reshape(-1))
+    with h5py.File(text_of(path), "a") as f:
+        f.create_dataset(text_of(dset).lstrip("/"), shape=dims,
+                         dtype=np.float64)
+    return None
+
+
+@builtin("h5write", category="io", min_in=3, max_in=3)
+def m_h5write(path, dset, data):
+    import h5py
+    with h5py.File(text_of(path), "a") as f:
+        key = text_of(dset).lstrip("/")
+        h = data.host()
+        if key in f:
+            f[key][...] = h
+        else:
+            f.create_dataset(key, data=h)
+    return None
+
+
+@builtin("h5read", category="io", min_in=2, max_in=2)
+def m_h5read(path, dset):
+    import h5py
+    with h5py.File(text_of(path), "r") as f:
+        arr = np.asarray(f[text_of(dset).lstrip("/")])
+    if arr.ndim < 2:
+        arr = arr.reshape(normalize_shape(arr.shape))
+    return MatArray.from_np(arr)
+
+
+@builtin("h5info", category="io", min_in=1, max_in=1)
+def m_h5info(path):
+    import h5py
+    names = []
+    with h5py.File(text_of(path), "r") as f:
+        f.visit(names.append)
+    data = np.empty((len(names), 1), dtype=object)
+    for i, n in enumerate(names):
+        data[i, 0] = MatArray.char_from_str(n)
+    from ...values import CellArray, StructArray
+    return StructArray.scalar({
+        "Filename": MatArray.char_from_str(text_of(path)),
+        "Datasets": CellArray(data),
+    })
+
+
+@builtin("textscan", category="io", min_in=2, max_in=2, pass_ctx=True)
+def m_textscan(fid_or_text, fmt, ctx=None):
+    """textscan(text, '%f %s ...') over whitespace-delimited columns."""
+    from ...values import CellArray
+    if isinstance(fid_or_text, MatArray) and fid_or_text.mclass == "char":
+        text = fid_or_text.to_str()
+    else:
+        raise bad_arg("textscan", "Pass text (read files with fileread).")
+    specs = [s for s in text_of(fmt).split() if s.startswith("%")]
+    rows = [ln.split() for ln in text.strip().splitlines() if ln.strip()]
+    ncol = len(specs)
+    cols = np.empty((1, ncol), dtype=object)
+    for c, spec in enumerate(specs):
+        vals = [r[c] if c < len(r) else "" for r in rows]
+        if spec in ("%f", "%d", "%g", "%e"):
+            arr = np.array([float(v) if v else np.nan for v in vals]).reshape(-1, 1)
+            cols[0, c] = MatArray(arr, "double")
+        else:
+            data = np.empty((len(vals), 1), dtype=object)
+            for i, v in enumerate(vals):
+                data[i, 0] = MatArray.char_from_str(v)
+            from ...values import CellArray as _CA
+            cols[0, c] = _CA(data)
+    return CellArray(cols)
+
+
+@builtin("importdata", category="io", min_in=1, max_in=1)
+def m_importdata(path):
+    p = text_of(path)
+    if p.endswith(".mat"):
+        from ...matio import load_mat
+        from ...values import StructArray
+        data = load_mat(p)
+        return StructArray.scalar(data)
+    # numeric text / csv
+    try:
+        arr = np.loadtxt(p, delimiter="," if p.endswith(".csv") else None,
+                         ndmin=2)
+        return MatArray(arr, "double")
+    except ValueError:
+        with open(p) as f:
+            return MatArray.char_from_str(f.read())
+
+
+@builtin("zip", category="io", min_in=2, max_in=2)
+def m_zip(zipname, files):
+    import zipfile
+    from ...values import CellArray
+    names = []
+    if isinstance(files, CellArray):
+        for k in range(files.size):
+            names.append(text_of(files.data.reshape(-1, order="F")[k]))
+    else:
+        names.append(text_of(files))
+    with zipfile.ZipFile(text_of(zipname), "w") as z:
+        for n in names:
+            z.write(n, os.path.basename(n))
+    return None
+
+
+@builtin("unzip", category="io", min_in=1, max_in=2)
+def m_unzip(zipname, outdir=None):
+    import zipfile
+    from ...values import CellArray
+    out = text_of(outdir) if outdir is not None else "."
+    with zipfile.ZipFile(text_of(zipname)) as z:
+        z.extractall(out)
+        names = z.namelist()
+    data = np.empty((1, len(names)), dtype=object)
+    for i, n in enumerate(names):
+        data[0, i] = MatArray.char_from_str(os.path.join(out, n))
+    return CellArray(data)
+
+
+@builtin("tar", category="io", min_in=2, max_in=2)
+def m_tar(tarname, files):
+    import tarfile
+    from ...values import CellArray
+    names = []
+    if isinstance(files, CellArray):
+        for k in range(files.size):
+            names.append(text_of(files.data.reshape(-1, order="F")[k]))
+    else:
+        names.append(text_of(files))
+    mode = "w:gz" if text_of(tarname).endswith(".gz") else "w"
+    with tarfile.open(text_of(tarname), mode) as t:
+        for n in names:
+            t.add(n, arcname=os.path.basename(n))
+    return None
+
+
+@builtin("untar", category="io", min_in=1, max_in=2)
+def m_untar(tarname, outdir=None):
+    import tarfile
+    out = text_of(outdir) if outdir is not None else "."
+    with tarfile.open(text_of(tarname)) as t:
+        t.extractall(out)
+    return None
+
+
+@builtin("webread", category="io", min_in=1, max_in=1)
+def m_webread(url):
+    u = text_of(url)
+    if u.startswith("file://"):
+        with open(u[7:]) as f:
+            txt = f.read()
+        if u.endswith(".json"):
+            return m_jsondecode(MatArray.char_from_str(txt))
+        return MatArray.char_from_str(txt)
+    raise MatError("MATLAB:webservices:noNetwork",
+                   "Network access is not available in this environment "
+                   "(zero-egress build); file:// URLs are supported.")

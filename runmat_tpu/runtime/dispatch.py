@@ -123,6 +123,11 @@ def binary(op: str, a, b):
         r = dt_binary(op, a, b)
         if r is not None:
             return r
+    if type(a).__name__ == "SymValue" or type(b).__name__ == "SymValue":
+        from .builtins.symbolic import sym_binary
+        r = sym_binary(op, a, b)
+        if r is not None:
+            return r
     # string concatenation via plus (MATLAB string class semantics)
     if op == "add" and (isinstance(a, StringArray) or isinstance(b, StringArray)):
         return _string_plus(a, b)
@@ -259,6 +264,11 @@ _INT_PRESERVING_UNARY = {"neg", "uplus", "abs", "sign", "floor", "ceil", "fix",
 
 
 def unary(op: str, a):
+    if type(a).__name__ == "SymValue":
+        from .builtins.symbolic import sym_unary
+        r = sym_unary(op, a)
+        if r is not None:
+            return r
     from ..sparse import SparseMatrix
     if isinstance(a, SparseMatrix):
         fn = table.UNARY.get(op)
@@ -339,6 +349,8 @@ def _unary_out_class(op: str, a: MatArray) -> str:
 # --------------------------------------------------------------------------- #
 
 def mtimes(a, b):
+    if type(a).__name__ == "SymValue" or type(b).__name__ == "SymValue":
+        return binary("mul", a, b)
     if type(a).__name__ in ("MatDatetime", "MatDuration") or \
             type(b).__name__ in ("MatDatetime", "MatDuration"):
         return binary("mul", a, b)
@@ -416,7 +428,13 @@ def mldivide(a, b):
     return _wrap(dtypes.cast_to_class(r, out_class), out_class)
 
 
-def mrdivide(a, b) -> MatArray:
+def mrdivide(a, b):
+    if type(a).__name__ == "SymValue" or type(b).__name__ == "SymValue":
+        return binary("div", a, b)
+    return _mrdivide_impl(a, b)
+
+
+def _mrdivide_impl(a, b) -> MatArray:
     a, b = as_matarray(a), as_matarray(b)
     if b.is_scalar:
         return binary("div", a, b)
@@ -425,7 +443,13 @@ def mrdivide(a, b) -> MatArray:
     return ctranspose(res)
 
 
-def mpower(a, b) -> MatArray:
+def mpower(a, b):
+    if type(a).__name__ == "SymValue" or type(b).__name__ == "SymValue":
+        return binary("pow", a, b)
+    return _mpower_impl(a, b)
+
+
+def _mpower_impl(a, b) -> MatArray:
     a, b = as_matarray(a), as_matarray(b)
     if a.is_scalar and b.is_scalar:
         return binary("pow", a, b)

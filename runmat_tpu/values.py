@@ -428,9 +428,10 @@ def class_name(v) -> str:
         return v.mclass
     if type(v).__name__ == "SparseMatrix":
         return v.mclass          # MATLAB: class(sparse(...)) == 'double'
-    if type(v).__name__ in ("MatTable", "MatDatetime", "MatDuration"):
+    if type(v).__name__ in ("MatTable", "MatDatetime", "MatDuration",
+                            "SymValue"):
         return {"MatTable": "table", "MatDatetime": "datetime",
-                "MatDuration": "duration"}[type(v).__name__]
+                "MatDuration": "duration", "SymValue": "sym"}[type(v).__name__]
     cls = getattr(v, "cls", None)
     if cls is not None and hasattr(cls, "name"):  # MatObject / HandleObject
         return cls.name
@@ -441,7 +442,7 @@ def shape_of(v) -> tuple[int, ...]:
     if isinstance(v, (MatArray, StringArray, CellArray, StructArray)):
         return tuple(v.shape)
     if type(v).__name__ in ("SparseMatrix", "MatTable", "MatDatetime",
-                            "MatDuration"):
+                            "MatDuration", "SymValue"):
         return tuple(v.shape)
     return (1, 1)
 
@@ -450,6 +451,6 @@ def numel(v) -> int:
     if isinstance(v, (MatArray, StringArray, CellArray, StructArray)):
         return v.size
     if type(v).__name__ in ("SparseMatrix", "MatTable", "MatDatetime",
-                            "MatDuration"):
+                            "MatDuration", "SymValue"):
         return v.size
     return 1
