@@ -84,6 +84,8 @@ def _data_of(base):
         return base.host()
     if isinstance(base, (CellArray, StringArray)):
         return base.data
+    if type(base).__name__ == "SymValue":
+        return base.exprs
     raise MatError("MATLAB:badsubscript", f"Cannot index value of class {type(base).__name__}.")
 
 
@@ -94,6 +96,8 @@ def _rewrap(base, data: np.ndarray):
         return CellArray(data)
     if isinstance(base, StringArray):
         return StringArray(data)
+    if type(base).__name__ == "SymValue":
+        return type(base)(data, data.shape)
     raise AssertionError
 
 
