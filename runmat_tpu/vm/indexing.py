@@ -106,6 +106,14 @@ def _rewrap(base, data: np.ndarray):
 # --------------------------------------------------------------------------- #
 
 def read_paren(base, args: list):
+    if type(base).__name__ == "MapValue":
+        from ..values import text_of
+        from ..errors import MatError as _ME
+        key = text_of(args[0])
+        if key not in base.store:
+            raise _ME("MATLAB:Containers:Map:NoKey",
+                      f"The given key is not present: '{key}'.")
+        return base.store[key]
     if type(base).__name__ == "MatTable":
         if len(args) != 2:
             raise MatError("MATLAB:table:badSubscript",
@@ -282,6 +290,10 @@ def _is_empty_literal(rhs) -> bool:
 
 
 def write_paren(base, args: list, rhs, in_place: bool = False):
+    if type(base).__name__ == "MapValue":
+        from ..values import text_of
+        base.store[text_of(args[0])] = rhs
+        return base
     if type(base).__name__ == "SparseMatrix":
         from ..sparse import SparseMatrix
         dense = base.to_matarray()
