@@ -117,3 +117,46 @@ def test_freqz_dc_gain():
 
 def test_detrend_removes_trend():
     assert scalar("x = abs(mean(detrend(1:100)));") < 1e-10
+
+
+def test_magic_squares():
+    for n in (3, 4, 5, 6, 8):
+        s = run(f"M = magic({n}); r = sum(M); c = sum(M, 2); "
+                f"t = M(1,1) + M(end,end);")
+        M = s.get("M").host()
+        target = n * (n * n + 1) / 2
+        assert np.all(M.sum(0) == target) and np.all(M.sum(1) == target)
+        assert sorted(M.reshape(-1).tolist()) == list(range(1, n * n + 1))
+
+
+def test_special_matrices():
+    assert scalar("T = toeplitz([1 2 3]); x = T(3,1)*10 + T(1,3);") == 33.0
+    assert scalar("x = trace(pascal(4));") == 29.0
+    assert scalar("B = blkdiag([1 2; 3 4], 5); x = B(3,3) + B(2,1);") == 8.0
+
+
+def test_matrix_predicates():
+    assert scalar("x = double(issymmetric([1 2; 2 1]));") == 1.0
+    assert scalar("[lo, hi] = bandwidth([1 1 0; 1 1 1; 0 1 1]); x = lo*10+hi;") == 11.0
+
+
+def test_distributions_moments():
+    assert scalar("rng(1); x = double(abs(mean(normrnd(5, 2, 1, 20000)) - 5) < 0.1);") == 1.0
+    assert scalar("rng(2); x = double(abs(mean(exprnd(3, 1, 20000)) - 3) < 0.15);") == 1.0
+
+
+def test_geometry():
+    assert scalar("x = polyarea([0 1 1 0], [0 0 1 1]);") == 1.0
+    assert scalar("x = double(inpolygon(0.5, 0.5, [0 1 1 0], [0 0 1 1]));") == 1.0
+    h = val("x = convhull([0 1 1 0 0.5], [0 0 1 1 0.5]);")
+    assert h.size == 5 and h[0] == h[-1]
+
+
+def test_morphology_and_labels():
+    assert scalar("e = imdilate([0 0 0; 0 1 0; 0 0 0], ones(3)); x = sum(e(:));") == 9.0
+    assert scalar("[L, n] = bwlabel([1 1 0; 0 0 0; 0 1 1]); x = n;") == 2.0
+
+
+def test_coordinate_transforms_roundtrip():
+    assert scalar("[th, r] = cart2pol(3, 4); [x2, y2] = pol2cart(th, r); "
+                  "x = double(abs(x2 - 3) + abs(y2 - 4) < 1e-12);") == 1.0
