@@ -229,3 +229,77 @@ def m_dlupdate(f, p, *rest, ctx=None):
     args = [p] + list(rest)
     r = ctx.interp.call_value(f, args, 1, ctx.frame)
     return r[0]
+
+
+# --------------------------------------------------------------------------- #
+# model container + ONNX import/export (≙ deep_learning/{model,onnx}.rs)
+# --------------------------------------------------------------------------- #
+
+
+def _layers_from_struct(model):
+    from ...values import CellArray, StructArray, text_of
+    if not isinstance(model, StructArray) or "Layers" not in model.fields:
+        from ...errors import bad_arg
+        raise bad_arg("onnx", "Model must be a struct with a Layers cell.")
+    cell = model.fields["Layers"].reshape(-1)[0]
+    layers = []
+    for item in cell.data.reshape(-1, order="F"):
+        t = text_of(item.fields["type"].reshape(-1)[0])
+        ly = {"type": t}
+        if t == "fc":
+            ly["W"] = item.fields["W"].reshape(-1)[0].host().astype(np.float64)
+            ly["b"] = item.fields["b"].reshape(-1)[0].host().astype(np.float64)
+        layers.append(ly)
+    return layers
+
+
+def _layers_to_struct(layers):
+    from ...values import CellArray, StructArray
+    data = np.empty((1, len(layers)), dtype=object)
+    for i, ly in enumerate(layers):
+        fields = {"type": MatArray.char_from_str(ly["type"])}
+        if ly["type"] == "fc":
+            fields["W"] = MatArray(np.asarray(ly["W"], np.float64), "double")
+            fields["b"] = MatArray(np.asarray(ly["b"], np.float64)
+                                   .reshape(-1, 1), "double")
+        data[0, i] = StructArray.scalar(fields)
+    return StructArray.scalar({"Layers": CellArray(data)})
+
+
+@builtin("exportONNXNetwork", category="deep_learning", min_in=2, max_in=2)
+def m_export_onnx(model, path):
+    from ...dl.onnx import export_onnx
+    from ...values import text_of
+    layers = _layers_from_struct(model)
+    fc = next((l for l in layers if l["type"] == "fc"), None)
+    in_dim = fc["W"].shape[1] if fc is not None else 1
+    export_onnx(layers, text_of(path), in_dim)
+    return None
+
+
+@builtin("importONNXNetwork", category="deep_learning", min_in=1, max_in=1)
+def m_import_onnx(path):
+    from ...dl.onnx import import_onnx
+    from ...values import text_of
+    return _layers_to_struct(import_onnx(text_of(path)))
+
+
+@builtin("predict", category="deep_learning", min_in=2, max_in=2)
+def m_predict(model, x):
+    """Forward pass of a Layers-struct model: X is (features x batch)."""
+    from ..dispatch import mtimes
+    cur = x
+    for ly in _layers_from_struct(model):
+        if ly["type"] == "fc":
+            W = MatArray(np.asarray(ly["W"], np.float64), "double")
+            b = MatArray(np.asarray(ly["b"], np.float64).reshape(-1, 1), "double")
+            cur = binary("add", mtimes(W, cur), b)
+        elif ly["type"] == "relu":
+            cur = binary("max2", cur, MatArray.scalar(0.0))
+        elif ly["type"] == "sigmoid":
+            cur = m_sigmoid(cur)
+        elif ly["type"] == "softmax":
+            cur = m_softmax(cur)
+        elif ly["type"] == "tanh":
+            cur = unary("tanh", cur)
+    return cur

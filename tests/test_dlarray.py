@@ -156,3 +156,26 @@ def test_losses():
     s = dl_run("a = l1loss([1 2], [2 4]); b = huber([0 3], [0 0], 1);")
     assert abs(float(s.get("a").host()[0, 0]) - 1.5) < 1e-12
     assert abs(float(s.get("b").host()[0, 0]) - 1.25) < 1e-12
+
+
+def test_onnx_export_import_roundtrip(tmp_path):
+    p = str(tmp_path / "m.onnx")
+    s = dl_run(f"""
+rng(0);
+l1 = struct('type', 'fc', 'W', randn(4, 3), 'b', randn(4, 1));
+l2 = struct('type', 'relu');
+l3 = struct('type', 'fc', 'W', randn(2, 4), 'b', randn(2, 1));
+l4 = struct('type', 'softmax');
+model = struct('Layers', {{{{l1, l2, l3, l4}}}});
+X = randn(3, 5);
+y1 = predict(model, X);
+exportONNXNetwork(model, '{p}');
+model2 = importONNXNetwork('{p}');
+y2 = predict(model2, X);
+err = max(abs(y1(:) - y2(:)));
+""".replace("{{{{", "{{").replace("}}}}", "}}"))
+    assert float(s.get("err").host()[0, 0]) < 1e-5
+    # the file leads with valid protobuf: ir_version field tag
+    with open(p, "rb") as f:
+        head = f.read(2)
+    assert head[0] == 0x08      # field 1 varint (ir_version)
