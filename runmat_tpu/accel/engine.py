@@ -419,10 +419,18 @@ class JaxEngine:
     # ------------------------------------------------------------ materialization
 
     def materialize(self, node: LazyNode):
+        """Execute the DAG reachable from node in ONE jit dispatch; any
+        workspace-pinned intermediate nodes in the same DAG are emitted as
+        extra outputs of the same kernel (≙ fused_elementwise_multi,
+        runmat-accelerate-api/src/lib.rs:2946-3009) so they never need a
+        second launch + sync."""
         if node.value is not None:
             return node.value
         order = topo_order(node)
-        key = structure_key(node)
+        extra = [n for n in order
+                 if n.pinned and n.value is None and n is not node]
+        key = (structure_key(node),
+               tuple(i for i, n in enumerate(order) if n in (node, *extra)))
         leaves = []
         scalars = []
         for n in order:
@@ -431,6 +439,8 @@ class JaxEngine:
             elif n.value is not None:
                 leaves.append(n.value)
         cached = self._jit_cache.get(key)
+        index = {id(n): i for i, n in enumerate(order)}
+        out_idx = [index[id(node)]] + [index[id(n)] for n in extra]
         if cached is None:
             program = self._build_program(order)
             jnp = self.jnp
@@ -449,19 +459,20 @@ class JaxEngine:
                     else:
                         env[i] = self._exec(op, static, dt, [env[j] for j in in_idx],
                                             in_shapes, out_shape)
-                return env[-1]
+                return tuple(env[j] for j in out_idx)
 
             cached = self.jax.jit(fn)
             self._jit_cache[key] = cached
             self.stats["compiles"] += 1
         else:
             self.stats["cache_hits"] += 1
-        result = cached(leaves, scalars)
+        results = cached(leaves, scalars)
         self.stats["dispatches"] += 1
-        node.value = result
-        node.inputs = []
-        node.n_ops = 0
-        return result
+        for n, val in zip([node] + extra, results):
+            n.value = val
+            n.inputs = []
+            n.n_ops = 0
+        return results[0]
 
     def _build_program(self, order: list[LazyNode]):
         index = {id(n): i for i, n in enumerate(order)}

@@ -30,7 +30,7 @@ class LazyNode:
     'scalar' (traced host scalar parameter), or an op name."""
 
     __slots__ = ("op", "inputs", "static", "shape", "dtype", "value", "n_ops",
-                 "engine")
+                 "engine", "pinned")
 
     def __init__(self, engine, op: str, inputs: list, static: tuple,
                  shape: tuple, dtype, value: Any = None):
@@ -41,6 +41,7 @@ class LazyNode:
         self.shape = tuple(int(s) for s in shape)
         self.dtype = np.dtype(dtype)
         self.value = value          # concrete jax.Array for leaves / after force
+        self.pinned = False         # workspace-bound: materialize alongside any root
         self.n_ops = (0 if op in ("leaf", "scalar")
                       else 1 + sum(i.n_ops for i in inputs))
 

@@ -184,3 +184,32 @@ def m_accel_info(*args, ctx=None):
     for k, v in tele.items():
         ctx.session.write(f"  {k}: {v}\n")
     return None
+
+
+@builtin("gputimeit", category="acceleration", min_in=1, max_in=1, pass_ctx=True)
+def m_gputimeit(f, ctx=None):
+    """Median wall time of f() with device work forced to completion."""
+    import time
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        r = ctx.interp.call_value(f, [], 1, ctx.frame)
+        if r and isinstance(r[0], MatArray) and r[0].on_device:
+            from ...accel import active_engine
+            eng = active_engine()
+            if eng is not None:
+                eng.block_until_ready(r[0])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return MatArray.scalar(times[len(times) // 2])
+
+
+@builtin("reset", category="acceleration", min_in=1, max_in=1)
+def m_reset(dev):
+    """reset(gpuDevice): drop cached executables (device arrays are
+    immutable jax values; there is no mutable device state to clear)."""
+    from ...accel import active_engine
+    eng = active_engine()
+    if eng is not None:
+        eng._jit_cache.clear()
+    return None

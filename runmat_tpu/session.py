@@ -146,6 +146,21 @@ class Session:
     def workspace_names(self) -> list:
         return sorted(k for k in self.base_frame.vars if not k.startswith("@"))
 
+    def export_workspace(self, path: str) -> None:
+        """Persist the base workspace to a MAT-file (≙ the reference's
+        runtime_export_workspace_state replay, runmat-runtime/src/replay/
+        workspace.rs)."""
+        from .matio import save_mat
+        vars_ = {k: v for k, v in self.base_frame.vars.items()
+                 if not k.startswith("@")}
+        save_mat(path, vars_)
+
+    def import_workspace(self, path: str, replace: bool = False) -> None:
+        from .matio import load_mat
+        if replace:
+            self.base_frame.vars.clear()
+        self.base_frame.vars.update(load_mat(path))
+
     def clear(self, *names: str) -> None:
         if not names:
             self.base_frame.vars.clear()

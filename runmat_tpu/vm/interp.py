@@ -259,6 +259,11 @@ class Interp:
                 elif op == B.STORE:
                     v = stack.pop()
                     v = _unwrap1(v, a)
+                    if isinstance(v, MatArray) and v._dev is not None and \
+                            getattr(v._dev, "value", 1) is None:
+                        # workspace-bound lazy value: fused kernels emit it as
+                        # an extra output (≙ fused_elementwise_multi)
+                        v._dev.pinned = True
                     self._store_name(frame, a, v)
                     if b:
                         self._display(a, v)
