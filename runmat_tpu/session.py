@@ -64,6 +64,8 @@ class Session:
         self.rng = PhiloxState(seed=0)
         self._tic_stack: list[float] = []
         self._tic_default: Optional[float] = None
+        self._compile_cache: dict = {}   # source -> CompiledProgram (≙ the
+        # reference's dynamic function cache / bytecode cache, session/mod.rs)
         from .config import load as _load_config
         self.config = _load_config()
         if accelerate is None and self.config.get("accelerate", "provider") == "none":
@@ -111,9 +113,14 @@ class Session:
     def run_source(self, source: str, name: str = "<input>") -> None:
         """Execute without capturing (raises MatError)."""
         from . import telemetry
-        with telemetry.span("runtime.lower", unit=name):
-            prog = parse(source, name)
-            compiled = Compiler.compile_program(prog, name)
+        compiled = self._compile_cache.get(source)
+        if compiled is None:
+            with telemetry.span("runtime.lower", unit=name):
+                prog = parse(source, name)
+                compiled = Compiler.compile_program(prog, name)
+            if len(self._compile_cache) > 256:
+                self._compile_cache.clear()
+            self._compile_cache[source] = compiled
         for fname, fcode in compiled.functions.items():
             self.functions[fname] = fcode
         for cname, cd in compiled.classes.items():
