@@ -424,3 +424,54 @@ def m_webread(url):
     raise MatError("MATLAB:webservices:noNetwork",
                    "Network access is not available in this environment "
                    "(zero-egress build); file:// URLs are supported.")
+
+
+# --------------------------------------------------------------------------- #
+# search path (≙ addpath semantics, CHANGELOG v0.6.1)
+# --------------------------------------------------------------------------- #
+
+
+@builtin("addpath", category="io", min_in=1, max_in=None, pass_ctx=True)
+def m_addpath(*dirs, ctx=None):
+    for d in dirs:
+        p = os.path.abspath(text_of(d))
+        sp = ctx.session.search_path
+        if p in sp:
+            sp.remove(p)
+        sp.insert(0, p)
+    return None
+
+
+@builtin("rmpath", category="io", min_in=1, max_in=None, pass_ctx=True)
+def m_rmpath(*dirs, ctx=None):
+    for d in dirs:
+        p = os.path.abspath(text_of(d))
+        if p in ctx.session.search_path:
+            ctx.session.search_path.remove(p)
+    return None
+
+
+@builtin("path", category="io", max_in=0, pass_ctx=True)
+def m_path(ctx=None):
+    return MatArray.char_from_str(os.pathsep.join(ctx.session.search_path))
+
+
+@builtin("genpath", category="io", min_in=1, max_in=1)
+def m_genpath(root):
+    r = text_of(root)
+    out = []
+    for d, subdirs, _files in os.walk(r):
+        subdirs[:] = [s for s in subdirs if not s.startswith(".")]
+        out.append(d)
+    return MatArray.char_from_str(os.pathsep.join(out))
+
+
+@builtin("run", category="io", min_in=1, max_in=1, pass_ctx=True)
+def m_run(script, ctx=None):
+    p = text_of(script)
+    if not os.path.exists(p) and os.path.exists(p + ".m"):
+        p += ".m"
+    with open(p) as f:
+        src = f.read()
+    ctx.interp.eval_source(src, ctx.frame)
+    return None

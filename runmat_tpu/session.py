@@ -66,6 +66,8 @@ class Session:
         self._tic_default: Optional[float] = None
         self._compile_cache: dict = {}   # source -> CompiledProgram (≙ the
         # reference's dynamic function cache / bytecode cache, session/mod.rs)
+        import os as _os
+        self.search_path: list = [_os.getcwd()]   # ≙ addpath semantics
         from .config import load as _load_config
         self.config = _load_config()
         if accelerate is None and self.config.get("accelerate", "provider") == "none":
@@ -138,9 +140,39 @@ class Session:
             self.program = old_prog if old_prog is not None else compiled
 
     def run_file(self, path: str) -> None:
+        import os as _os
         with open(path, "r") as f:
             src = f.read()
+        d = _os.path.dirname(_os.path.abspath(path))
+        if d not in self.search_path:
+            self.search_path.insert(0, d)
         self.run_source(src, path)
+
+    def resolve_path_function(self, name: str):
+        """Companion-source discovery: load <name>.m from the search path
+        (≙ runmat-core/src/session/compile.rs:512 multi-file projects).
+        Returns the compiled function Code, or a registered class, or None."""
+        import os as _os
+        for d in self.search_path:
+            p = _os.path.join(d, name + ".m")
+            if _os.path.exists(p):
+                try:
+                    with open(p) as f:
+                        src = f.read()
+                    prog = parse(src, p)
+                    compiled = Compiler.compile_program(prog, p)
+                except MatError:
+                    return None
+                for fname, fcode in compiled.functions.items():
+                    self.functions[fname] = fcode
+                for cname, cd in compiled.classes.items():
+                    from .oop import build_class
+                    self.classes[cname] = build_class(cd)
+                if name in self.functions:
+                    return ("user", self.functions[name])
+                if name in self.classes:
+                    return ("class", self.classes[name])
+        return None
 
     # -- workspace -------------------------------------------------------------
 

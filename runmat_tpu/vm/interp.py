@@ -119,6 +119,10 @@ class Interp:
             return [oop.construct(self, frame, cls, args)]
         r = self.resolve_function(name)
         if r is None:
+            r = self.session.resolve_path_function(name)
+            if r is not None and r[0] == "class":
+                return [oop.construct(self, frame, r[1], args)]
+        if r is None:
             raise undefined(name)
         kind, f = r
         if kind == "user":

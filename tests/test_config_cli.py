@@ -95,3 +95,27 @@ def test_cli_eval_and_script():
         p = os.path.join(d, "s.m")
         open(p, "w").write("fprintf('%d\\n', sum(1:10));\n")
         assert "55" in run_cli(p).stdout
+
+
+def test_search_path_function_and_class(tmp_path):
+    (tmp_path / "dbl.m").write_text("function y = dbl(x)\ny = 2 * x;\nend\n")
+    (tmp_path / "Q.m").write_text(
+        "classdef Q\nproperties\nw = 0\nend\nmethods\nfunction o = Q(a)\n"
+        "o.w = a;\nend\nend\nend\n")
+    from runmat_tpu.session import Session
+    s = Session(accelerate=False)
+    s.run_source(f"addpath('{tmp_path}'); a = dbl(21); q = Q(3); b = q.w;", "t")
+    assert float(s.get("a").host()[0, 0]) == 42.0
+    assert float(s.get("b").host()[0, 0]) == 3.0
+
+
+def test_workspace_replay(tmp_path):
+    from runmat_tpu.session import Session
+    p = str(tmp_path / "ws.mat")
+    s = Session(accelerate=False)
+    s.run_source("a = magic(3); b = 'txt';", "t")
+    s.export_workspace(p)
+    s2 = Session(accelerate=False)
+    s2.import_workspace(p)
+    assert float(s2.get("a").host()[1, 1]) == 5.0
+    assert s2.get("b").to_str() == "txt"
