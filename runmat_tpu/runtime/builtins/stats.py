@@ -81,8 +81,9 @@ def _movwin(x, k, fn, name):
     v = np.moveaxis(h, ax, -1)
     n = v.shape[-1]
     out = np.empty_like(v)
-    half_lo = (w - 1) // 2
-    half_hi = w // 2
+    # even windows center on (current, previous): k/2 back, k/2-1 forward
+    half_lo = w // 2
+    half_hi = (w - 1) // 2
     for i in range(n):
         lo = max(0, i - half_lo)
         hi = min(n, i + half_hi + 1)

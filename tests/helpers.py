@@ -28,6 +28,12 @@ def scalar(src: str, name: str = "x", accelerate=False) -> float:
     return float(h.reshape(-1)[0].real)
 
 
+def run_get(src: str, *names: str, accelerate=False) -> dict:
+    """Run src, return {name: value} for the requested workspace variables."""
+    s = run(src, accelerate)
+    return {n: s.get(n) for n in names}
+
+
 def out(src: str, accelerate=False) -> str:
     s = Session(accelerate=accelerate)
     r = s.execute(src)
