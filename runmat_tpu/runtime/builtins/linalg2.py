@@ -1,0 +1,317 @@
+"""Linear-algebra batch 2: vecnorm, mpower function form, paged ops, rref,
+eigs, lscov, symrcm, and the `decomposition` object.
+
+Reference parity: runmat-runtime/src/builtins/math/linalg/{vecnorm,mpower,
+pagemtimes,pagetranspose,rref,eigs,lscov,symrcm,decomposition}.rs. The
+decomposition object reuses the generic operator protocol in
+runtime/dispatch.py (`_mat_binop_`), standing in for the reference's dotted
+method builtins (decomposition.mldivide etc.).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...errors import MatError, bad_arg
+from ...values import MatArray, StringArray, fortran_ravel, is_text, text_of
+from ..registry import builtin
+from .common import scalar_int, scalar_num
+
+
+def _f(v) -> np.ndarray:
+    return v.host().astype(np.float64)
+
+
+@builtin("vecnorm", category="math/linalg", min_in=1, max_in=3)
+def m_vecnorm(x, p=None, dim=None):
+    h = x.host()
+    h = h.astype(np.complex128) if h.dtype.kind == "c" else h.astype(np.float64)
+    pp = scalar_num(p, "p") if p is not None and not is_text(p) else \
+        (np.inf if p is not None and text_of(p).lower() == "inf" else 2.0)
+    ax = (scalar_int(dim, "dim") - 1) if dim is not None else (0 if h.shape[0] != 1 else 1)
+    a = np.abs(h)
+    if np.isinf(pp):
+        r = a.max(axis=ax, keepdims=True)
+    elif pp == 1:
+        r = a.sum(axis=ax, keepdims=True)
+    elif pp == 2:
+        r = np.sqrt((a * a).sum(axis=ax, keepdims=True))
+    else:
+        r = (a ** pp).sum(axis=ax, keepdims=True) ** (1.0 / pp)
+    return MatArray(np.real(r), "single" if x.mclass == "single" else "double")
+
+
+@builtin("mpower", category="math/linalg", min_in=2, max_in=2)
+def m_mpower(a, b):
+    from ..dispatch import mpower
+    return mpower(a, b)
+
+
+def _page_view(h: np.ndarray) -> np.ndarray:
+    """(m, n, ...pages) -> (pages, m, n) stacked view."""
+    if h.ndim == 2:
+        return h[None, :, :]
+    m, n = h.shape[0], h.shape[1]
+    return np.moveaxis(h.reshape(m, n, -1, order="F"), -1, 0)
+
+
+@builtin("pagemtimes", category="math/linalg", min_in=2, max_in=4)
+def m_pagemtimes(a, *rest):
+    """pagemtimes(A, B) or pagemtimes(A, transpA, B, transpB): batched matmul
+    per trailing page. On TPU this is one einsum over the page dimension."""
+    if len(rest) == 1:
+        b = rest[0]
+        ta = tb = "none"
+    elif len(rest) == 3:
+        ta = text_of(rest[0]).lower()
+        b = rest[1]
+        tb = text_of(rest[2]).lower()
+    else:
+        raise bad_arg("pagemtimes", "Expected pagemtimes(A,B) or pagemtimes(A,transpA,B,transpB).")
+    ha, hb = a.host(), b.host()
+    is_c = ha.dtype.kind == "c" or hb.dtype.kind == "c"
+    ha = ha.astype(np.complex128 if is_c else np.float64)
+    hb = hb.astype(np.complex128 if is_c else np.float64)
+    pa, pb = _page_view(ha), _page_view(hb)
+
+    def tr(p, mode):
+        if mode in ("transpose",):
+            return np.swapaxes(p, 1, 2)
+        if mode in ("ctranspose",):
+            return np.conj(np.swapaxes(p, 1, 2))
+        return p
+
+    pa, pb = tr(pa, ta), tr(pb, tb)
+    if pa.shape[0] == 1 and pb.shape[0] > 1:
+        pa = np.broadcast_to(pa, (pb.shape[0],) + pa.shape[1:])
+    if pb.shape[0] == 1 and pa.shape[0] > 1:
+        pb = np.broadcast_to(pb, (pa.shape[0],) + pb.shape[1:])
+    r = pa @ pb
+    npages = r.shape[0]
+    out_shape = (r.shape[1], r.shape[2]) if npages == 1 else \
+        (r.shape[1], r.shape[2]) + (ha.shape[2:] if ha.ndim > 2 else hb.shape[2:])
+    out = np.moveaxis(r, 0, -1).reshape(out_shape, order="F") if npages > 1 else r[0]
+    return MatArray(out, "double")
+
+
+@builtin("pagetranspose", category="math/linalg", min_in=1, max_in=1)
+def m_pagetranspose(a):
+    h = a.host()
+    if h.ndim == 2:
+        return MatArray(h.T.copy(), a.mclass)
+    p = _page_view(h)
+    r = np.swapaxes(p, 1, 2)
+    out = np.moveaxis(r, 0, -1).reshape((r.shape[1], r.shape[2]) + h.shape[2:], order="F")
+    return MatArray(out, a.mclass)
+
+
+@builtin("rref", category="math/linalg", min_in=1, max_in=2, pass_nargout=True)
+def m_rref(a, tol=None, nargout=1):
+    h = _f(a).copy()
+    m, n = h.shape
+    t = scalar_num(tol, "tol") if tol is not None else \
+        max(m, n) * np.finfo(float).eps * (np.max(np.abs(h)) if h.size else 0.0)
+    pivots = []
+    r = 0
+    for c in range(n):
+        if r >= m:
+            break
+        piv = r + int(np.argmax(np.abs(h[r:, c])))
+        if np.abs(h[piv, c]) <= t:
+            h[r:, c] = 0.0
+            continue
+        h[[r, piv], :] = h[[piv, r], :]
+        h[r, :] = h[r, :] / h[r, c]
+        mask = np.ones(m, dtype=bool)
+        mask[r] = False
+        h[mask, :] -= np.outer(h[mask, c], h[r, :])
+        pivots.append(c + 1)
+        r += 1
+    out = MatArray(h, "double")
+    if nargout <= 1:
+        return out
+    return [out, MatArray(np.array(pivots, dtype=np.float64).reshape(1, -1), "double")]
+
+
+@builtin("eigs", category="math/linalg", min_in=1, max_in=3, pass_nargout=True)
+def m_eigs(a, k=None, sigma=None, nargout=1):
+    """k extremal eigenvalues. Dense path: full eig then select; sparse path:
+    scipy ARPACK (host helper, like the reference's system LAPACK)."""
+    from ...sparse import SparseMatrix
+    kk = scalar_int(k, "k") if k is not None else 6
+    which = "lm"
+    if sigma is not None and is_text(sigma):
+        which = text_of(sigma).lower()
+    if isinstance(a, SparseMatrix):
+        import scipy.sparse as sps
+        import scipy.sparse.linalg as spl
+        S = sps.csc_matrix((a.data, a.indices, a.indptr), shape=a.shape)
+        kk = min(kk, a.shape[0] - 2) if a.shape[0] > 2 else 1
+        w_map = {"lm": "LM", "sm": "SM", "la": "LA", "sa": "SA"}
+        vals, vecs = spl.eigs(S, k=kk, which=w_map.get(which, "LM"))
+        order = np.argsort(-np.abs(vals), kind="stable")
+        vals, vecs = vals[order], vecs[:, order]
+    else:
+        h = _f(a)
+        sym = np.allclose(h, h.T, atol=1e-12)
+        if sym:
+            w, v = np.linalg.eigh(h)
+        else:
+            w, v = np.linalg.eig(h)
+        if which == "lm":
+            order = np.argsort(-np.abs(w), kind="stable")
+        elif which == "sm":
+            order = np.argsort(np.abs(w), kind="stable")
+        elif which == "la":
+            order = np.argsort(-np.real(w), kind="stable")
+        elif which == "sa":
+            order = np.argsort(np.real(w), kind="stable")
+        else:
+            order = np.argsort(-np.abs(w), kind="stable")
+        kk = min(kk, w.size)
+        vals, vecs = w[order[:kk]], v[:, order[:kk]]
+    if np.max(np.abs(np.imag(vals)), initial=0.0) < 1e-300:
+        vals, vecs = np.real(vals), np.real(vecs)
+    if nargout <= 1:
+        return MatArray(vals.reshape(-1, 1), "double")
+    return [MatArray(vecs, "double"), MatArray(np.diag(vals), "double")]
+
+
+@builtin("lscov", category="math/linalg", min_in=2, max_in=3, pass_nargout=True)
+def m_lscov(a, b, w=None, nargout=1):
+    ha, hb = _f(a), _f(b)
+    if hb.ndim == 2 and hb.shape[1] != 1 and hb.shape[0] == 1:
+        hb = hb.T
+    if w is not None:
+        hw = fortran_ravel(_f(w))
+        sw = np.sqrt(hw).reshape(-1, 1)
+        ha2, hb2 = ha * sw, hb * sw
+    else:
+        ha2, hb2 = ha, hb
+    x, res, rank, sv = np.linalg.lstsq(ha2, hb2, rcond=None)
+    out = MatArray(x, "double")
+    if nargout <= 1:
+        return out
+    # stdx: sqrt of diag of inv(A'A) * mse
+    dof = max(ha.shape[0] - rank, 1)
+    r = hb2 - ha2 @ x
+    mse = float((r * r).sum() / dof)
+    cov = np.linalg.pinv(ha2.T @ ha2) * mse
+    stdx = np.sqrt(np.maximum(np.diag(cov), 0)).reshape(-1, 1)
+    return [out, MatArray(stdx, "double"), MatArray.scalar(mse)][:nargout]
+
+
+@builtin("symrcm", category="math/linalg", min_in=1, max_in=1)
+def m_symrcm(a):
+    """Reverse Cuthill-McKee ordering (bandwidth-reducing permutation)."""
+    from ...sparse import SparseMatrix
+    if isinstance(a, SparseMatrix):
+        import scipy.sparse as sps
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        S = sps.csr_matrix(sps.csc_matrix((a.data, a.indices, a.indptr), shape=a.shape))
+    else:
+        import scipy.sparse as sps
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        S = sps.csr_matrix(_f(a) != 0)
+    perm = reverse_cuthill_mckee(S, symmetric_mode=True)
+    return MatArray(perm.astype(np.float64).reshape(1, -1) + 1, "double")
+
+
+# ----------------------------------------------------------- decomposition --- #
+
+class DecompValue:
+    """Matrix decomposition object: factor once, solve many (dA\\b).
+
+    ≙ reference decomposition builtins (math/linalg/decomposition*.rs). The
+    factorization is host LAPACK; repeated solves reuse the factors.
+    """
+
+    __slots__ = ("kind", "factors", "a_shape", "shared")
+    mclass = "decomposition"
+
+    def __init__(self, kind, factors, a_shape):
+        self.kind = kind
+        self.factors = factors
+        self.a_shape = a_shape
+        self.shared = False
+
+    @property
+    def size(self):
+        return 1
+
+    @property
+    def shape(self):
+        return (1, 1)
+
+    def copy(self):
+        return self
+
+    def solve(self, b: np.ndarray, transposed: bool = False) -> np.ndarray:
+        import scipy.linalg as sla
+        if self.kind == "lu":
+            lu, piv = self.factors
+            return sla.lu_solve((lu, piv), b, trans=1 if transposed else 0)
+        if self.kind == "chol":
+            c, lower = self.factors
+            return sla.cho_solve((c, lower), b)
+        if self.kind == "qr":
+            q, r = self.factors
+            if transposed:
+                # A' x = b  =>  x = Q (R')^{-1} b
+                y = sla.solve_triangular(r, b, trans=1)
+                return q @ y
+            return sla.solve_triangular(r, q.T @ b)
+        raise MatError("MATLAB:decomposition:unknown", f"Unknown kind {self.kind}")
+
+    def _mat_binop_(self, op, other, swapped):
+        hb = other.host().astype(np.float64) if isinstance(other, MatArray) else None
+        if hb is None:
+            return NotImplemented
+        if op == "mldivide" and not swapped:
+            return MatArray(self.solve(hb), "double")
+        if op == "mrdivide" and swapped:
+            # b / dA  =  (dA' \ b')'
+            return MatArray(self.solve(hb.T, transposed=True).T.copy(), "double")
+        if op == "mtimes":
+            raise MatError("MATLAB:decomposition:NoMtimes",
+                           "Multiplication is not defined for decomposition objects; "
+                           "use the original matrix.")
+        return NotImplemented
+
+
+@builtin("decomposition", category="math/linalg", min_in=1, max_in=2)
+def m_decomposition(a, kind=None):
+    import scipy.linalg as sla
+    h = _f(a)
+    if h.ndim != 2 or h.shape[0] != h.shape[1]:
+        k = "qr"
+    else:
+        k = text_of(kind).lower() if kind is not None else "auto"
+    if k == "auto":
+        sym = np.allclose(h, h.T, atol=1e-12)
+        if sym:
+            try:
+                c = sla.cho_factor(h)
+                return DecompValue("chol", c, h.shape)
+            except Exception:
+                pass
+        k = "lu"
+    if k in ("lu", "ldl"):
+        return DecompValue("lu", sla.lu_factor(h), h.shape)
+    if k in ("chol", "cholesky"):
+        return DecompValue("chol", sla.cho_factor(h), h.shape)
+    if k == "qr":
+        q, r = np.linalg.qr(h)
+        return DecompValue("qr", (q, r), h.shape)
+    raise bad_arg("decomposition", f"Unknown decomposition type '{k}'.")
+
+
+@builtin("isIllConditioned", category="math/linalg", min_in=1, max_in=1)
+def m_is_ill_conditioned(d):
+    if isinstance(d, DecompValue) and d.kind == "lu":
+        lu, _ = d.factors
+        diag = np.abs(np.diag(lu))
+        if diag.size and diag.min() > 0:
+            return MatArray.logical_scalar(bool(diag.max() / diag.min() > 1e12))
+        return MatArray.logical_scalar(True)
+    return MatArray.logical_scalar(False)

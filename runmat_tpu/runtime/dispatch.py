@@ -109,11 +109,30 @@ def matlab_broadcast_shape(sa, sb) -> tuple:
 # elementwise binary
 # --------------------------------------------------------------------------- #
 
+def _obj_binop(op: str, a, b):
+    """Generic object operator protocol: a value type implementing
+    `_mat_binop_(op, other, swapped)` overloads the operator (≙ classdef
+    operator methods like decomposition.mldivide / tf.plus registered as
+    dotted builtins in the reference)."""
+    if hasattr(a, "_mat_binop_"):
+        r = a._mat_binop_(op, b, False)
+        if r is not NotImplemented:
+            return r
+    if hasattr(b, "_mat_binop_"):
+        r = b._mat_binop_(op, a, True)
+        if r is not NotImplemented:
+            return r
+    return None
+
+
 def binary(op: str, a, b):
     """Elementwise binary op with MATLAB class/broadcast semantics.
 
     op: name in ops.table.BINARY ('add','sub','mul','div','pow','mod',...).
     """
+    r = _obj_binop(op, a, b)
+    if r is not None:
+        return r
     from ..sparse import SparseMatrix
     if isinstance(a, SparseMatrix) or isinstance(b, SparseMatrix):
         return _sparse_binary(op, a, b)
@@ -349,6 +368,9 @@ def _unary_out_class(op: str, a: MatArray) -> str:
 # --------------------------------------------------------------------------- #
 
 def mtimes(a, b):
+    r = _obj_binop("mtimes", a, b)
+    if r is not None:
+        return r
     if type(a).__name__ == "SymValue" or type(b).__name__ == "SymValue":
         return binary("mul", a, b)
     if type(a).__name__ in ("MatDatetime", "MatDuration") or \
@@ -396,6 +418,9 @@ def mldivide(a, b):
     (runmat-accelerate-api/src/lib.rs:2422-2530); host LAPACK paths
     (runmat-runtime/src/lapack.rs).
     """
+    r = _obj_binop("mldivide", a, b)
+    if r is not None:
+        return r
     from ..sparse import SparseMatrix
     if isinstance(a, SparseMatrix):
         bb = b.to_dense() if isinstance(b, SparseMatrix) else \
@@ -429,6 +454,9 @@ def mldivide(a, b):
 
 
 def mrdivide(a, b):
+    r = _obj_binop("mrdivide", a, b)
+    if r is not None:
+        return r
     if type(a).__name__ == "SymValue" or type(b).__name__ == "SymValue":
         return binary("div", a, b)
     return _mrdivide_impl(a, b)
