@@ -89,6 +89,9 @@ class Session:
 
     def write(self, text: str) -> None:
         self.stdout.write(text)
+        d = getattr(self, "_diary", None)
+        if d is not None:  # diary tee (≙ runmat-runtime/src/console.rs diary)
+            d.write(text)
 
     def display_value(self, name: str, v) -> None:
         from .utils.display import format_value
