@@ -283,6 +283,10 @@ _INT_PRESERVING_UNARY = {"neg", "uplus", "abs", "sign", "floor", "ceil", "fix",
 
 
 def unary(op: str, a):
+    if hasattr(a, "_mat_unop_"):
+        r = a._mat_unop_(op)
+        if r is not NotImplemented:
+            return r
     if type(a).__name__ == "SymValue":
         from .builtins.symbolic import sym_unary
         r = sym_unary(op, a)
@@ -472,6 +476,9 @@ def _mrdivide_impl(a, b) -> MatArray:
 
 
 def mpower(a, b):
+    r = _obj_binop("mpower", a, b)
+    if r is not None:
+        return r
     if type(a).__name__ == "SymValue" or type(b).__name__ == "SymValue":
         return binary("pow", a, b)
     return _mpower_impl(a, b)
