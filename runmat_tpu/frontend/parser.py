@@ -220,6 +220,11 @@ class Parser:
             if t2.kind in ("NEWLINE", "EOF") or t2.is_op(";", ",") or t2.kind in ("IDENT", "NUM", "STR"):
                 # exclude binary continuation like `a b` can't happen in exprs anyway
                 return True
+            if t2.is_op("*") and not t2.ws_before:
+                # wildcard command arg: `clearvars a*`, `clear tmp*`
+                t3 = self.peek(3)
+                return t3.kind in ("NEWLINE", "EOF") or t3.is_op(";", ",") or \
+                    (t3.kind == "IDENT" and t3.ws_before)
             return False
         if t1.kind == "OP" and t1.text == "-" and t1.ws_before:
             # `ls -la` style: IDENT - IDENT with no space after '-'

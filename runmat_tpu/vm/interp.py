@@ -337,6 +337,10 @@ class Interp:
                     elif isinstance(base, FunctionHandle):
                         res = self.call_value(base, args, 1, frame)
                         stack.append(res[0] if res else NOVALUE)
+                    elif hasattr(base, "_mat_paren_call_"):
+                        # callable built-in objects (MemoizedFunction, ...)
+                        res = base._mat_paren_call_(self, frame, args, 1)
+                        stack.append(res[0] if res else NOVALUE)
                     else:
                         stack.append(IX.read_paren(base, args))
                 elif op == B.FIELD:
@@ -537,6 +541,10 @@ class Interp:
                     res = self.call_value(v, args, max(nargout, 1), frame)
                     _push_results(stack, res, nargout)
                     return
+                if hasattr(v, "_mat_paren_call_") and nargs > 0:
+                    res = v._mat_paren_call_(self, frame, args, max(nargout, 1))
+                    _push_results(stack, res, nargout)
+                    return
                 if nargs == 0:
                     if isinstance(v, MatArray):
                         v.shared = True
@@ -555,6 +563,12 @@ class Interp:
                      nargout: int) -> list:
         """obj.m(args) / ClassRef.static(args); falls back to field-read +
         paren indexing for structs and plain values."""
+        # built-in object method protocol (≙ reference dotted method builtins
+        # like inputParser.parse / timer.start registered per class)
+        if hasattr(base, "_mat_call_method_"):
+            r = base._mat_call_method_(self, frame, fname, args, nargout)
+            if r is not NotImplemented:
+                return r
         from .. import oop
         if isinstance(base, (oop.MatObject, oop.HandleObject)):
             m = base.cls.find_method(self.session, fname)
@@ -580,6 +594,10 @@ class Interp:
         return [IX.read_paren(_unwrap1(v), args)]
 
     def _field_read(self, base, fname: str):
+        if hasattr(base, "_mat_get_field_"):
+            r = base._mat_get_field_(fname)
+            if r is not NotImplemented:
+                return r
         from ..tables import MatTable
         if isinstance(base, MatTable):
             if fname == "Properties":
@@ -699,6 +717,10 @@ class Interp:
         rest = steps[1:]
         if kind == "field" or kind == "dynfield":
             fname = sarg
+            if hasattr(cur, "_mat_set_field_") and not rest:
+                r = cur._mat_set_field_(fname, rhs)
+                if r is not NotImplemented:
+                    return cur
             from ..tables import MatTable
             if isinstance(cur, MatTable):
                 if rest:
