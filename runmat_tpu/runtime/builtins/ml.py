@@ -611,6 +611,9 @@ def m_bayesopt(f, vars_, *rest, ctx=None):
 def m_predict_model(model, X):
     if isinstance(model, (TreeModel, LinearModel)):
         return MatArray(model.predict(_f(X)).reshape(-1, 1), "double")
-    # defer to the deep-learning predict for dlnetwork-style models
+    from .dl_layers import DlNetwork
+    if isinstance(model, DlNetwork):
+        return MatArray(model.predict_np(_f(X)).astype(np.float64), "double")
+    # defer to the deep-learning predict for Layers-struct models
     from .dl_builtins import m_predict as dl_predict
     return dl_predict(model, X)
