@@ -294,6 +294,8 @@ def write_paren(base, args: list, rhs, in_place: bool = False):
         from ..values import text_of
         base.store[text_of(args[0])] = rhs
         return base
+    if hasattr(base, "_mat_paren_assign_"):
+        return base._mat_paren_assign_(args, rhs)
     if type(base).__name__ == "SparseMatrix":
         from ..sparse import SparseMatrix
         dense = base.to_matarray()
