@@ -430,7 +430,13 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
         eng.stats["cache_hits"] += 1
 
     # initial carry: read-carried vars start from their live values;
-    # write-before-read vars get typed zero placeholders (never read)
+    # write-before-read vars get typed zero placeholders (never read).
+    # Placeholders and the iterable vector are cached per loop shape — each
+    # fresh device array is its own dispatch, which costs a tunnel round trip
+    # on remote-attached TPUs.
+    arg_cache = getattr(eng, "_loop_arg_cache", None)
+    if arg_cache is None:
+        arg_cache = eng._loop_arg_cache = {}
     carry0 = []
     for name in names:
         init = tr.carry_init.get(name)
@@ -442,13 +448,21 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
         elif init is not None:
             raise _Bail()   # carried shape/dtype changes across iterations
         else:
-            carry0.append(jnp.zeros(ps, dtype=root.dtype))
+            zk = ("zeros", ps, str(root.dtype))
+            z = arg_cache.get(zk)
+            if z is None:
+                z = arg_cache[zk] = jnp.zeros(ps, dtype=root.dtype)
+            carry0.append(z)
 
     c0 = state.counter
-    itvec = jax.device_put(
-        iter_host.reshape(-1).astype(
-            np.float64 if tr.iterable.mclass == "double" else np.float32),
-        eng.device)
+    it_np = iter_host.reshape(-1).astype(
+        np.float64 if tr.iterable.mclass == "double" else np.float32)
+    ik = ("itvec", it_np.dtype.str, it_np.shape, it_np.tobytes())
+    itvec = arg_cache.get(ik)
+    if itvec is None:
+        if len(arg_cache) > 256:
+            arg_cache.clear()
+        itvec = arg_cache[ik] = jax.device_put(it_np, eng.device)
     out = cached(np.int32(T), np.uint32(c0 & 0xFFFFFFFF),
                  np.uint32((c0 >> 32) & 0xFFFFFFFF),
                  tuple(carry0), tuple(inv_values), itvec)
