@@ -413,13 +413,27 @@ def m_pcolor(v):
     return m_imagesc(v)
 
 
-@builtin("contour", category="plotting", min_in=1, max_in=2)
-def m_contour(z, n=None):
+def _contour_args(args):
+    """contour(Z[,n]) or contour(X,Y,Z[,n]) — X/Y grids only set extents."""
+    args = list(args)
+    if len(args) >= 3:
+        z = args[2]
+        n = args[3] if len(args) > 3 else None
+    else:
+        z = args[0]
+        n = args[1] if len(args) > 1 else None
+    return z, n
+
+
+@builtin("contour", category="plotting", min_in=1, max_in=4)
+def m_contour(*args):
+    z, n = _contour_args(args)
     return _contour_impl(z, n, filled=False)
 
 
-@builtin("contourf", category="plotting", min_in=1, max_in=2)
-def m_contourf(z, n=None):
+@builtin("contourf", category="plotting", min_in=1, max_in=4)
+def m_contourf(*args):
+    z, n = _contour_args(args)
     return _contour_impl(z, n, filled=True)
 
 
@@ -684,10 +698,11 @@ def m_print(a, b=None):
 
 @builtin("gcf", category="plotting", max_in=0)
 def m_gcf():
-    return MatArray.scalar(float(gcf().num))
+    from .plotting2 import GObj
+    return GObj("figure", gcf())
 
 
 @builtin("gca", category="plotting", max_in=0)
 def m_gca():
-    gca()
-    return MatArray.scalar(float(gcf().num))
+    from .plotting2 import GObj
+    return GObj("axes", gca())
