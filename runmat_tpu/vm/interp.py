@@ -598,6 +598,11 @@ class Interp:
             r = base._mat_get_field_(fname)
             if r is not NotImplemented:
                 return r
+        if hasattr(base, "_mat_call_method_"):
+            # MATLAB: obj.m == obj.m() — dot access invokes zero-arg methods
+            r = base._mat_call_method_(self, None, fname, [], 1)
+            if r is not NotImplemented:
+                return r[0] if r else NOVALUE
         from ..tables import MatTable
         if isinstance(base, MatTable):
             if fname == "Properties":
