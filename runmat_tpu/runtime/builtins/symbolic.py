@@ -83,7 +83,9 @@ def sym_binary(op, a, b):
     fns = {"add": lambda x, y: x + y, "sub": lambda x, y: x - y,
            "mul": lambda x, y: x * y, "div": lambda x, y: x / y,
            "pow": lambda x, y: x ** y,
-           "eq": lambda x, y: sp.Eq(x, y)}
+           "eq": lambda x, y: sp.Eq(x, y), "ne": lambda x, y: sp.Ne(x, y),
+           "lt": lambda x, y: sp.Lt(x, y), "le": lambda x, y: sp.Le(x, y),
+           "gt": lambda x, y: sp.Gt(x, y), "ge": lambda x, y: sp.Ge(x, y)}
     fn = fns.get(op)
     if fn is None:
         raise MatError("MATLAB:sym:badOp", f"Operation '{op}' undefined for sym.")
