@@ -1,0 +1,114 @@
+/**
+ * runmat-tpu TypeScript host bindings.
+ *
+ * Reference parity: the reference's npm `runmat` package
+ * (bindings/ts/src/index.ts over the wasm session API). This client speaks
+ * the JSON-lines session protocol of `python -m runmat_tpu.cli serve`
+ * (runmat_tpu/server.py) over a child process, giving TS hosts the same
+ * typed session surface: execute, workspace previews, value extraction,
+ * provider telemetry.
+ */
+
+import { spawn, ChildProcess } from "node:child_process";
+import { createInterface, Interface } from "node:readline";
+
+export interface ExecuteResult {
+  ok: boolean;
+  output?: string;
+  wallMs?: number;
+  error?: { identifier: string; message: string };
+}
+
+export interface ValuePreview {
+  class: string;
+  size?: number[];
+  value?: unknown;
+  on_device?: boolean;
+}
+
+export interface AccelInfo {
+  available: boolean;
+  platform?: string;
+  stats?: Record<string, number>;
+}
+
+interface Pending {
+  resolve: (v: any) => void;
+  reject: (e: Error) => void;
+}
+
+export class RunMatSession {
+  private proc: ChildProcess;
+  private rl: Interface;
+  private nextId = 1;
+  private pending = new Map<number, Pending>();
+
+  constructor(options: { python?: string; cwd?: string; env?: Record<string, string> } = {}) {
+    const python = options.python ?? "python";
+    this.proc = spawn(python, ["-m", "runmat_tpu.cli", "serve"], {
+      cwd: options.cwd,
+      env: { ...process.env, ...options.env },
+      stdio: ["pipe", "pipe", "inherit"],
+    });
+    this.rl = createInterface({ input: this.proc.stdout! });
+    this.rl.on("line", (line) => {
+      let msg: any;
+      try {
+        msg = JSON.parse(line);
+      } catch {
+        return;
+      }
+      const p = this.pending.get(msg.id);
+      if (p) {
+        this.pending.delete(msg.id);
+        p.resolve(msg);
+      }
+    });
+  }
+
+  private request(body: Record<string, unknown>): Promise<any> {
+    const id = this.nextId++;
+    return new Promise((resolve, reject) => {
+      this.pending.set(id, { resolve, reject });
+      this.proc.stdin!.write(JSON.stringify({ id, ...body }) + "\n");
+    });
+  }
+
+  /** Execute MATLAB source in the persistent workspace. */
+  async execute(source: string, name = "<ts>"): Promise<ExecuteResult> {
+    const r = await this.request({ op: "execute", source, name });
+    return { ok: r.ok, output: r.output, wallMs: r.wall_ms, error: r.error };
+  }
+
+  /** Workspace variable names with shape/class previews. */
+  async workspace(): Promise<Record<string, ValuePreview>> {
+    const r = await this.request({ op: "workspace" });
+    return r.workspace ?? {};
+  }
+
+  /** Full value of one variable (numeric arrays as nested JS arrays). */
+  async getValue(varName: string): Promise<ValuePreview> {
+    const r = await this.request({ op: "get", name: varName });
+    if (!r.ok) throw new Error(`${r.error.identifier}: ${r.error.message}`);
+    return r.value;
+  }
+
+  /** Accelerator provider telemetry snapshot. */
+  async accelInfo(): Promise<AccelInfo> {
+    const r = await this.request({ op: "accel_info" });
+    return r.accel;
+  }
+
+  /** Clear the workspace. */
+  async reset(): Promise<void> {
+    await this.request({ op: "reset" });
+  }
+
+  /** Shut the session process down. */
+  async close(): Promise<void> {
+    await this.request({ op: "shutdown" });
+    this.proc.kill();
+  }
+}
+
+export default RunMatSession;

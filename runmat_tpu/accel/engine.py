@@ -99,8 +99,23 @@ class JaxEngine:
             auto_offload = (env_auto == "1") if env_auto is not None else \
                 self.platform not in ("cpu",)
         self.auto_offload = auto_offload
-        self.offload_threshold = offload_threshold or int(
-            os.environ.get("RUNMAT_TPU_OFFLOAD_THRESHOLD", "32768"))
+        if offload_threshold is None:
+            env_thr = os.environ.get("RUNMAT_TPU_OFFLOAD_THRESHOLD")
+            if env_thr is not None:
+                offload_threshold = int(env_thr)
+            else:
+                # persisted accel-calibrate result (≙ auto-offload calibration
+                # cache, runmat-accelerate/src/native_auto.rs:706-724)
+                try:
+                    import json as _json
+                    with open(os.path.expanduser(
+                            "~/.runmat_tpu/calibration.json")) as f:
+                        cal = _json.load(f)
+                    if cal.get("platform") == self.platform:
+                        offload_threshold = int(cal["offload_threshold"])
+                except Exception:
+                    pass
+        self.offload_threshold = offload_threshold or 32768
         self.fuse_cap = int(os.environ.get("RUNMAT_TPU_FUSE_CAP", str(DEFAULT_FUSE_CAP)))
         self._jit_cache: dict = {}
         self.stats = {"dispatches": 0, "compiles": 0, "cache_hits": 0,

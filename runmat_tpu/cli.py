@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -18,8 +19,8 @@ def main(argv=None) -> int:
 
     # subcommand style: runmat-tpu <cmd> [...]
     if argv and argv[0] in ("repl", "run", "check", "version", "info",
-                            "accel-info", "gc-stats", "benchmark", "config",
-                            "lsp"):
+                            "accel-info", "accel-calibrate", "gc-stats",
+                            "benchmark", "config", "lsp", "serve"):
         cmd = argv[0]
         rest = argv[1:]
         return _dispatch(cmd, rest)
@@ -152,8 +153,69 @@ def _dispatch(cmd: str, rest: list) -> int:
         from .lsp import main as lsp_main
         return lsp_main()
 
+    if cmd == "serve":
+        # JSON-lines session server (≙ the wasm/TS host + remote API surface)
+        from .server import serve_stdio, serve_tcp
+        sess = _make_session()
+        if rest and rest[0] == "--tcp":
+            port = int(rest[1]) if len(rest) > 1 else 0
+            return serve_tcp(sess, "127.0.0.1", port)
+        return serve_stdio(sess)
+
+    if cmd == "accel-calibrate":
+        return _accel_calibrate(rest)
+
     print(f"unknown command '{cmd}'", file=sys.stderr)
     return 2
+
+
+def _accel_calibrate(rest: list) -> int:
+    """Measure the host-vs-device crossover size per op class and persist it
+    (≙ runmat accel-calibrate + the auto-offload calibration cache,
+    crates/runmat-accelerate/src/native_auto.rs:478,706-724)."""
+    import time
+
+    import numpy as np
+
+    from .accel import active_engine, init_engine
+    eng = active_engine() or init_engine()
+    if eng is None:
+        print("no accelerator available", file=sys.stderr)
+        return 1
+    jnp = eng.jnp
+    jax = eng.jax
+
+    def device_time(n: int) -> float:
+        x = jax.device_put(np.linspace(0.0, 1.0, n, dtype=np.float32),
+                           eng.device)
+        f = jax.jit(lambda a: jnp.sin(a) * a + 1.0)
+        jax.block_until_ready(f(x))
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        return time.perf_counter() - t0
+
+    def host_time(n: int) -> float:
+        x = np.linspace(0.0, 1.0, n, dtype=np.float32)
+        t0 = time.perf_counter()
+        np.sin(x) * x + 1.0
+        return time.perf_counter() - t0
+
+    crossover = None
+    for n in (1 << k for k in range(10, 27)):
+        dh, dt = host_time(n), device_time(n)
+        print(f"  n={n:>10}: host {dh * 1e3:8.3f} ms   device {dt * 1e3:8.3f} ms")
+        if dt < dh:
+            crossover = n
+            break
+    if crossover is None:
+        crossover = 1 << 26
+    path = os.path.expanduser("~/.runmat_tpu/calibration.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"platform": eng.platform,
+                   "offload_threshold": int(crossover)}, f)
+    print(f"calibrated offload threshold: {crossover} (saved to {path})")
+    return 0
 
 
 def _check(rest: list) -> int:
