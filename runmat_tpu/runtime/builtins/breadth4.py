@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ... import dtypes
 from ...errors import MatError, bad_arg
 from ...values import (CellArray, MatArray, StringArray, fortran_ravel,
                        is_text, text_of)

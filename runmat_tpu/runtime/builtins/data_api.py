@@ -27,7 +27,6 @@ from ...fs import fs
 from ...values import (CellArray, MatArray, StringArray, StructArray,
                        fortran_ravel, is_text, text_of)
 from ..registry import builtin
-from .common import scalar_int
 
 _DTYPES = {"f64": np.float64, "f32": np.float32, "double": np.float64,
            "single": np.float32, "i32": np.int32, "i64": np.int64,

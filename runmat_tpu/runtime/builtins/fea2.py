@@ -19,10 +19,10 @@ import uuid
 import numpy as np
 
 from ...errors import MatError, bad_arg
-from ...values import (CellArray, FunctionHandle, MatArray, StringArray,
-                       StructArray, fortran_ravel, is_text, text_of)
+from ...values import (CellArray, FunctionHandle, MatArray, StructArray,
+                       fortran_ravel, is_text, text_of)
 from ..registry import builtin
-from .common import scalar_int, scalar_num
+from .common import scalar_int
 
 
 def _f(v) -> np.ndarray:

@@ -13,11 +13,11 @@ import heapq
 
 import numpy as np
 
-from ...errors import MatError, bad_arg
+from ...errors import MatError
 from ...values import (CellArray, MatArray, StringArray, fortran_ravel,
-                       is_text, text_of)
+                       text_of)
 from ..registry import builtin
-from .common import scalar_int, scalar_num
+from .common import scalar_int
 from .domains import MatGraph
 
 

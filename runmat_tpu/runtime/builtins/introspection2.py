@@ -13,8 +13,6 @@ Objects use the interpreter's built-in-object method protocol
 
 from __future__ import annotations
 
-import keyword as _pykw
-
 import numpy as np
 
 from ...errors import MatError, bad_arg

@@ -11,14 +11,13 @@ from __future__ import annotations
 
 import os
 import re
-import sys
 
 import numpy as np
 
 from ...errors import MatError, bad_arg
 from ...fs import fs
 from ...values import (CellArray, MatArray, StringArray, StructArray,
-                       fortran_ravel, is_text, text_of)
+                       is_text, text_of)
 from ..registry import builtin, register_alias
 from .common import scalar_int, scalar_num
 from .file_io import _FIDS

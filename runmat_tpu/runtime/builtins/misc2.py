@@ -15,8 +15,8 @@ from __future__ import annotations
 import numpy as np
 
 from ...errors import MatError, bad_arg
-from ...values import (CellArray, FunctionHandle, MatArray, StringArray,
-                       StructArray, fortran_ravel, is_text, text_of)
+from ...values import (CellArray, MatArray, StringArray, StructArray,
+                       fortran_ravel, is_text, text_of)
 from ..registry import builtin
 from .common import scalar_int, scalar_num
 

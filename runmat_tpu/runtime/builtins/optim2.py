@@ -12,9 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ...errors import MatError, bad_arg
-from ...values import (CellArray, FunctionHandle, MatArray, StructArray,
-                       is_text, text_of)
+from ...errors import MatError
+from ...values import MatArray, StructArray, is_text, text_of
 from ..registry import builtin
 from .ode_optim import _callf, _col, _sc
 

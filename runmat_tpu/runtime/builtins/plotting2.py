@@ -17,7 +17,7 @@ from ...values import (CellArray, MatArray, StringArray, StructArray,
                        fortran_ravel, is_text, text_of)
 from ..registry import builtin
 from .common import scalar_int, scalar_num
-from .plotting import _prep_ax, _np1, _np2
+from .plotting import _prep_ax, _np1
 
 
 def _f(v) -> np.ndarray:

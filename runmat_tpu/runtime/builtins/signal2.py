@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ...errors import MatError, bad_arg
+from ...errors import bad_arg
 from ...values import MatArray, fortran_ravel, is_text, text_of
 from ..registry import builtin
 from .common import scalar_int, scalar_num

@@ -18,8 +18,8 @@ from scipy import special as sp
 
 from ...errors import MatError, bad_arg
 from ...ops import ctrng as philox
-from ...values import (CellArray, MatArray, StringArray, StructArray,
-                       fortran_ravel, is_text, text_of)
+from ...values import (MatArray, StringArray, StructArray, fortran_ravel,
+                       is_text, text_of)
 from ..registry import builtin
 from .common import scalar_int, scalar_num
 

@@ -17,11 +17,11 @@ import re
 
 import numpy as np
 
-from ...errors import MatError, bad_arg
-from ...values import (CellArray, MatArray, StringArray, fortran_ravel,
-                       is_char, is_text, text_of)
+from ...errors import bad_arg
+from ...values import (CellArray, MatArray, StringArray, is_char, is_text,
+                       text_of)
 from ..registry import builtin
-from .common import scalar_int, scalar_num
+from .common import scalar_int
 from .strings import _map_text
 
 

@@ -20,8 +20,8 @@ import re
 import numpy as np
 
 from ...errors import MatError, bad_arg
-from ...values import (CellArray, MatArray, StringArray, StructArray,
-                       fortran_ravel, is_text, text_of)
+from ...values import (CellArray, MatArray, StringArray, fortran_ravel,
+                       text_of)
 from ..registry import builtin
 from .common import scalar_int
 
@@ -91,9 +91,7 @@ class TokenizedDocument:
 def m_tokenized_document(texts=None):
     if texts is None:
         return TokenizedDocument([])
-    docs = [[t.lower() if t.isalpha() or "'" in t else t
-             for t in _TOKEN_RE.findall(s)] for s in _texts_of(texts)]
-    # MATLAB keeps original case; keep it (drop the lowering)
+    # MATLAB keeps original token case; matching is case-folded downstream
     docs = [_TOKEN_RE.findall(s) for s in _texts_of(texts)]
     return TokenizedDocument(docs)
 

@@ -13,8 +13,7 @@ import time
 import numpy as np
 
 from ...errors import MatError, bad_arg
-from ...values import (CellArray, FunctionHandle, MatArray, StructArray,
-                       is_text, text_of)
+from ...values import CellArray, MatArray, text_of
 from ..registry import builtin
 from .common import scalar_int, scalar_num
 

@@ -8,7 +8,7 @@ a value using the same indexing engine the VM uses.
 from __future__ import annotations
 
 from ..errors import MatError, bad_arg
-from ..values import CellArray, MatArray, StructArray, is_text, text_of
+from ..values import CellArray, MatArray, StructArray, text_of
 from ..vm import indexing as IX
 
 
