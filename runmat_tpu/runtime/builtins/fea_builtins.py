@@ -33,6 +33,18 @@ def m_femesh(L=None, n=None):
     return box_mesh(Lv, nv)
 
 
+@builtin("femesh_delaunay", category="fea", min_in=0, max_in=3)
+def m_femesh_delaunay(L=None, h=None, seed=None):
+    """mesh = femesh_delaunay([Lx Ly Lz], h[, seed]) — unstructured Delaunay
+    tet mesh with target edge length h, smoothed + sliver-filtered
+    (≙ runmat-meshing tetrahedron pipeline: generate -> optimize)."""
+    from ...fea.delaunay import delaunay_mesh
+    Lv = tuple(_np(L).reshape(-1)[:3]) if L is not None else (1.0, 1.0, 1.0)
+    hv = float(_np(h).reshape(-1)[0]) if h is not None else min(Lv) / 4
+    sd = int(_np(seed).reshape(-1)[0]) if seed is not None else 0
+    return delaunay_mesh(Lv, hv, rng_seed=sd)
+
+
 @builtin("femesh_info", category="fea", min_in=1, max_in=1)
 def m_femesh_info(mesh):
     _check_mesh(mesh)
@@ -58,8 +70,13 @@ def _fixed_nodes(mesh: TetMesh, spec) -> np.ndarray:
         axis = {"x": 0, "y": 1, "z": 2}.get(t[0])
         if axis is None or "==" not in t:
             raise bad_arg("fea", f"Bad boundary spec '{t}' (use e.g. 'x==0').")
-        val = float(t.split("==")[1].replace("L", str(mesh.dims[axis])))
-        return mesh.boundary_nodes(axis, val)
+        rhs = t.split("==")[1]
+        if "L" in rhs:
+            # 'x==L' means the far face; unstructured meshes have no dims
+            extent = mesh.dims[axis] if mesh.dims is not None else \
+                float(mesh.nodes[:, axis].max())
+            rhs = rhs.replace("L", str(extent))
+        return mesh.boundary_nodes(axis, float(rhs))
     return _np(spec).reshape(-1).astype(np.int64) - 1
 
 
