@@ -39,9 +39,28 @@ class Future:
         return self.done.wait(timeout)
 
 
+def _mark_cow(v):
+    """Copy-on-write across the task boundary (≙ SpawnHandleConcurrency::
+    CopyOnWrite): any value reachable from both the parent workspace and the
+    task gets its shared flag set, so the first indexed write in either side
+    copies instead of mutating the other's buffer. Device (jax) arrays are
+    immutable already (ImmutableShare)."""
+    if isinstance(v, MatArray):
+        v.shared = True
+    elif isinstance(v, CellArray):
+        for e in v.data.reshape(-1):
+            _mark_cow(e)
+    elif hasattr(v, "fields"):
+        for col in v.fields.values():
+            for e in np.asarray(col).reshape(-1):
+                _mark_cow(e)
+    return v
+
+
 def _run_task(fut: Future, interp, f, args, nout):
     try:
         from ...vm.interp import Frame
+        args = [_mark_cow(a) for a in args]
         res = interp.call_value(f, list(args), nout, Frame(None))
         fut.result = res
     except MatError as e:

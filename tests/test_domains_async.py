@@ -73,3 +73,17 @@ def test_graph_shortestpath():
 def test_graph_counts_adjacency():
     assert scalar("G = digraph([1 1 2], [2 3 3]); x = numedges(G)*10 + numnodes(G);") == 33.0
     assert scalar("x = nnz(adjacency(graph([1], [2])));") == 2.0
+
+
+def test_spawn_copy_on_write_isolation():
+    """SpawnHandleConcurrency parity: a task's indexed write must not mutate
+    the parent's array (CopyOnWrite across the task boundary)."""
+    from helpers import run_get
+    v = run_get(
+        "A = [1 2 3];"
+        "f = parfeval(@(x) modify_first(x), 1, A);"
+        "B = fetchOutputs(f);"
+        "function y = modify_first(x), x(1) = 99; y = x; end",
+        "A", "B")
+    assert v["A"].host().tolist() == [[1.0, 2.0, 3.0]]   # parent untouched
+    assert v["B"].host().tolist() == [[99.0, 2.0, 3.0]]  # task saw its copy
