@@ -650,17 +650,46 @@ def m_text(x, y, s):
 # --------------------------------------------------------------------- export #
 
 
+_HTML_VIEWER = """<!doctype html>
+<html><head><meta charset="utf-8"><title>runmat-tpu figure</title>
+<style>body{margin:0;background:#fff}#wrap{overflow:hidden;width:100vw;height:100vh;cursor:grab}
+#wrap svg{transform-origin:0 0}</style></head>
+<body><div id="wrap">%s</div>
+<script>
+// pan + wheel-zoom over the embedded SVG (the headless analog of the
+// reference's interactive winit/egui figure window)
+const wrap=document.getElementById('wrap'),svg=wrap.querySelector('svg');
+let s=1,tx=0,ty=0,drag=null;
+function apply(){svg.style.transform=`translate(${tx}px,${ty}px) scale(${s})`;}
+wrap.addEventListener('wheel',e=>{e.preventDefault();
+  const f=e.deltaY<0?1.15:1/1.15,r=wrap.getBoundingClientRect();
+  const mx=e.clientX-r.left,my=e.clientY-r.top;
+  tx=mx-(mx-tx)*f; ty=my-(my-ty)*f; s*=f; apply();},{passive:false});
+wrap.addEventListener('mousedown',e=>{drag=[e.clientX-tx,e.clientY-ty];
+  wrap.style.cursor='grabbing';});
+window.addEventListener('mousemove',e=>{if(drag){tx=e.clientX-drag[0];
+  ty=e.clientY-drag[1];apply();}});
+window.addEventListener('mouseup',()=>{drag=null;wrap.style.cursor='grab';});
+wrap.addEventListener('dblclick',()=>{s=1;tx=ty=0;apply();});
+</script></body></html>
+"""
+
+
 def _export(path: str):
     fig = gcf()
-    if path.lower().endswith(".svg"):
+    low = path.lower()
+    if low.endswith(".svg"):
         from ...plot.svg import render_svg
         data = render_svg(fig).encode()
-    elif path.lower().endswith(".png"):
+    elif low.endswith(".png"):
         from ...plot.raster import render_png
         data = render_png(fig)
+    elif low.endswith((".html", ".htm")):
+        from ...plot.svg import render_svg
+        data = (_HTML_VIEWER % render_svg(fig)).encode()
     else:
         raise bad_arg("saveas", f"Unsupported image format for '{path}' "
-                      "(use .svg or .png).")
+                      "(use .svg, .png, or .html).")
     with open(path, "wb") as f:
         f.write(data)
 

@@ -1,0 +1,57 @@
+"""Failure-detection / fallback invariants (SURVEY.md §5): acceleration is
+never required for correctness — a broken device op degrades to the host
+path, and the device-loop idiom bails to plain interpretation."""
+
+import numpy as np
+import pytest
+
+from helpers import run, run_get
+from runmat_tpu.accel import active_engine
+from runmat_tpu.session import Session
+
+
+def test_device_loop_bails_on_unsupported_body():
+    """A loop body containing an unfusable construct (disp) must still give
+    the right answer via plain interpretation."""
+    v = run_get("s = 0; for t = 1:5, s = s + t; end", "s")
+    assert v["s"].host()[0, 0] == 15.0
+    v2 = run_get("s = 0; for t = 1:3, s = s + t; q = sprintf('%d', t); end",
+                 "s", "q")
+    assert v2["s"].host()[0, 0] == 6.0
+    assert v2["q"].to_str() == "3"
+
+
+def test_broken_engine_op_degrades_to_host():
+    """Inject a failure into the engine's unary dispatch: results must still
+    be produced (host fallback), not an error."""
+    s = Session(accelerate=True)
+    eng = active_engine()
+    if eng is None:
+        pytest.skip("no engine")
+    orig = eng.unary
+
+    def broken(op, a, *rest, **kw):
+        raise RuntimeError("injected device fault")
+
+    eng.unary = broken
+    try:
+        r = s.execute("y = sin([0 pi/2]);")
+        assert r.error is None, r.error
+        assert np.allclose(s.get("y").host(), [[0.0, 1.0]])
+    finally:
+        eng.unary = orig
+
+
+def test_interrupt_flag_identifier():
+    """Errors carry MATLAB-style identifiers end to end."""
+    s = Session(accelerate=False)
+    r = s.execute("error('My:Ident', 'boom %d', 7);")
+    assert r.error is not None
+    assert r.error.identifier == "My:Ident"
+    assert "boom 7" in r.error.message
+
+
+def test_try_catch_recovers_device_error():
+    v = run_get("try, x = undefined_fn_abc(); catch e, msg = e.identifier; end",
+                "msg")
+    assert "Undefined" in v["msg"].to_str() or "MATLAB" in v["msg"].to_str()

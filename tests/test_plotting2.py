@@ -89,3 +89,10 @@ def test_plotmatrix_stackedplot_wordcloud():
             "wordcloud({'alpha', 'beta'}, [5 1]);"
             "w = waitbar(0.5);")
     assert s is not None
+
+
+def test_html_interactive_export(tmp_path):
+    p = tmp_path / "fig.html"
+    run(f"clf; plot(1:10, (1:10).^2); exportgraphics(gcf, '{p}');")
+    html = p.read_text()
+    assert "<svg" in html and "wheel" in html and "translate" in html
