@@ -226,6 +226,7 @@ def _check(rest: list) -> int:
     from .errors import MatError
     from .frontend.parser import parse
     from .vm.compiler import Compiler
+    from .analysis import analyze_source
     ok = True
     for path in rest:
         try:
@@ -233,13 +234,22 @@ def _check(rest: list) -> int:
                 src = f.read()
             prog = parse(src, path)
             Compiler.compile_program(prog, path)
-            print(f"{path}: OK")
         except MatError as e:
             ok = False
-            print(f"{path}: {e.identifier}: {e.message}")
+            print(f"{path}: error: {e.identifier}: {e.message}")
+            continue
         except OSError as e:
             ok = False
             print(f"{path}: {e}")
+            continue
+        findings = analyze_source(src, path)
+        if not findings:
+            print(f"{path}: OK")
+        for f2 in findings:
+            if f2.severity == "error":
+                ok = False
+            print(f"{path}:{f2.line}: {f2.severity}: {f2.identifier}: "
+                  f"{f2.message}")
     return 0 if ok else 1
 
 

@@ -162,14 +162,17 @@ class Server:
         return out
 
 
+_SEV = {"error": 1, "warning": 2, "info": 3}
+
+
 def diagnostics(src: str) -> list:
-    """Parse+compile diagnostics (≙ runmat check / analyze_source)."""
+    """Parse+compile diagnostics + static lints (≙ runmat check /
+    analyze_source, runmat-static-analysis/src/frontend.rs:137)."""
     from .frontend.parser import parse
     from .vm.compiler import Compiler
     try:
         prog = parse(src, "<lsp>")
         Compiler.compile_program(prog, "<lsp>")
-        return []
     except MatError as e:
         line, col = _err_pos(e.message)
         return [{
@@ -179,6 +182,13 @@ def diagnostics(src: str) -> list:
             "source": "runmat-tpu",
             "message": f"{e.identifier}: {e.message}",
         }]
+    from .analysis import analyze_source
+    return [{
+        "range": _line_range(f.line),
+        "severity": _SEV.get(f.severity, 3),
+        "source": "runmat-tpu",
+        "message": f"{f.identifier}: {f.message}",
+    } for f in analyze_source(src, "<lsp>")]
 
 
 def _err_pos(msg: str) -> tuple:
