@@ -215,6 +215,18 @@ class Command(Node):
 
 
 @dataclass
+class ArgSpec(Node):
+    """One entry of an arguments-validation block (≙ runmat-hir
+    argument-validation model)."""
+    name: str
+    field_name: Optional[str]   # name.field -> name-value option bound into a struct
+    dims: Optional[list]        # per-dim sizes; None element = ':' (any)
+    cls: Optional[str]          # class coercion target ('double', 'char', ...)
+    validators: list            # [(builtin_name, raw_args|None), ...]
+    default: Optional[Node]     # default expression (evaluated in fn scope)
+
+
+@dataclass
 class FunctionDef(Node):
     name: str
     params: list          # may end with 'varargin'
@@ -222,6 +234,7 @@ class FunctionDef(Node):
     body: list
     line: int = 0
     nested: list = field(default_factory=list)   # nested FunctionDefs
+    arg_specs: list = field(default_factory=list)  # ArgSpec entries
 
 
 @dataclass

@@ -408,10 +408,15 @@ class Parser:
         # body runs until matching 'end' or next top-level 'function' / EOF
         body: list = []
         nested: list = []
+        arg_specs: list = []
         self._skip_newlines()
-        # skip arguments-validation blocks (parsed & ignored for now)
-        if self.peek().is_kw("arguments"):
-            self._skip_arguments_block()
+        # 'arguments' is a contextual keyword: only a block when it opens the
+        # body and is followed by a newline or block options '(...)'
+        while self.peek().kind == "IDENT" and self.peek().text == "arguments" \
+                and self.peek(1).kind in ("NEWLINE",) or \
+                (self.peek().kind == "IDENT" and self.peek().text == "arguments"
+                 and self.peek(1).is_op("(")):
+            arg_specs.extend(self._parse_arguments_block())
             self._skip_newlines()
         first_nested_pos = None
         saw_end = False
@@ -440,17 +445,94 @@ class Parser:
             # end-less file: the tentatively-nested defs are actually siblings
             self.pos = first_nested_pos
             nested = []
-        return A.FunctionDef(name, params, outs, body, line, nested)
+        return A.FunctionDef(name, params, outs, body, line, nested,
+                             arg_specs=arg_specs)
 
-    def _skip_arguments_block(self) -> None:
+    def _parse_arguments_block(self) -> list:
+        """Parse an arguments-validation block into ArgSpec entries
+        (≙ runmat-hir argument-validation blocks).
+
+        entry := name['.'field] ['(' dims ')'] [class] ['{' validators '}']
+                 ['=' default-expr]"""
         self.next()  # 'arguments'
-        depth = 1
-        while depth and self.peek().kind != "EOF":
-            t = self.next()
-            if t.is_kw("arguments", "if", "for", "while", "switch", "try", "function"):
-                depth += 1
-            elif t.is_kw("end"):
-                depth -= 1
+        # optional block options: (Output) / (Repeating) — recorded, specs
+        # from Output blocks are validation-only on outputs (skipped)
+        block_opt = None
+        if self.peek().is_op("("):
+            self.next()
+            while not self.peek().is_op(")") and self.peek().kind != "EOF":
+                block_opt = self.next().text
+            self.next()
+        specs: list = []
+        self._skip_newlines()
+        while not self.peek().is_kw("end") and self.peek().kind != "EOF":
+            t = self.peek()
+            if t.kind != "IDENT":
+                raise self._err(t, "expected argument name")
+            name = self.next().text
+            field = None
+            if self.peek().is_op("."):
+                self.next()
+                field = self.next().text
+            dims = None
+            if self.peek().is_op("("):   # whitespace before '(' is allowed here
+                self.next()
+                dims = []
+                while not self.peek().is_op(")"):
+                    tt = self.peek()
+                    if tt.is_op(":"):
+                        dims.append(None)
+                        self.next()
+                    elif tt.kind == "NUM":
+                        dims.append(int(float(self.next().text)))
+                    elif tt.is_op(","):
+                        self.next()
+                    else:
+                        raise self._err(tt, "expected dimension")
+                self.next()
+            cls = None
+            if self.peek().kind == "IDENT":
+                cls = self.next().text
+            validators: list = []
+            if self.peek().is_op("{"):
+                self.next()
+                while not self.peek().is_op("}"):
+                    tt = self.peek()
+                    if tt.kind == "IDENT":
+                        vname = self.next().text
+                        vargs = None
+                        if self.peek().is_op("(") and not self.peek().ws_before:
+                            vargs = []
+                            self.next()
+                            depth = 1
+                            while depth and self.peek().kind != "EOF":
+                                tok = self.next()
+                                if tok.is_op("("):
+                                    depth += 1
+                                elif tok.is_op(")"):
+                                    depth -= 1
+                                    if depth == 0:
+                                        break
+                                if depth and not tok.is_op(","):
+                                    vargs.append(tok.text)
+                        validators.append((vname, vargs))
+                    elif tt.is_op(","):
+                        self.next()
+                    else:
+                        raise self._err(tt, "expected validator name")
+                self.next()
+            default = None
+            if self.peek().is_op("="):
+                self.next()
+                default = self.parse_expr()
+            self._consume_terminator()
+            self._skip_newlines()
+            if block_opt != "Output":
+                specs.append(A.ArgSpec(name, field, dims, cls, validators,
+                                       default))
+        if self.peek().is_kw("end"):
+            self.next()
+        return specs
 
     def parse_classdef(self) -> A.ClassDef:
         line = self.next().line  # 'classdef'

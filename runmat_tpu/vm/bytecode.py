@@ -87,6 +87,9 @@ class Code:
     lines: list = field(default_factory=list)   # per-instr source line (for stacks)
     is_script: bool = True
     nested: dict = field(default_factory=dict)   # name -> Code (nested functions)
+    arg_specs: list = field(default_factory=list)
+    # arguments-block entries: (name, field|None, dims|None, cls|None,
+    #                           validators, default_code|None)
 
     def emit(self, op: int, a=None, b=None, c=None, d=None, line: int = 0) -> int:
         self.instrs.append((op, a, b, c, d))

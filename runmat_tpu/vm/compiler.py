@@ -110,6 +110,11 @@ class Compiler:
         code.emit(B.RET, line=fd.line)
         for nf in fd.nested:
             code.nested[nf.name] = Compiler.compile_function(nf)
+        for sp in getattr(fd, "arg_specs", []) or []:
+            code.arg_specs.append((
+                sp.name, sp.field_name, sp.dims, sp.cls, sp.validators,
+                Compiler.compile_expr(sp.default) if sp.default is not None
+                else None))
         return code
 
     @staticmethod

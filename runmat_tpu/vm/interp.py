@@ -154,9 +154,15 @@ class Interp:
     def call_user(self, code: B.Code, args: list, nargout: int,
                   parent: Frame = None) -> list:
         nparams = len(code.params) - (1 if code.has_varargin else 0)
-        if len(args) > nparams and not code.has_varargin:
+        nv_param = None
+        if code.arg_specs and any(sp[1] is not None for sp in code.arg_specs):
+            # trailing name-value options bind into the last (struct) param
+            nv_param = code.params[-1] if code.params else None
+        if len(args) > nparams and not code.has_varargin and nv_param is None:
             raise MatError("MATLAB:TooManyInputs",
                            f"Too many input arguments for '{code.name}'.")
+        if nv_param is not None:
+            nparams -= 1   # the struct param is filled from name-value pairs
         frame = Frame(code, nargin=len(args), nargout=nargout, parent=parent)
         for i, p in enumerate(code.params[:nparams]):
             if i < len(args) and p != "~":
@@ -172,6 +178,9 @@ class Interp:
                     v.shared = True
                 data[0, i] = v
             frame.vars["varargin"] = CellArray(data)
+        if code.arg_specs:
+            self._apply_arg_specs(code, frame, args[nparams:]
+                                  if nv_param is not None else [])
         self.run(code, frame)
         # collect outputs
         nouts = len(code.outs) - (1 if code.has_varargout else 0)
@@ -558,6 +567,120 @@ class Interp:
             raise undefined(name)
         res = self.call_named(name, args, nargout, frame)
         _push_results(stack, res, nargout)
+
+    def _apply_arg_specs(self, code: B.Code, frame: Frame, nv_args: list):
+        """Apply an arguments-validation block at function entry
+        (≙ runmat-hir argument-validation: defaults, class coercion, size
+        checks with scalar expansion, validator functions)."""
+        from ..values import StructArray, text_of
+        from .. import dtypes
+
+        def eval_default(dcode):
+            f = Frame(dcode)
+            f.vars = frame.vars       # defaults may reference earlier args
+            stack = self.run(dcode, f, keep_stack=True)
+            return stack[-1] if stack else MatArray.empty()
+
+        def coerce(v, cls, where):
+            if cls is None or not isinstance(v, MatArray):
+                return v
+            if v.mclass == cls:
+                return v
+            numeric = ("double", "single", "int8", "int16", "int32", "int64",
+                       "uint8", "uint16", "uint32", "uint64", "logical")
+            if cls in numeric and v.mclass in numeric + ("char",):
+                h = v.host()
+                return MatArray(dtypes.cast_to_class(
+                    h.astype(np.float64) if h.dtype.kind in "bu" or
+                    v.mclass == "char" else h, cls), cls)
+            if cls in ("char", "string") and v.mclass in ("char",):
+                return v
+            raise MatError("MATLAB:validation:UnableToConvert",
+                           f"Argument '{where}' must be of class {cls}; "
+                           f"got {v.mclass}.")
+
+        def check_size(v, dims, where):
+            if dims is None or not isinstance(v, MatArray):
+                return v
+            shape = v.shape
+            concrete = all(d is not None for d in dims)
+            want = tuple(dims)
+            if len(shape) == len(want) and all(
+                    w is None or s == w for s, w in zip(shape, want)):
+                return v
+            if concrete and v.size == 1:
+                # MATLAB scalar expansion against a concrete size spec
+                h = np.full(want, v.host().reshape(-1)[0])
+                return MatArray(h, v.mclass)
+            spec = ",".join(":" if d is None else str(d) for d in dims)
+            raise MatError("MATLAB:validation:IncompatibleSize",
+                           f"Argument '{where}' must be of size ({spec}).")
+
+        def validate(v, validators, where):
+            from ..runtime import registry
+            for vname, vargs in validators:
+                b = registry.lookup(vname)
+                if b is None:
+                    raise MatError("MATLAB:validation:UnknownValidator",
+                                   f"Unknown validator '{vname}'.")
+                call_args = [v]
+                raws = list(vargs or [])
+                # `{mustBeLessThan(a, 5)}` names the argument itself first
+                if raws and raws[0] == where.split(".")[0]:
+                    raws = raws[1:]
+                for raw in raws:
+                    try:
+                        call_args.append(MatArray.scalar(float(raw)))
+                    except ValueError:
+                        call_args.append(MatArray.char_from_str(
+                            raw.strip("'\"")))
+                self.call_builtin(b, call_args, 0, frame)
+
+        nv_pairs: dict = {}
+        i = 0
+        while i + 1 < len(nv_args) + 1 and i < len(nv_args):
+            key_v = nv_args[i]
+            from ..values import is_text
+            if not is_text(key_v) or i + 1 >= len(nv_args):
+                raise MatError("MATLAB:validation:BadNameValue",
+                               "Expected name-value pairs.")
+            nv_pairs[text_of(key_v)] = nv_args[i + 1]
+            i += 2
+
+        nv_structs: dict[str, dict] = {}
+        declared_nv: dict[str, set] = {}
+        for name, field, dims, cls, validators, dcode in code.arg_specs:
+            if field is not None:
+                declared_nv.setdefault(name, set()).add(field)
+                bucket = nv_structs.setdefault(name, {})
+                if field in nv_pairs:
+                    v = nv_pairs.pop(field)
+                elif dcode is not None:
+                    v = eval_default(dcode)
+                else:
+                    continue
+                v = coerce(v, cls, f"{name}.{field}")
+                v = check_size(v, dims, f"{name}.{field}")
+                validate(v, validators, f"{name}.{field}")
+                bucket[field] = v
+                continue
+            v = frame.vars.get(name)
+            if v is None:
+                if dcode is not None:
+                    v = eval_default(dcode)
+                else:
+                    raise MatError("MATLAB:validation:NotEnoughInputs",
+                                   f"Argument '{name}' is required.")
+            v = coerce(v, cls, name)
+            v = check_size(v, dims, name)
+            validate(v, validators, name)
+            frame.vars[name] = v
+        if nv_pairs:
+            bad = next(iter(nv_pairs))
+            raise MatError("MATLAB:validation:UnknownNameValue",
+                           f"'{bad}' is not a recognized name-value argument.")
+        for sname, fields in nv_structs.items():
+            frame.vars[sname] = StructArray.scalar(fields)
 
     def _call_method(self, frame: Frame, base, fname: str, args: list,
                      nargout: int) -> list:
