@@ -411,11 +411,10 @@ class Parser:
         arg_specs: list = []
         self._skip_newlines()
         # 'arguments' is a contextual keyword: only a block when it opens the
-        # body and is followed by a newline or block options '(...)'
+        # body and is followed by a statement separator or block options
         while self.peek().kind == "IDENT" and self.peek().text == "arguments" \
-                and self.peek(1).kind in ("NEWLINE",) or \
-                (self.peek().kind == "IDENT" and self.peek().text == "arguments"
-                 and self.peek(1).is_op("(")):
+                and (self.peek(1).kind == "NEWLINE" or self.peek(1).is_op(";")
+                     or self.peek(1).is_op("(")):
             arg_specs.extend(self._parse_arguments_block())
             self._skip_newlines()
         first_nested_pos = None
@@ -464,6 +463,8 @@ class Parser:
                 block_opt = self.next().text
             self.next()
         specs: list = []
+        if self.peek().is_op(";") or self.peek().is_op(","):
+            self.next()   # one-line form: arguments; spec; ...; end
         self._skip_newlines()
         while not self.peek().is_kw("end") and self.peek().kind != "EOF":
             t = self.peek()
