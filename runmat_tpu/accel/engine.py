@@ -687,6 +687,34 @@ class JaxEngine:
     def telemetry(self) -> dict:
         return dict(self.stats)
 
+    def fusion_snapshot(self) -> list:
+        """Describe every cached fused executable (≙ the fusion-plan snapshot
+        the reference exports to hosts, runmat-core/src/fusion/snapshot.rs):
+        per plan, the op sequence, output count, and kind."""
+        plans = []
+        for key in self._jit_cache:
+            if not isinstance(key, tuple) or not key:
+                continue
+            if key[0] == "device_loop":
+                ops = [p[0] for p in key[1] if isinstance(p, tuple)
+                       and len(p) == 5 and isinstance(p[0], str)]
+                plans.append({"kind": "device_loop", "ops": ops,
+                              "n_ops": len(ops)})
+            else:
+                skey = key[0]
+                ops = []
+                if isinstance(skey, tuple):
+                    for entry in skey:
+                        if isinstance(entry, tuple) and entry and \
+                                isinstance(entry[0], str):
+                            ops.append(entry[0])
+                outs = key[1] if len(key) > 1 and isinstance(key[1], tuple) \
+                    else ()
+                plans.append({"kind": "fused_elementwise",
+                              "ops": ops[:64], "n_ops": len(ops),
+                              "n_outputs": max(len(outs), 1)})
+        return plans
+
     def synchronize(self) -> None:
         pass
 

@@ -120,6 +120,11 @@ def _dispatch(cmd: str, rest: list) -> int:
                   f"{info['count']} device(s)")
             for k, v in eng.stats.items():
                 print(f"  {k}: {v}")
+        if "--fusion" in rest and eng is not None:
+            # cached fused-plan snapshot (≙ fusion-plan export for hosts)
+            for i, plan in enumerate(eng.fusion_snapshot(), 1):
+                print(f"  plan {i}: {plan['kind']} "
+                      f"({plan['n_ops']} ops) {' '.join(plan['ops'][:12])}")
         return 0
 
     if cmd == "gc-stats":

@@ -95,6 +95,11 @@ def handle_request(sess, req: dict) -> dict:
             if eng is not None:
                 info.update({"platform": eng.platform, "stats": dict(eng.stats)})
             return {"id": rid, "ok": True, "accel": info}
+        if op == "fusion_plans":
+            from .accel import active_engine
+            eng = active_engine()
+            return {"id": rid, "ok": True,
+                    "plans": eng.fusion_snapshot() if eng is not None else []}
         if op == "reset":
             sess.clear()
             return {"id": rid, "ok": True}

@@ -65,3 +65,14 @@ def test_serve_subprocess_roundtrip():
     assert lines[0]["ok"]
     assert lines[1]["value"]["value"] == [[55.0]]
     assert lines[2]["shutdown"]
+
+
+def test_fusion_plans_op():
+    s = Session(accelerate=True)
+    handle_request(s, {"id": 1, "op": "execute",
+                       "source": "x = gpuArray(ones(64)); y = gather(sum(sin(x) + 1, 'all'));"})
+    r = handle_request(s, {"id": 2, "op": "fusion_plans"})
+    assert r["ok"]
+    assert isinstance(r["plans"], list)
+    if r["plans"]:
+        assert "ops" in r["plans"][0] and "kind" in r["plans"][0]
