@@ -116,6 +116,8 @@ def _host_data(x: MatArray, acc: str) -> np.ndarray:
 @builtin("sum", category="math/reduction", min_in=1, accel_op="reduce_sum")
 def m_sum(x, *rest):
     dims, type_mode, nan_mode = _parse_opts(list(rest))
+    if x.size == 0 and x.shape == (0, 0) and dims is None:
+        return MatArray.scalar(0.0)   # MATLAB: sum([]) == 0
     acc = _acc_class(x, type_mode, default_native=True)
     if acc == "logical":
         acc = x.mclass if x.mclass != "logical" else "double"
@@ -135,6 +137,8 @@ def m_sum(x, *rest):
 @builtin("prod", category="math/reduction", min_in=1, accel_op="reduce_prod")
 def m_prod(x, *rest):
     dims, type_mode, nan_mode = _parse_opts(list(rest))
+    if x.size == 0 and x.shape == (0, 0) and dims is None:
+        return MatArray.scalar(1.0)   # MATLAB: prod([]) == 1
     acc = _acc_class(x, type_mode, default_native=True)
     if acc == "logical":
         acc = "double"
@@ -151,6 +155,8 @@ def m_prod(x, *rest):
 @builtin("mean", category="math/reduction", min_in=1, accel_op="reduce_mean")
 def m_mean(x, *rest):
     dims, type_mode, nan_mode = _parse_opts(list(rest))
+    if x.size == 0 and x.shape == (0, 0) and dims is None:
+        return MatArray.scalar(float("nan"))   # MATLAB: mean([]) == NaN
     acc = _acc_class(x, type_mode, default_native=False)
     if acc == "logical":
         acc = "double"
@@ -326,6 +332,8 @@ def m_min(x, *rest, nargout=1):
 @builtin("any", category="math/reduction", min_in=1, accel_op="reduce_any")
 def m_any(x, *rest):
     dims, _, _ = _parse_opts(list(rest))
+    if x.size == 0 and x.shape == (0, 0) and dims is None:
+        return MatArray.logical_scalar(False)   # MATLAB: any([]) == false
     axes = _axes_for(x.shape, dims)
     dv = _device_reduce("any", x, axes, "logical", None)
     if dv is not None:
@@ -339,6 +347,8 @@ def m_any(x, *rest):
 @builtin("all", category="math/reduction", min_in=1, accel_op="reduce_all")
 def m_all(x, *rest):
     dims, _, _ = _parse_opts(list(rest))
+    if x.size == 0 and x.shape == (0, 0) and dims is None:
+        return MatArray.logical_scalar(True)   # MATLAB: all([]) == true
     axes = _axes_for(x.shape, dims)
     dv = _device_reduce("all", x, axes, "logical", None)
     if dv is not None:

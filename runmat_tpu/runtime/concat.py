@@ -128,8 +128,8 @@ def _cat_structs(parts: list, axis: int) -> StructArray:
 
 
 def _np_cat(datas: list[np.ndarray], axis: int) -> np.ndarray:
-    # align ndim
-    nd = max(2, max(d.ndim for d in datas))
+    # align ndim; cat along a trailing new dim (cat(3, A, B)) expands inputs
+    nd = max(2, max(d.ndim for d in datas), axis + 1)
     aligned = []
     for d in datas:
         while d.ndim < nd:

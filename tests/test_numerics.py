@@ -160,3 +160,25 @@ def test_morphology_and_labels():
 def test_coordinate_transforms_roundtrip():
     assert scalar("[th, r] = cart2pol(3, 4); [x2, y2] = pol2cart(th, r); "
                   "x = double(abs(x2 - 3) + abs(y2 - 4) < 1e-12);") == 1.0
+
+
+def test_empty_reduction_identities():
+    # MATLAB identity values for reductions of []
+    from helpers import run_get
+    v = run_get("a = sum([]); b = prod([]); c = any([]); d = all([]);"
+                "e = mean([]); f = max([]);", "a", "b", "c", "d", "e", "f")
+    assert v["a"].host()[0, 0] == 0.0
+    assert v["b"].host()[0, 0] == 1.0
+    assert not v["c"].host()[0, 0]
+    assert v["d"].host()[0, 0]
+    import numpy as np
+    assert np.isnan(v["e"].host()[0, 0])
+    assert v["f"].size == 0
+
+
+def test_cat_trailing_dim():
+    from helpers import run_get
+    v = run_get("c = cat(3, [1 2], [3 4]); s = size(c, 3); p = c(1, 2, 2);",
+                "s", "p")
+    assert v["s"].host()[0, 0] == 2.0
+    assert v["p"].host().reshape(-1)[0] == 4.0
