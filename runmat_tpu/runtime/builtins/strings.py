@@ -454,11 +454,21 @@ def m_strfind(s, pat):
     return MatArray(np.array(idxs, dtype=np.float64).reshape(1, -1), "double")
 
 
-@builtin("regexprep", category="strings", min_in=3, max_in=3)
-def m_regexprep(s, pat, rep):
+@builtin("regexprep", category="strings", min_in=3)
+def m_regexprep(s, pat, rep, *opts):
     p = _matlab_regex(text_of(pat))
     r = re.sub(r"\$(\d+)", r"\\\1", text_of(rep))
-    return _map_text(s, lambda t: re.sub(p, r, t))
+    count = 0
+    flags = 0
+    for o in opts:
+        t = text_of(o).lower() if is_text(o) else ""
+        if t == "once":
+            count = 1
+        elif t == "ignorecase":
+            flags |= re.IGNORECASE
+        elif t == "preservecase":
+            pass
+    return _map_text(s, lambda t: re.sub(p, r, t, count=count, flags=flags))
 
 
 @builtin("regexp", category="strings", min_in=2, pass_nargout=True)

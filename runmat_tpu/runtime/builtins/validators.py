@@ -201,3 +201,39 @@ def m_must_be_nonnan(v):
     if h.dtype.kind == "f" and np.isnan(h).any():
         _fail("mustBeNonNan", "Value must not be NaN.")
     return None
+
+
+@builtin("mustBeValidVariableName", category="validators", min_in=1, max_in=1)
+def m_must_be_valid_variable_name(v):
+    t = text_of(v) if is_text(v) else None
+    if not t or not (t[0].isalpha() and all(c.isalnum() or c == "_" for c in t)):
+        _fail("mustBeValidVariableName", "Value must be a valid variable name.")
+    return None
+
+
+@builtin("validatestring", category="validators", min_in=2, max_in=4)
+def m_validatestring(v, valid, *ctx_args):
+    """Match (case-insensitive, unambiguous-prefix) against valid strings."""
+    val = (text_of(v) if is_text(v) else
+           (v.item() or "") if isinstance(v, StringArray) else None)
+    if val is None:
+        _fail("validatestring", "Input must be text.")
+    if isinstance(valid, CellArray):
+        opts = [text_of(e) for e in valid.data.reshape(-1, order="F")]
+    elif isinstance(valid, StringArray):
+        opts = [s or "" for s in valid.data.reshape(-1, order="F")]
+    else:
+        opts = [text_of(valid)]
+    low = val.lower()
+    exact = [o for o in opts if o.lower() == low]
+    if exact:
+        return MatArray.char_from_str(exact[0])
+    pref = [o for o in opts if o.lower().startswith(low)]
+    if len(pref) == 1:
+        return MatArray.char_from_str(pref[0])
+    if len(pref) > 1:
+        raise MatError("MATLAB:validatestring:ambiguousStringChoice",
+                       f"'{val}' matches multiple valid strings.")
+    raise MatError("MATLAB:validatestring:unrecognizedStringChoice",
+                   f"'{val}' did not match any valid string "
+                   f"({', '.join(opts)}).")
