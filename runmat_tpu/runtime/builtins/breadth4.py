@@ -492,3 +492,36 @@ def m_ismembertol(a, b, tol=None, nargout=1):
     if nargout <= 1:
         return out
     return [out, MatArray(loc.reshape(ha.shape, order="F"), "double")]
+
+
+@builtin("wrapToPi", category="math/elementwise", min_in=1, max_in=1)
+def m_wrap_to_pi(x):
+    h = x.host().astype(np.float64)
+    r = np.mod(h + np.pi, 2 * np.pi) - np.pi
+    # MATLAB maps odd multiples of pi to +pi, not -pi
+    r[(r == -np.pi) & (h > 0)] = np.pi
+    return MatArray(r, "double")
+
+
+@builtin("wrapTo2Pi", category="math/elementwise", min_in=1, max_in=1)
+def m_wrap_to_2pi(x):
+    h = x.host().astype(np.float64)
+    r = np.mod(h, 2 * np.pi)
+    r[(r == 0) & (h > 0)] = 2 * np.pi
+    return MatArray(r, "double")
+
+
+@builtin("wrapTo180", category="math/elementwise", min_in=1, max_in=1)
+def m_wrap_to_180(x):
+    h = x.host().astype(np.float64)
+    r = np.mod(h + 180.0, 360.0) - 180.0
+    r[(r == -180.0) & (h > 0)] = 180.0
+    return MatArray(r, "double")
+
+
+@builtin("wrapTo360", category="math/elementwise", min_in=1, max_in=1)
+def m_wrap_to_360(x):
+    h = x.host().astype(np.float64)
+    r = np.mod(h, 360.0)
+    r[(r == 0) & (h > 0)] = 360.0
+    return MatArray(r, "double")
