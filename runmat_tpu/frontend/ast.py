@@ -255,3 +255,60 @@ class Program(Node):
     functions: dict       # name -> FunctionDef
     classes: dict         # name -> ClassDef
     is_function_file: bool = False
+
+
+# --------------------------------------------------------------------------- #
+# expression unparser (func2str of anonymous handles; ≙ the reference keeps
+# the original source text on Closure values)
+# --------------------------------------------------------------------------- #
+
+def unparse(e) -> str:
+    if isinstance(e, Num):
+        v = e.value
+        if isinstance(v, complex):
+            return f"{v.imag:g}i" if v.real == 0 else f"({v.real:g}+{v.imag:g}i)"
+        return f"{v:g}" if v == v and abs(v) != float("inf") else str(v)
+    if isinstance(e, Str):
+        return "'" + e.value.replace("'", "''") + "'"
+    if isinstance(e, DQStr):
+        return '"' + e.value.replace('"', '""') + '"'
+    if isinstance(e, Ident):
+        return e.name
+    if isinstance(e, Colon):
+        return ":"
+    if isinstance(e, EndRef):
+        return "end"
+    if isinstance(e, Range):
+        if e.step is not None:
+            return f"{unparse(e.start)}:{unparse(e.step)}:{unparse(e.stop)}"
+        return f"{unparse(e.start)}:{unparse(e.stop)}"
+    if isinstance(e, BinOp):
+        def p(sub):
+            # conservative re-parenthesization keeps the round trip exact
+            return f"({unparse(sub)})" if isinstance(sub, (BinOp, Range)) \
+                else unparse(sub)
+        return f"{p(e.left)} {e.op} {p(e.right)}"
+    if isinstance(e, UnOp):
+        o = e.operand
+        inner = f"({unparse(o)})" if isinstance(o, (BinOp, Range)) else unparse(o)
+        return f"{e.op}{inner}"
+    if isinstance(e, PostOp):
+        return f"{unparse(e.operand)}{e.op}"
+    if isinstance(e, Index):
+        o, c = ("{", "}") if e.kind == "brace" else ("(", ")")
+        return f"{unparse(e.base)}{o}{', '.join(unparse(a) for a in e.args)}{c}"
+    if isinstance(e, FieldAccess):
+        if e.dynamic is not None:
+            return f"{unparse(e.base)}.({unparse(e.dynamic)})"
+        return f"{unparse(e.base)}.{e.name}"
+    if isinstance(e, MatrixLit):
+        rows = ["  ".join(unparse(x) for x in r) for r in e.rows]
+        return "[" + "; ".join(rows) + "]"
+    if isinstance(e, CellLit):
+        rows = ["  ".join(unparse(x) for x in r) for r in e.rows]
+        return "{" + "; ".join(rows) + "}"
+    if isinstance(e, AnonFunc):
+        return f"@({', '.join(e.params)}) {unparse(e.body)}"
+    if isinstance(e, FuncHandle):
+        return f"@{e.name}"
+    return "<expr>"

@@ -40,6 +40,8 @@ def m_deal(*args, nargout=1):
 def m_nargin(f=None, ctx=None):
     if f is None:
         return MatArray.scalar(float(ctx.frame.nargin))
+    if isinstance(f, FunctionHandle) and f.kind != "named":
+        return MatArray.scalar(float(len(f.params or [])))
     name = f.name if isinstance(f, FunctionHandle) else text_of(f)
     r = ctx.interp.resolve_function(name)
     if r is None:

@@ -19,6 +19,8 @@ def m_func2str(f):
         raise bad_arg("func2str", "Input must be a function handle.")
     if f.kind == "named":
         return MatArray.char_from_str(f"@{f.name}")
+    if getattr(f, "src", ""):
+        return MatArray.char_from_str(f.src)
     return MatArray.char_from_str(f"@({', '.join(f.params)}) ...")
 
 

@@ -364,15 +364,16 @@ class FunctionHandle:
     (runmat-builtins/src/lib.rs:73-123).
     """
 
-    __slots__ = ("name", "params", "body", "captures", "kind")
+    __slots__ = ("name", "params", "body", "captures", "kind", "src")
     mclass = "function_handle"
 
-    def __init__(self, kind: str, name: Optional[str] = None, params=None, body=None, captures=None):
+    def __init__(self, kind: str, name: Optional[str] = None, params=None, body=None, captures=None, src: str = ""):
         self.kind = kind  # 'named' | 'anon'
         self.name = name
         self.params = params or []
-        self.body = body  # AST expression for anon
+        self.body = body  # compiled Code for anon
         self.captures = captures or {}
+        self.src = src    # unparsed source text (func2str)
 
     def __repr__(self):  # pragma: no cover
         if self.kind == "named":

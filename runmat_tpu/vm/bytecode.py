@@ -72,6 +72,7 @@ class AnonDef:
     params: list
     free_names: list          # captured at MAKE_ANON time
     code: "Code"
+    src: str = ""             # unparsed source (func2str)
 
 
 @dataclass

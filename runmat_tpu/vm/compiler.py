@@ -133,7 +133,7 @@ class Compiler:
         free: set = set()
         _free_idents(e.body, free)
         free -= set(e.params)
-        return B.AnonDef(list(e.params), sorted(free), c.code)
+        return B.AnonDef(list(e.params), sorted(free), c.code, A.unparse(e))
 
     # -------------------------------------------------------------- statements
 

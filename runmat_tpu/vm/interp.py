@@ -430,7 +430,8 @@ class Interp:
                                 v.shared = True
                             captures[nm] = v
                     stack.append(FunctionHandle("anon", params=adef.params,
-                                                body=adef.code, captures=captures))
+                                                body=adef.code, captures=captures,
+                                                src=adef.src))
                 elif op == B.MAKE_HANDLE:
                     stack.append(FunctionHandle("named", name=a))
                 elif op == B.GLOBAL_DECL:

@@ -482,3 +482,12 @@ def test_endless_sibling_functions_still_parse():
 def scalar_of(s, name):
     h = s.get(name).host()
     return float(h.reshape(-1)[0].real)
+
+
+def test_func2str_roundtrip():
+    from helpers import run_get
+    v = run_get("s = func2str(@(x) x.^2 + 1); f = str2func(s); y = f(3);"
+                "n = nargin(@(a, b) a);", "s", "y", "n")
+    assert v["s"].to_str().startswith("@(x)")
+    assert v["y"].host()[0, 0] == 10.0
+    assert v["n"].host()[0, 0] == 2.0
