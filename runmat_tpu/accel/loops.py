@@ -19,6 +19,7 @@ trace failure abandons the attempt and the interpreter runs the loop normally.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import numpy as np
@@ -95,6 +96,9 @@ def try_device_loop(interp, frame, code, for_next_pc: int, iterable) -> Optional
             if b:           # display output -> host side effect
                 return None
             written.add(a)
+        elif op == B.BUILD_MAT:
+            if a != ():
+                return None          # only the empty [] literal is traceable
         elif op in (B.CONST, B.LOAD, B.BINOP, B.UNOP, B.MTIMES, B.TRANSPOSE,
                     B.RESOLVE_CALL, B.POP, B.DUP, B.CHECK_INTERRUPT):
             if op == B.RESOLVE_CALL and (d == 2 or c > 1):
@@ -273,6 +277,10 @@ class _Trace:
                 stack.pop()
             elif op == B.CHECK_INTERRUPT:
                 pass
+            elif op == B.BUILD_MAT:
+                if a != ():
+                    raise _Bail()
+                stack.append(MatArray.empty())
             elif op == B.RESOLVE_CALL:
                 name, nargs, nargout = a, b, c
                 args = _collect_args(stack, nargs)
@@ -299,6 +307,10 @@ class _Trace:
                 stack.append(r)
             else:
                 raise _Bail()
+        return stack
+
+    # condition windows want the residual stack (the cond value)
+    run_window = run
 
     def _op2(self, fn, opname, lhs, rhs):
         r = fn(opname, lhs, rhs) if opname is not None else fn(lhs, rhs)
@@ -466,6 +478,226 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
     out = cached(np.int32(T), np.uint32(c0 & 0xFFFFFFFF),
                  np.uint32((c0 >> 32) & 0xFFFFFFFF),
                  tuple(carry0), tuple(inv_values), itvec)
+    eng.stats["dispatches"] += 1
+
+    result = {}
+    for k, name in enumerate(names):
+        root = finals[name].dev
+        node = LazyNode(eng, "leaf", [], (), tuple(root.shape), root.dtype,
+                        value=out[k])
+        result[name] = MatArray.from_device(node, finals[name].mclass)
+    return result
+
+
+# --------------------------------------------------------------------------- #
+# while-loop device idiom
+# --------------------------------------------------------------------------- #
+
+def try_device_while(interp, frame, code, marker_pc: int, jf_pc: int,
+                     end_pc: int):
+    """Attempt to run the whole `while` loop starting at `marker_pc` as ONE
+    `lax.while_loop` on device (the data-dependent-trip-count extension of
+    the for-loop idiom; iterative solvers like `while err > tol` compile to
+    a single XLA program instead of one dispatch per iteration).
+
+    v1 eligibility: pure device math in condition and body, no RNG draws
+    (counters would become data-dependent), every written variable already
+    defined before the loop (so a zero-trip loop leaves the workspace
+    exactly as the interpreter would). Returns the resume pc on success,
+    None to fall back to plain interpretation."""
+    from ..runtime import registry
+    from . import active_engine
+    from .lazy import topo_order
+
+    eng = active_engine()
+    if eng is None:
+        return None
+    B = _bc()
+    instrs = code.instrs
+    if jf_pc is None or end_pc is None:
+        return None
+    if instrs[end_pc - 1][0] != B.JMP or instrs[end_pc - 2][0] != B.CHECK_INTERRUPT:
+        return None
+    cond_lo, cond_hi = marker_pc + 1, jf_pc
+    body_lo, body_hi = jf_pc + 1, end_pc - 2
+
+    written: set[str] = set()
+    for i in [*range(cond_lo, cond_hi), *range(body_lo, body_hi)]:
+        op, a, b, c, d = instrs[i]
+        if i < cond_hi and op == B.STORE:
+            return None              # condition with a side effect: bail
+        if op == B.STORE:
+            if b:
+                return None          # display output -> host side effect
+            written.add(a)
+        elif op == B.BUILD_MAT:
+            if a != ():
+                return None          # only the empty [] literal is traceable
+        elif op in (B.CONST, B.LOAD, B.BINOP, B.UNOP, B.MTIMES, B.TRANSPOSE,
+                    B.RESOLVE_CALL, B.POP, B.DUP, B.CHECK_INTERRUPT):
+            if op == B.RESOLVE_CALL:
+                if d == 2 or c > 1:
+                    return None
+                if a in _RNG_BUILTINS:
+                    return None      # v1: no data-dependent RNG counters
+        else:
+            return None
+    if not written:
+        if os.environ.get("RUNMAT_TPU_DEBUG_LOOPS"):
+            print("[device_while] bail: no written vars")
+        return None
+    # zero-trip safety: every written var must already exist with a carried
+    # type so skipping the loop leaves identical state
+    from ..vm.interp import NOVALUE
+    for name in written:
+        v = interp._load_name(frame, name)
+        if v is NOVALUE or not isinstance(v, MatArray) or \
+                v.mclass not in ("double", "single", "logical"):
+            if os.environ.get("RUNMAT_TPU_DEBUG_LOOPS"):
+                print(f"[device_while] bail: zero-trip var {name!r} = "
+                      f"{type(v).__name__}")
+            return None
+
+    state = interp.session.rng
+    old_cap = eng.fuse_cap
+    eng.fuse_cap = 1 << 60
+    try:
+        tr = _Trace(interp, frame, eng, registry, state, None, written, None)
+        cond_stack = tr.run_window(instrs, code.consts, cond_lo, cond_hi)
+        if len(cond_stack) != 1:
+            raise _Bail()
+        cond_v = cond_stack[0]
+        if not (isinstance(cond_v, MatArray) and cond_v.on_device
+                and cond_v.size == 1):
+            raise _Bail()            # host-computed condition: nothing to gain
+        tr.run(instrs, code.consts, body_lo, body_hi)
+        if tr.rng_blocks:
+            raise _Bail()
+        result = _build_and_run_while(eng, tr, cond_v)
+    except (_Bail, MatError, NotImplementedError):
+        if os.environ.get("RUNMAT_TPU_DEBUG_LOOPS"):
+            import traceback
+            traceback.print_exc()
+        return None
+    except Exception:
+        if os.environ.get("RUNMAT_TPU_DEBUG_LOOPS"):
+            import traceback
+            traceback.print_exc()
+        return None
+    finally:
+        eng.fuse_cap = old_cap
+
+    if os.environ.get("RUNMAT_TPU_DEBUG_LOOPS"):
+        print(f"[device_while] took over loop at pc {marker_pc}: "
+              f"carries {sorted(result)}")
+    for name, val in result.items():
+        interp._store_name(frame, name, val)
+    return end_pc
+
+
+def _build_and_run_while(eng, tr: _Trace, cond_v: MatArray) -> dict:
+    from .engine import phys_shape
+    from .lazy import topo_order
+
+    names = sorted(tr.written)
+    finals = {}
+    for name in names:
+        v = tr.shadow.get(name)
+        if not (isinstance(v, MatArray) and v.on_device):
+            raise _Bail()
+        finals[name] = v
+        if name not in tr.carry_init:
+            raise _Bail()            # zero-trip safety (checked above too)
+
+    carry_slot = {name: k for k, name in enumerate(names)}
+    carried_leaf = {id(node): carry_slot[name]
+                    for name, node in tr.carry_in.items()
+                    if name in carry_slot}
+
+    def build(roots: list):
+        order: list[LazyNode] = []
+        seen: set[int] = set()
+        for r in roots:
+            for n in topo_order(r):
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    order.append(n)
+        index = {id(n): i for i, n in enumerate(order)}
+        program = []
+        inv_values = []
+        key_parts: list = []
+        for n in order:
+            if n.op == "scalar":
+                if isinstance(n.value, _Marker):
+                    raise _Bail()    # loopvar/rng markers: not valid in while
+                program.append(("const", np.asarray(n.value, dtype=n.dtype)))
+                key_parts.append(("C", str(n.dtype)))
+            elif n.value is not None:
+                if id(n) in carried_leaf:
+                    program.append(("carry", carried_leaf[id(n)]))
+                    key_parts.append(("K", carried_leaf[id(n)],
+                                      tuple(n.value.shape), str(n.value.dtype)))
+                else:
+                    program.append(("inv", len(inv_values)))
+                    inv_values.append(n.value)
+                    key_parts.append(("I", tuple(n.value.shape),
+                                      str(n.value.dtype)))
+            else:
+                ins = tuple(index[id(i)] for i in n.inputs)
+                ishapes = tuple(i.shape for i in n.inputs)
+                program.append(("op", (n.op, n.static, n.dtype, ins, ishapes,
+                                       n.shape)))
+                key_parts.append((n.op, n.static, ins, str(n.dtype), n.shape))
+        root_idx = [index[id(r)] for r in roots]
+        return program, inv_values, key_parts, root_idx
+
+    cond_prog, cond_inv, cond_key, (cond_root,) = build([cond_v.dev])
+    body_prog, body_inv, body_key, body_roots = build(
+        [finals[n].dev for n in names])
+
+    key = ("device_while", tuple(cond_key), tuple(body_key),
+           tuple(body_roots), cond_root,
+           tuple((tuple(finals[n].dev.shape), str(finals[n].dev.dtype))
+                 for n in names))
+
+    jnp = eng.jnp
+    jax = eng.jax
+    cached = eng._jit_cache.get(key)
+    if cached is None:
+        def evaluate(program, roots, carry, invs):
+            env: list = [None] * len(program)
+            for k, (kind, payload) in enumerate(program):
+                if kind == "op":
+                    opn, static, dt, ins, ishapes, oshape = payload
+                    env[k] = eng._exec(opn, static, dt,
+                                       [env[j] for j in ins], ishapes, oshape)
+                elif kind == "carry":
+                    env[k] = carry[payload]
+                elif kind == "inv":
+                    env[k] = invs[payload]
+                elif kind == "const":
+                    env[k] = payload
+            return [env[r] for r in roots]
+
+        def run(carry0, cond_invs, body_invs):
+            def cond_fn(carry):
+                (c,) = evaluate(cond_prog, [cond_root], carry, cond_invs)
+                return jnp.reshape(c, ()).astype(bool)
+
+            def body_fn(carry):
+                outs = evaluate(body_prog, body_roots, carry, body_invs)
+                return tuple(outs)
+
+            return jax.lax.while_loop(cond_fn, body_fn, carry0)
+
+        cached = jax.jit(run)
+        eng._jit_cache[key] = cached
+        eng.stats["compiles"] += 1
+    else:
+        eng.stats["cache_hits"] += 1
+
+    carry0 = tuple(tr.carry_init[n] for n in names)
+    out = cached(carry0, tuple(cond_inv), tuple(body_inv))
     eng.stats["dispatches"] += 1
 
     result = {}

@@ -62,7 +62,9 @@ from typing import Any, Optional
                     # method dispatch on objects/ClassRef; falls back to
                     # field-read + paren-index for structs/handles
     LOADC,          # (LOADC, name) var load, else ClassRef, else 0-arg call
-) = range(47)
+    WHILE_INFO,     # (WHILE_INFO, jf_pc, end_pc) no-op marker at a while-loop
+                    # top; the interpreter may attempt a device while here
+) = range(48)
 
 OPNAMES = {v: k for k, v in list(globals().items()) if isinstance(v, int)}
 

@@ -323,6 +323,7 @@ class Compiler:
             self.code.patch(j, a=end)
 
     def _while(self, s: A.While, line: int) -> None:
+        marker = self.code.emit(B.WHILE_INFO, None, None, line=line)
         top = self.code.here()
         self.expr(s.cond)
         jf = self.code.emit(B.JMP_IF_FALSE, None, line=line)
@@ -336,6 +337,7 @@ class Compiler:
         self.code.emit(B.JMP, top, line=line)
         end = self.code.here()
         self.code.patch(jf, a=end)
+        self.code.patch(marker, a=jf, b=end)
         for bidx in breaks:
             self.code.patch(bidx, a=end)
 

@@ -80,6 +80,7 @@ def make_mexception(err: MatError) -> StructArray:
 class Interp:
     def __init__(self, session):
         self.session = session
+        self._dloop_failed: set = set()   # (code id, pc) of failed device-loop gates
         registry.ensure_loaded()
 
     # ------------------------------------------------------------------ calls
@@ -418,6 +419,17 @@ class Interp:
                         pc = b
                     else:
                         frame.vars[a] = v
+                elif op == B.WHILE_INFO:
+                    # device-while gate: try once per (code, pc); bail -> the
+                    # plain interpreter path (never required for correctness)
+                    key = (id(code), pc - 1)
+                    if key not in self._dloop_failed:
+                        from ..accel.loops import try_device_while
+                        npc = try_device_while(self, frame, code, pc - 1, a, b)
+                        if npc is not None:
+                            pc = npc
+                        else:
+                            self._dloop_failed.add(key)
                 elif op == B.FOR_POP:
                     frame.iters.pop()
                 elif op == B.MAKE_ANON:
