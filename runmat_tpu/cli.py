@@ -259,10 +259,19 @@ def _check(rest: list) -> int:
 
 
 def _benchmark(rest: list) -> int:
-    """Run the bundled benchmark suite (≙ runmat benchmark)."""
+    """Run the bundled benchmark suite (≙ runmat benchmark).
+    `--small` presets reduced sizes (CPU smoke); the scripts honor pre-set
+    workspace variables via their exist() guards."""
     import pathlib
     import time
+    rest = list(rest)
+    small = "--small" in rest
+    if small:
+        rest.remove("--small")
     sess = _make_session()
+    if small:
+        sess.run_source("points = 100000; M = 10000; T = 16; B = 2;"
+                        "H = 216; W = 384;", "<bench-small>")
     bdir = pathlib.Path(__file__).resolve().parent.parent / "benchmarks"
     names = rest or [p.stem for p in sorted(bdir.glob("*.m"))]
     for name in names:
