@@ -313,3 +313,98 @@ def load_mat(path: str) -> dict:
         if name:
             out[name] = val
     return out
+
+
+# --------------------------------------------------------------------------- #
+# MAT v7.3: HDF5-based container (≙ MATLAB -v7.3; readable by h5py/MATLAB)
+# --------------------------------------------------------------------------- #
+
+def save_mat73(path: str, variables: dict) -> None:
+    """Write a MATLAB 7.3 MAT-file: HDF5 with a 512-byte MATLAB userblock
+    and per-dataset MATLAB_class attributes. Numeric arrays store transposed
+    (v7.3 keeps C-order on disk; MATLAB shape = reversed dims)."""
+    import h5py
+
+    from .values import MatArray, StringArray, is_char
+
+    with h5py.File(path, "w", userblock_size=512) as f:
+        for name, v in variables.items():
+            if isinstance(v, MatArray) and v.mclass == "char":
+                ds = f.create_dataset(
+                    name, data=v.host().astype("<u2").T)
+                ds.attrs["MATLAB_class"] = np.bytes_("char")
+                ds.attrs["MATLAB_int_decode"] = np.int32(2)
+            elif isinstance(v, MatArray):
+                h = v.host()
+                if h.dtype.kind == "c":
+                    dt = np.dtype([("real", "<f8"), ("imag", "<f8")])
+                    packed = np.empty(h.T.shape, dtype=dt)
+                    packed["real"] = np.real(h).T
+                    packed["imag"] = np.imag(h).T
+                    ds = f.create_dataset(name, data=packed)
+                else:
+                    ds = f.create_dataset(name, data=np.asarray(h).T)
+                cls = {"logical": "logical"}.get(v.mclass, v.mclass)
+                ds.attrs["MATLAB_class"] = np.bytes_(cls)
+                if v.mclass == "logical":
+                    ds.attrs["MATLAB_int_decode"] = np.int32(1)
+            elif isinstance(v, StringArray) and v.size == 1:
+                s = v.item() or ""
+                ds = f.create_dataset(
+                    name,
+                    data=np.array([[ord(c) for c in s]], dtype="<u2").T
+                    if s else np.zeros((0, 0), dtype="<u2"))
+                ds.attrs["MATLAB_class"] = np.bytes_("char")
+                ds.attrs["MATLAB_int_decode"] = np.int32(2)
+            # other container types fall back to the v5 writer at the caller
+    # MATLAB header in the userblock
+    import time as _t
+    header = (f"MATLAB 7.3 MAT-file, Platform: runmat-tpu, Created on: "
+              f"{_t.strftime('%a %b %d %H:%M:%S %Y')} HDF5 schema 1.00 .")
+    head = header.encode()[:116].ljust(116, b" ")
+    head += b"\x00" * 9 + b"IM" + bytes([0x02, 0x73])  # version 0x0200 + 'MI'
+    with open(path, "r+b") as fb:
+        fb.write(head.ljust(512, b"\x00"))
+
+
+def load_mat73(path: str) -> dict:
+    import h5py
+
+    from . import dtypes as _dt
+    from .values import MatArray
+
+    out: dict = {}
+    with h5py.File(path, "r") as f:
+        for name in f:
+            if name.startswith("#"):
+                continue
+            ds = f[name]
+            if not hasattr(ds, "attrs"):
+                continue
+            cls = ds.attrs.get("MATLAB_class", b"double")
+            cls = cls.decode() if isinstance(cls, bytes) else str(cls)
+            data = np.asarray(ds)
+            if data.dtype.names and set(data.dtype.names) >= {"real", "imag"}:
+                arr = (data["real"] + 1j * data["imag"]).T
+                out[name] = MatArray(arr, "double")
+                continue
+            arr = data.T if data.ndim >= 2 else data.reshape(1, -1)
+            if cls == "char":
+                out[name] = MatArray(arr.astype(np.uint32), "char")
+            elif cls == "logical":
+                out[name] = MatArray(arr.astype(bool), "logical")
+            elif cls in ("double", "single", "int8", "int16", "int32", "int64",
+                         "uint8", "uint16", "uint32", "uint64"):
+                out[name] = MatArray(arr.astype(_dt.np_dtype(cls)), cls)
+            else:
+                out[name] = MatArray(arr.astype(np.float64), "double")
+    return out
+
+
+def is_mat73(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(128)
+        return head.startswith(b"MATLAB 7.3")
+    except OSError:
+        return False

@@ -113,32 +113,55 @@ def m_readmatrix(path):
 
 @builtin("save", category="io", min_in=1, pass_ctx=True)
 def m_save(path, *names, ctx=None):
-    """save('file.mat', 'x', 'y') — Level-5 MAT-file (runmat_tpu/matio.py)."""
-    from ...matio import save_mat
+    """save('file.mat', 'x', ..., flags) — Level-5 MAT-file by default;
+    '-v7.3' writes the HDF5-based container, '-ascii' plain text,
+    '-append' merges into an existing file (runmat_tpu/matio.py)."""
+    from ...matio import load_mat, save_mat, save_mat73
     p = text_of(path)
-    if not p.endswith(".mat"):
+    flags = {text_of(n).lower() for n in names if text_of(n).startswith("-")}
+    var_names = [text_of(n) for n in names if not text_of(n).startswith("-")]
+    ascii_mode = "-ascii" in flags
+    if not ascii_mode and not p.endswith(".mat"):
         p += ".mat"
     frame = ctx.frame
     to_save = {}
-    sel = [text_of(n) for n in names] if names else \
-        [k for k in frame.vars if not k.startswith("@")]
+    sel = var_names or [k for k in frame.vars if not k.startswith("@")]
     for n in sel:
         v = frame.vars.get(n)
         if v is None:
             raise MatError("MATLAB:save:variableNotFound",
                            f"Variable '{n}' not found.")
         to_save[n] = v
-    save_mat(p, to_save)
+    if ascii_mode:
+        lines = []
+        for v in to_save.values():
+            h = v.host().astype(np.float64)
+            for row in np.atleast_2d(h):
+                lines.append("  ".join(f"{x: .7e}" for x in row))
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return None
+    if "-append" in flags and os.path.exists(p):
+        merged = load_mat(p)
+        merged.update(to_save)
+        to_save = merged
+    if "-v7.3" in flags:
+        save_mat73(p, to_save)
+    else:
+        save_mat(p, to_save)
     return None
 
 
 @builtin("load", category="io", min_in=1, pass_ctx=True, pass_nargout=True)
 def m_load(path, *names, ctx=None, nargout=0):
-    from ...matio import load_mat
+    from ...matio import is_mat73, load_mat, load_mat73
     p = text_of(path)
     if not os.path.exists(p) and os.path.exists(p + ".mat"):
         p += ".mat"
-    data = load_mat(p)
+    if not os.path.exists(p):
+        raise MatError("MATLAB:load:couldNotReadFile",
+                       f"Unable to read file '{text_of(path)}'. No such file.")
+    data = load_mat73(p) if is_mat73(p) else load_mat(p)
     sel = [text_of(n) for n in names] if names else list(data)
     loaded = {}
     for n in sel:

@@ -124,3 +124,42 @@ def test_string_array_saves_as_cellstr():
     sa = StringArray(np.array([["ab", "cd"]], dtype=object))
     out, _ = roundtrip(s=sa)
     assert out["s"].data[0, 1].to_str() == "cd"
+
+
+def test_save_v73_roundtrip(tmp_path):
+    from helpers import run_get
+    p = tmp_path / "v73.mat"
+    v = run_get(
+        f"x = magic(4); msg = 'hello'; z = 1+2i; L = logical([1 0 1]);"
+        f"save('{p}', 'x', 'msg', 'z', 'L', '-v7.3');"
+        f"clear; load('{p}');"
+        "sx = sum(x(:));", "sx", "msg", "z", "L")
+    assert v["sx"].host()[0, 0] == 136.0
+    assert v["msg"].to_str() == "hello"
+    assert complex(v["z"].host()[0, 0]) == 1 + 2j
+    assert v["L"].host().tolist() == [[True, False, True]]
+    # the file is genuinely HDF5 with a MATLAB userblock
+    head = p.read_bytes()[:16]
+    assert head.startswith(b"MATLAB 7.3")
+    import h5py
+    assert h5py.is_hdf5(str(p))
+    with h5py.File(p, "r") as f:
+        assert f["x"].attrs["MATLAB_class"] == b"double"
+
+
+def test_save_append_and_ascii(tmp_path):
+    from helpers import run_get
+    p = tmp_path / "ap.mat"
+    t = tmp_path / "a.txt"
+    v = run_get(
+        f"a = 1; save('{p}', 'a'); b = 2; save('{p}', 'b', '-append');"
+        f"clear; load('{p}'); s = a + b;"
+        f"m = [1 2; 3 4]; save('{t}', 'm', '-ascii');", "s")
+    assert v["s"].host()[0, 0] == 3.0
+    txt = t.read_text()
+    assert "1.0000000e+00" in txt
+
+
+def test_load_missing_file_error():
+    from helpers import fails
+    fails("load('/definitely/not/here.mat');", "couldNotReadFile")
