@@ -226,13 +226,21 @@ def m_fspecial(kind, arg1=None, arg2=None):
 def m_imwrite(x, path):
     from ...plot.raster import encode_png
     p = text_of(path)
-    if not p.lower().endswith(".png"):
-        raise bad_arg("imwrite", "Only PNG output is supported.")
     h = x.host()
     if x.mclass == "uint8":
         rgb = h.astype(np.uint8)
     else:
         rgb = (np.clip(h.astype(np.float64), 0, 1) * 255).astype(np.uint8)
+    if not p.lower().endswith(".png"):
+        # JPEG/BMP/TIFF/... through the host imaging library (the PNG path
+        # below stays dependency-free)
+        try:
+            from PIL import Image
+        except ImportError:
+            raise bad_arg("imwrite",
+                          "Only PNG output is supported without PIL.")
+        Image.fromarray(rgb).save(p)
+        return None
     if rgb.ndim == 2:
         rgb = np.stack([rgb] * 3, axis=2)
     with open(p, "wb") as f:
@@ -247,7 +255,12 @@ def m_imread(path):
     with open(p, "rb") as f:
         data = f.read()
     if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise bad_arg("imread", "Only PNG input is supported.")
+        try:
+            from PIL import Image
+        except ImportError:
+            raise bad_arg("imread", "Only PNG input is supported without PIL.")
+        img = np.asarray(Image.open(p))
+        return MatArray(np.ascontiguousarray(img), "uint8")
     pos = 8
     idat = b""
     w = h = bitd = ctype = None

@@ -143,7 +143,18 @@ class Interp:
             kw["nargout"] = nargout
         if b.pass_ctx:
             kw["ctx"] = Ctx(self, frame, nargout)
-        res = b.fn(*args, **kw)
+        prof = getattr(self.session, "_profile", None)
+        if prof is not None:
+            import time as _time
+            t0 = _time.perf_counter()
+            try:
+                res = b.fn(*args, **kw)
+            finally:
+                rec = prof.setdefault(b.name, [0, 0.0])
+                rec[0] += 1
+                rec[1] += _time.perf_counter() - t0
+        else:
+            res = b.fn(*args, **kw)
         if res is None:
             return []
         if isinstance(res, list):
@@ -154,6 +165,20 @@ class Interp:
 
     def call_user(self, code: B.Code, args: list, nargout: int,
                   parent: Frame = None) -> list:
+        prof = getattr(self.session, "_profile", None)
+        if prof is not None and not code.is_script:
+            import time as _time
+            t0 = _time.perf_counter()
+            try:
+                return self._call_user_impl(code, args, nargout, parent)
+            finally:
+                rec = prof.setdefault(code.name, [0, 0.0])
+                rec[0] += 1
+                rec[1] += _time.perf_counter() - t0
+        return self._call_user_impl(code, args, nargout, parent)
+
+    def _call_user_impl(self, code: B.Code, args: list, nargout: int,
+                        parent: Frame = None) -> list:
         nparams = len(code.params) - (1 if code.has_varargin else 0)
         nv_param = None
         if code.arg_specs and any(sp[1] is not None for sp in code.arg_specs):

@@ -119,3 +119,29 @@ def test_timer_periodic_and_find():
             "f = timerfind('Name', 'mytimer'); fn = f.Name; t.delete();")
     assert s.get("n").host()[0, 0] == 3.0
     assert s.get("fn").to_str() == "mytimer"
+
+
+def test_profiler():
+    from helpers import run, run_get
+    v = run_get("profile on; x = sin(rand(10)); s = mysum3(x);"
+                "profile off; info = profile('info');"
+                "t = info.FunctionTable; n = size(t, 1);"
+                "function y = mysum3(x), y = sum(x(:)); end",
+                "n", "t")
+    assert v["n"].host()[0, 0] >= 3
+    names = [v["t"].fields["FunctionName"][i, 0].to_str()
+             for i in range(int(v["n"].host()[0, 0]))]
+    assert "sin" in names and "mysum3" in names
+    calls = {nm: v["t"].fields["NumCalls"][i, 0].host()[0, 0]
+             for i, nm in enumerate(names)}
+    assert calls["mysum3"] == 1.0
+
+
+def test_imwrite_jpeg(tmp_path):
+    from helpers import run_get
+    p = tmp_path / "img.jpg"
+    v = run_get(f"imwrite(uint8(128*ones(8, 8, 3)), '{p}');"
+                f"img = imread('{p}'); s = size(img);", "s", "img")
+    assert v["s"].host().reshape(-1)[:2].tolist() == [8.0, 8.0]
+    import numpy as np
+    assert abs(float(np.mean(v["img"].host())) - 128) < 4  # jpeg lossy
