@@ -174,10 +174,17 @@ def m_factor_sym(e):
 
 @builtin("subs", category="math/symbolic", min_in=3, max_in=3)
 def m_subs(e, old, new):
+    """subs(e, old, new) — old/new may be arrays for simultaneous
+    substitution (subs(e, [a b], [1 2]))."""
     se = _to_sym(e)
-    ov = _to_sym(old).exprs.reshape(-1)[0]
-    nv = _to_sym(new).exprs.reshape(-1)[0]
-    return se.map(lambda x: x.subs(ov, nv))
+    ovs = list(_to_sym(old).exprs.reshape(-1))
+    nvs = list(_to_sym(new).exprs.reshape(-1))
+    if len(nvs) == 1 and len(ovs) > 1:
+        nvs = nvs * len(ovs)
+    if len(ovs) != len(nvs):
+        raise bad_arg("subs", "OLD and NEW must have the same number of elements.")
+    pairs = list(zip(ovs, nvs))
+    return se.map(lambda x: x.subs(pairs, simultaneous=True))
 
 
 @builtin("solve_sym", category="math/symbolic", min_in=1, max_in=2,

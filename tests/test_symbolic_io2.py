@@ -71,3 +71,14 @@ def test_webread_file_json():
         p = os.path.join(d, "w.json")
         open(p, "w").write('{"a": 5, "b": [1, 2]}')
         assert scalar(f"r = webread('file://{p}'); x = r.a;") == 5.0
+
+
+def test_sym_concat_and_multisubs():
+    from helpers import run_get
+    v = run_get("syms a b; e = expand((a+b)^2);"
+                "y = double(subs(e, [a b], [1 2]));"
+                "m = [a b; b a]; s = size(m);"
+                "d = double(subs(m(1,2), b, 7));", "y", "s", "d")
+    assert v["y"].host()[0, 0] == 9.0
+    assert v["s"].host().tolist() == [[2.0, 2.0]]
+    assert v["d"].host()[0, 0] == 7.0
