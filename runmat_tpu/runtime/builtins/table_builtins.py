@@ -95,11 +95,29 @@ def m_table2array(t):
 
 @builtin("struct2table", category="table", min_in=1, max_in=1)
 def m_struct2table(s):
-    from ...values import StructArray
-    if not isinstance(s, StructArray) or not s.is_scalar:
-        raise bad_arg("struct2table", "Input must be a scalar struct.")
+    from ...values import MatArray, StructArray
+    if not isinstance(s, StructArray):
+        raise bad_arg("struct2table", "Input must be a struct.")
     names = list(s.fields)
-    cols = [s.fields[k].reshape(-1)[0] for k in names]
+    if s.is_scalar:
+        cols = [s.fields[k].reshape(-1)[0] for k in names]
+        return MatTable(names, cols)
+    # struct array: one row per element, scalar fields stack into columns
+    import numpy as np
+    cols = []
+    for k in names:
+        elems = list(s.fields[k].reshape(-1, order="F"))
+        if all(isinstance(e, MatArray) and e.size == 1 and e.mclass != "char"
+               for e in elems):
+            vals = np.array([[float(e.host().reshape(-1)[0].real)]
+                             for e in elems])
+            cols.append(MatArray(vals, "double"))
+        else:
+            from ...values import CellArray
+            data = np.empty((len(elems), 1), dtype=object)
+            for i, e in enumerate(elems):
+                data[i, 0] = e
+            cols.append(CellArray(data))
     return MatTable(names, cols)
 
 

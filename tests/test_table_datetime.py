@@ -110,3 +110,16 @@ def test_datenum_datestr():
     s = run("n = datenum(datetime(2026, 8, 16)); t = datestr(datetime(2026, 8, 16));")
     assert "Aug-2026" in s.get("t").to_str()
     assert float(s.get("n").host()[0, 0]) == 740210.0
+
+
+def test_table_row_delete_and_assign():
+    from helpers import run_get
+    v = run_get("t = table([1;2;3], [4;5;6]); t(2,:) = []; h = height(t);"
+                "t(1,:) = table(9, 8); a = t{1,1}; b = t{1,2};"
+                "s = struct2table(struct('a', {1; 2})); hs = height(s);"
+                "sa = s.a(2);", "h", "a", "b", "hs", "sa")
+    assert v["h"].host()[0, 0] == 2.0
+    assert v["a"].host()[0, 0] == 9.0
+    assert v["b"].host()[0, 0] == 8.0
+    assert v["hs"].host()[0, 0] == 2.0
+    assert v["sa"].host()[0, 0] == 2.0
