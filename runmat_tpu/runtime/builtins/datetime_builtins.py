@@ -208,6 +208,14 @@ def dt_binary(op, a, b):
     ub = isinstance(b, MatDuration)
     if not (da or db or ua or ub):
         return None
+    # calendar durations: month-granular arithmetic (datetime2.caldur_add)
+    from .datetime2 import caldur_add, is_caldur
+    if op in ("add", "sub"):
+        sign = 1.0 if op == "add" else -1.0
+        if da and is_caldur(b):
+            return caldur_add(a, b, sign)
+        if db and is_caldur(a) and op == "add":
+            return caldur_add(b, a, 1.0)
     if op == "add":
         if da and ub:
             return MatDatetime(a.data + b.data)

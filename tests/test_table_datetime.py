@@ -123,3 +123,44 @@ def test_table_row_delete_and_assign():
     assert v["b"].host()[0, 0] == 8.0
     assert v["hs"].host()[0, 0] == 2.0
     assert v["sa"].host()[0, 0] == 2.0
+
+
+def test_calendar_durations():
+    from helpers import run_get
+    v = run_get("t = datetime(2024,1,31) + calmonths(1); [y,m,d] = ymd(t);"
+                "t2 = datetime(2023,5,10) + calyears(1) + caldays(3);"
+                "[y2,m2,d2] = ymd(t2);", "y", "m", "d", "y2", "m2", "d2")
+    assert (v["y"].host()[0,0], v["m"].host()[0,0], v["d"].host()[0,0]) == (2024, 2, 29)
+    assert (v["y2"].host()[0,0], v["m2"].host()[0,0], v["d2"].host()[0,0]) == (2024, 5, 13)
+
+
+def test_dateshift_between_epochs():
+    from helpers import run_get
+    import numpy as np
+    v = run_get("s = dateshift(datetime(2024,3,15), 'start', 'month');"
+                "[~, sm, sd] = ymd(s);"
+                "e = dateshift(datetime(2024,2,10), 'end', 'month');"
+                "[~, em, ed] = ymd(e);"
+                "c = between(datetime(2024,1,15), datetime(2024,3,20));"
+                "cm = c.months; cd = c.days;"
+                "p = posixtime(datetime(1970,1,2));"
+                "j = juliandate(datetime(2000,1,1,12,0,0));"
+                "x = exceltime(datetime(1900,1,1));"
+                "b = isbetween(datetime(2024,2,1), datetime(2024,1,1), datetime(2024,3,1));",
+                "sm", "sd", "em", "ed", "cm", "cd", "p", "j", "x", "b")
+    assert (v["sm"].host()[0,0], v["sd"].host()[0,0]) == (3, 1)
+    assert (v["em"].host()[0,0], v["ed"].host()[0,0]) == (2, 29)
+    assert v["cm"].host()[0,0] == 2 and v["cd"].host()[0,0] == 5
+    assert v["p"].host()[0,0] == 86400.0
+    assert v["j"].host()[0,0] == 2451545.0   # J2000 epoch
+    assert v["x"].host()[0,0] == 2.0
+    assert v["b"].host()[0,0]
+
+
+def test_hms_week():
+    from helpers import run_get
+    v = run_get("[h, m, s] = hms(datetime(2024,1,1,13,45,30));"
+                "w = week(datetime(2024,1,10));", "h", "m", "s", "w")
+    assert v["h"].host()[0,0] == 13 and v["m"].host()[0,0] == 45
+    assert abs(v["s"].host()[0,0] - 30) < 1e-9
+    assert v["w"].host()[0,0] == 2.0
