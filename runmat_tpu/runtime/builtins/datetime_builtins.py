@@ -139,14 +139,37 @@ for _name, _f in (("days", 86400e6), ("hours", 3600e6), ("minutes", 60e6),
     builtin(_name, category="datetime", min_in=1, max_in=1)(_dur_from(_f))
 
 
-def _comp(name, getter):
-    @builtin(name, category="datetime", min_in=1, max_in=1)
-    def _g(x, _get=getter):
+_COMP_KINDS = {
+    # (builtin, kind) -> getter over datetime.datetime
+    ("day", "dayofmonth"): lambda t: t.day,
+    ("day", "dayofyear"): lambda t: t.timetuple().tm_yday,
+    ("day", "dayofweek"): lambda t: (t.weekday() + 1) % 7 + 1,  # 1=Sunday
+    ("day", "name"): lambda t: t.strftime("%A"),
+    ("day", "shortname"): lambda t: t.strftime("%a"),
+    ("month", "monthofyear"): lambda t: t.month,
+    ("month", "name"): lambda t: t.strftime("%B"),
+    ("month", "shortname"): lambda t: t.strftime("%b"),
+}
+
+
+def _comp(name, getter, default_kind=None):
+    @builtin(name, category="datetime", min_in=1, max_in=2)
+    def _g(x, kind=None, _get=getter, _name=name):
         if not isinstance(x, MatDatetime):
-            raise bad_arg(name, "Input must be a datetime array.")
+            raise bad_arg(_name, "Input must be a datetime array.")
+        get = _get
+        if kind is not None:
+            k = text_of(kind).lower()
+            get = _COMP_KINDS.get((_name, k))
+            if get is None:
+                raise bad_arg(_name, f"Unknown kind '{text_of(kind)}'.")
         flat = x.data.reshape(-1)
-        out = np.array([_get(t.astype(_dt.datetime)) for t in flat],
-                       dtype=np.float64)
+        vals = [get(t.astype(_dt.datetime)) for t in flat]
+        if vals and isinstance(vals[0], str):
+            from ...values import StringArray
+            data = np.array(vals, dtype=object).reshape(x.shape)
+            return StringArray(data)
+        out = np.array(vals, dtype=np.float64)
         return MatArray(out.reshape(x.shape), "double")
     return _g
 
@@ -159,13 +182,53 @@ _comp("minute", lambda t: t.minute)
 _comp("second", lambda t: t.second + t.microsecond / 1e6)
 
 
+_DATESTR_IDS = {
+    0: "dd-mmm-yyyy HH:MM:SS", 1: "dd-mmm-yyyy", 13: "HH:MM:SS",
+    15: "HH:MM", 23: "mm/dd/yyyy", 26: "yyyy/mm/dd", 29: "yyyy-mm-dd",
+    30: "yyyymmddTHHMMSS", 31: "yyyy-mm-dd HH:MM:SS",
+}
+
+
+def _matlab_datefmt(t: "_dt.datetime", fmt: str) -> str:
+    """Translate a MATLAB date-format string and render t."""
+    # longest tokens first; strftime-escape everything else literally
+    subs = [("yyyy", "%Y"), ("yy", "%y"), ("mmmm", "%B"), ("mmm", "%b"),
+            ("mm", "%m"), ("dddd", "%A"), ("ddd", "%a"), ("dd", "%d"),
+            ("HH", "%H"), ("MM", "%M"), ("SS", "%S"),
+            ("FFF", f"{t.microsecond // 1000:03d}"),
+            ("AM", "%p"), ("PM", "%p")]
+    out = []
+    i = 0
+    while i < len(fmt):
+        for tok, rep in subs:
+            if fmt.startswith(tok, i):
+                out.append(rep)
+                i += len(tok)
+                break
+        else:
+            out.append(fmt[i].replace("%", "%%"))
+            i += 1
+    pattern = "".join(out)
+    if "%p" in pattern:
+        pattern = pattern.replace("%H", "%I")
+    return t.strftime(pattern)
+
+
 @builtin("datestr", category="datetime", min_in=1, max_in=2)
 def m_datestr(x, fmt=None):
     if isinstance(x, MatDatetime):
         t = x.data.reshape(-1)[0].astype(_dt.datetime)
     else:
         t = _datenum_to_dt(float(_num(x).reshape(-1)[0]))
-    return MatArray.char_from_str(t.strftime("%d-%b-%Y %H:%M:%S"))
+    if fmt is None:
+        return MatArray.char_from_str(t.strftime("%d-%b-%Y %H:%M:%S"))
+    if is_text(fmt):
+        return MatArray.char_from_str(_matlab_datefmt(t, text_of(fmt)))
+    fid = int(fmt.host().reshape(-1)[0])
+    pattern = _DATESTR_IDS.get(fid)
+    if pattern is None:
+        raise bad_arg("datestr", f"Unsupported date format number {fid}.")
+    return MatArray.char_from_str(_matlab_datefmt(t, pattern))
 
 
 _MATLAB_EPOCH = _dt.datetime(1, 1, 1)  # datenum 367

@@ -164,3 +164,17 @@ def test_hms_week():
     assert v["h"].host()[0,0] == 13 and v["m"].host()[0,0] == 45
     assert abs(v["s"].host()[0,0] - 30) < 1e-9
     assert v["w"].host()[0,0] == 2.0
+
+
+def test_day_kinds_and_datestr_formats():
+    from helpers import run_get
+    v = run_get("t = datetime(2024,3,15,14,30,0);"
+                "doy = day(t, 'dayofyear'); nm = day(t, 'name');"
+                "s1 = datestr(t, 'yyyy-mm-dd HH:MM'); s2 = datestr(t, 29);"
+                "mn = month(t, 'shortname');",
+                "doy", "nm", "s1", "s2", "mn")
+    assert v["doy"].host()[0, 0] == 75.0
+    assert v["nm"].item() == "Friday"
+    assert v["s1"].to_str() == "2024-03-15 14:30"
+    assert v["s2"].to_str() == "2024-03-15"
+    assert v["mn"].item() == "Mar"
