@@ -475,8 +475,9 @@ def m_regexprep(s, pat, rep, *opts):
 def m_regexp(s, pat, *opts, nargout=1):
     t = text_of(s)
     p = _matlab_regex(text_of(pat))
-    mode = [text_of(o) for o in opts if is_text(o)]
-    matches = list(re.finditer(p, t))
+    mode = [text_of(o).lower() for o in opts if is_text(o)]
+    flags = re.IGNORECASE if "ignorecase" in mode else 0
+    matches = list(re.finditer(p, t, flags))
     once = "once" in mode
     results = {}
     results["start"] = [m.start() + 1 for m in matches]
@@ -516,12 +517,23 @@ def m_regexp(s, pat, *opts, nargout=1):
                     inner[0, j] = MatArray.char_from_str(tk)
                 data[0, i] = CellArray(inner)
             out.append(CellArray(data))
+        elif key == "names":
+            from ...values import StructArray
+            if matches:
+                gd = matches[0].groupdict()
+                out.append(StructArray.scalar(
+                    {k: MatArray.char_from_str(v or "") for k, v in gd.items()}))
+            else:
+                out.append(StructArray({}, (0, 0)))
+    if not out:
+        out = [MatArray.empty()]
     return out[:max(1, nargout)] if len(out) > 1 else out[0]
 
 
 def _matlab_regex(p: str) -> str:
-    # MATLAB regex is close to PCRE; translate (?<name>...) already compatible.
-    return p
+    """MATLAB (PCRE-flavored) regex -> Python re: named groups `(?<n>)` become
+    `(?P<n>)`; lookbehind `(?<=`/`(?<!` stay untouched."""
+    return re.sub(r"\(\?<(?![=!])", "(?P<", p)
 
 
 @builtin("blanks", category="strings", min_in=1, max_in=1)

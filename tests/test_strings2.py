@@ -97,3 +97,14 @@ def test_strip_strjust():
     assert v["a"].to_str() == "pad"
     assert v["b"].to_str() == "a"
     assert v["c"].to_str() == "   ab"
+
+
+def test_regexp_names_split_ignorecase():
+    v = run_get("n = regexp('John Smith', '(?<first>\\w+)\\s(?<last>\\w+)', 'names');"
+                "last = n.last;"
+                "m0 = regexp('AbC', 'abc', 'match', 'ignorecase'); m = m0{1};"
+                "p = regexp('a,b;c', '[,;]', 'split'); third = p{3};",
+                "last", "m", "third")
+    assert v["last"].to_str() == "Smith"
+    assert v["m"].to_str() == "AbC"
+    assert v["third"].to_str() == "c"
