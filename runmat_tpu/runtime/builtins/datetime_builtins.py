@@ -71,22 +71,47 @@ def _num(v) -> np.ndarray:
     return v.host().astype(np.float64)
 
 
+_DT_INFMT_SUBS = [("yyyy", "%Y"), ("yy", "%y"), ("MMMM", "%B"), ("MMM", "%b"),
+                  ("MM", "%m"), ("dd", "%d"), ("HH", "%H"), ("mm", "%M"),
+                  ("ss", "%S")]
+
+
+def _parse_dt_text(t: str, infmt: str = None) -> "_dt.datetime":
+    if infmt is not None:
+        pat = infmt
+        for tok, rep in _DT_INFMT_SUBS:
+            pat = pat.replace(tok, rep)
+        return _dt.datetime.strptime(t, pat)
+    for pat in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d",
+                "%d-%b-%Y %H:%M:%S", "%d-%b-%Y", "%m/%d/%Y %H:%M:%S",
+                "%m/%d/%Y", "%Y/%m/%d"):
+        try:
+            return _dt.datetime.strptime(t, pat)
+        except ValueError:
+            continue
+    raise bad_arg("datetime", f"Cannot parse datetime text '{t}'.")
+
+
 @builtin("datetime", category="datetime", max_in=None)
 def m_datetime(*args):
     if not args:
         now = np.datetime64(_dt.datetime.now(), "us")
         return MatDatetime(np.full((1, 1), now))
-    if len(args) == 1 and is_text(args[0]):
+    if is_text(args[0]):
         t = text_of(args[0])
         if t == "now":
             return MatDatetime(np.full((1, 1), np.datetime64(_dt.datetime.now(), "us")))
         if t == "today":
             today = _dt.date.today()
             return MatDatetime(np.full((1, 1), np.datetime64(today, "us")))
-        try:
-            return MatDatetime(np.full((1, 1), np.datetime64(t.replace("/", "-"), "us")))
-        except ValueError:
-            raise bad_arg("datetime", f"Cannot parse datetime text '{t}'.")
+        infmt = None
+        rest = list(args[1:])
+        for i in range(0, len(rest) - 1, 2):
+            if is_text(rest[i]) and text_of(rest[i]) in ("InputFormat", "Format"):
+                if text_of(rest[i]) == "InputFormat":
+                    infmt = text_of(rest[i + 1])
+        return MatDatetime(np.full((1, 1),
+                                   np.datetime64(_parse_dt_text(t, infmt), "us")))
     # numeric (Y, M, D [, H, MI, S]) component form, arrays broadcast
     comps = [_num(a) for a in args[:6]]
     while len(comps) < 6:

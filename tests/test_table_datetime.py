@@ -178,3 +178,13 @@ def test_day_kinds_and_datestr_formats():
     assert v["s1"].to_str() == "2024-03-15 14:30"
     assert v["s2"].to_str() == "2024-03-15"
     assert v["mn"].item() == "Mar"
+
+
+def test_datetime_text_parsing():
+    from helpers import run_get
+    v = run_get("a = datetime('2024-03-15', 'InputFormat', 'yyyy-MM-dd');"
+                "b = datetime('15-Mar-2024'); c = datetime('03/15/2024');"
+                "ya = year(a); mb = month(b); dc = day(c);", "ya", "mb", "dc")
+    assert v["ya"].host()[0, 0] == 2024.0
+    assert v["mb"].host()[0, 0] == 3.0
+    assert v["dc"].host()[0, 0] == 15.0
