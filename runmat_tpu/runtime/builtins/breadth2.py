@@ -424,6 +424,30 @@ class MapValue:
     def copy(self):
         return self        # Map is a handle class in MATLAB
 
+    # dot-method / property protocol (≙ containers.Map.keys/values/isKey/
+    # remove dotted builtins in the reference)
+    def _mat_call_method_(self, interp, frame, fname, args, nargout):
+        if fname == "keys":
+            return [m_keys(self)]
+        if fname == "values":
+            return [m_values(self, *args)]
+        if fname == "isKey":
+            return [m_iskey(self, args[0])]
+        if fname == "remove":
+            return [m_remove(self, args[0])]
+        if fname == "length":
+            return [MatArray.scalar(float(len(self.store)))]
+        return NotImplemented
+
+    def _mat_get_field_(self, fname):
+        if fname == "Count":
+            return MatArray.scalar(float(len(self.store)))
+        if fname == "KeyType":
+            return MatArray.char_from_str("char")
+        if fname == "ValueType":
+            return MatArray.char_from_str("any")
+        return NotImplemented
+
 
 def _map_ctor(*args):
     m = MapValue()
