@@ -525,3 +525,27 @@ def m_wrap_to_360(x):
     r = np.mod(h, 360.0)
     r[(r == 0) & (h > 0)] = 360.0
     return MatArray(r, "double")
+
+
+@builtin("shiftdim", category="array/shape", min_in=1, max_in=2,
+         pass_nargout=True)
+def m_shiftdim(x, n=None, nargout=1):
+    h = x.host()
+    if n is None:
+        # remove leading singleton dims
+        k = 0
+        shape = h.shape
+        while k < len(shape) - 1 and shape[k] == 1:
+            k += 1
+        out = h.reshape(shape[k:] if len(shape[k:]) >= 2 else shape[k:] + (1,))
+        if nargout <= 1:
+            return MatArray(out, x.mclass)
+        return [MatArray(out, x.mclass), MatArray.scalar(float(k))]
+    kk = scalar_int(n, "n")
+    nd = h.ndim
+    if kk >= 0:
+        order = list(range(kk % nd, nd)) + list(range(kk % nd))
+        out = np.transpose(h, order)
+    else:
+        out = h.reshape((1,) * (-kk) + h.shape)
+    return MatArray(out, x.mclass)

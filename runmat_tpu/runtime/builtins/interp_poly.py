@@ -98,8 +98,24 @@ def _spline_eval(x, y, q, method):
     return h00 * y[idx] + h10 * h[idx] * m[idx] + h01 * y[idx + 1] + h11 * h[idx] * m[idx + 1]
 
 
-@builtin("interp2", category="math/interpolation", min_in=3, max_in=6)
+@builtin("interp2", category="math/interpolation", min_in=1, max_in=6)
 def m_interp2(*args):
+    if len(args) <= 2 and not (len(args) == 2 and
+                               getattr(args[1], "size", 2) > 1):
+        # refinement form: interp2(V[, k]) doubles the grid k times
+        V = args[0]
+        k = int(args[1].host().reshape(-1)[0]) if len(args) == 2 else 1
+        v = V.host().astype(np.float64)
+        m0, n0 = v.shape
+        factor = 2 ** k
+        xq1 = np.linspace(1, n0, (n0 - 1) * factor + 1)
+        yq1 = np.linspace(1, m0, (m0 - 1) * factor + 1)
+        XQ, YQ = np.meshgrid(xq1, yq1)
+        from ...values import MatArray as _MA
+        return m_interp2(
+            _MA(np.arange(1.0, n0 + 1).reshape(1, -1), "double"),
+            _MA(np.arange(1.0, m0 + 1).reshape(-1, 1), "double"),
+            V, _MA(XQ, "double"), _MA(YQ, "double"))
     if len(args) >= 5:
         X, Y, V, XQ, YQ = args[:5]
         xv = X.host().astype(np.float64)

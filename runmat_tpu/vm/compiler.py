@@ -129,6 +129,15 @@ class Compiler:
         c = Compiler("@anon", is_script=False)
         c.code.params = list(e.params)
         c.expr(e.body)
+        # multi-output tail call: @(x) deal(x, 2*x) must propagate the
+        # caller's nargout — mark the tail call with the -1 sentinel, which
+        # the interpreter resolves to the frame's nargout at run time
+        if c.code.instrs:
+            op, a, b2, c2, d2 = c.code.instrs[-1]
+            if op == B.RESOLVE_CALL and c2 == 1:
+                c.code.instrs[-1] = (op, a, b2, -1, d2)
+            elif op == B.DYNCALL and b2 == 1:
+                c.code.instrs[-1] = (op, a, -1, c2, d2)
         c.code.emit(B.RET)
         free: set = set()
         _free_idents(e.body, free)

@@ -254,6 +254,8 @@ class Interp:
             val = stack[-1] if stack else NOVALUE
             if isinstance(val, OutputList):
                 return list(val.items[:max(1, nargout)])
+            if isinstance(val, list):   # multi-output tail call results
+                return val[:max(1, nargout)]
             return [] if val is NOVALUE else [val]
         if isinstance(fv, (MatArray, StringArray)) :
             from ..values import text_of
@@ -360,8 +362,9 @@ class Interp:
                 elif op == B.DYNCALL:
                     args = _collect_args(stack, a)
                     fv = stack.pop()
-                    res = self.call_value(fv, args, b, frame)
-                    _push_results(stack, res, b)
+                    nout = max(frame.nargout, 1) if b == -1 else b
+                    res = self.call_value(fv, args, nout, frame)
+                    _push_results(stack, res, nout)
                 elif op == B.INDEX:
                     args = _collect_args(stack, a)
                     base = _unwrap1(stack.pop())
@@ -577,6 +580,8 @@ class Interp:
 
     def _resolve_call(self, stack: list, frame: Frame, name: str, nargs: int,
                       nargout: int, mode: int) -> None:
+        if nargout == -1:   # anon tail call: inherit the caller's nargout
+            nargout = max(frame.nargout, 1)
         args = _collect_args(stack, nargs)
         if mode != 1:  # not force-call
             v = self._load_name(frame, name)

@@ -491,3 +491,13 @@ def test_func2str_roundtrip():
     assert v["s"].to_str().startswith("@(x)")
     assert v["y"].host()[0, 0] == 10.0
     assert v["n"].host()[0, 0] == 2.0
+
+
+def test_multi_output_anonymous():
+    from helpers import run_get
+    v = run_get("[a, b] = cellfun(@(c) deal(c, c*2), {1, 2});"
+                "f = @(x) max(x); [m, i] = f([3 9 1]);", "a", "b", "m", "i")
+    assert v["a"].host().tolist() == [[1.0, 2.0]]
+    assert v["b"].host().tolist() == [[2.0, 4.0]]
+    assert v["m"].host()[0, 0] == 9.0
+    assert v["i"].host()[0, 0] == 2.0
