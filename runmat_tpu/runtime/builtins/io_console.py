@@ -80,8 +80,12 @@ def m_warning(*args, ctx=None):
         return None
     first = text_of(args[0]) if is_text(args[0]) else ""
     if first in ("on", "off"):
+        prev = StructArray.scalar({
+            "identifier": MatArray.char_from_str("all"),
+            "state": MatArray.char_from_str(
+                "on" if _WARN_STATE["enabled"] else "off")})
         _WARN_STATE["enabled"] = first == "on"
-        return None
+        return prev
     rest = list(args[1:])
     if ":" in first and " " not in first and "%" not in first and rest:
         ident = first
@@ -147,3 +151,67 @@ def m_input(prompt, mode=None, ctx=None):
     if res.error:
         raise res.error
     return ctx.session.get("ans")
+
+
+@builtin("MException", category="diagnostics", min_in=2)
+def m_mexception(ident, fmt, *args):
+    """e = MException(identifier, message, ...) — the error-object
+    constructor (≙ Value::MException in the reference)."""
+    from ...values import CellArray as _CA
+    msg = format_matlab(text_of(fmt), list(args))
+    return StructArray.scalar({
+        "identifier": MatArray.char_from_str(text_of(ident)),
+        "message": MatArray.char_from_str(msg),
+        "stack": StructArray({}, (0, 0)),
+        "cause": _CA.empty(),
+    })
+
+
+def _require_mexc(e, name):
+    if not isinstance(e, StructArray) or "identifier" not in e.fields:
+        raise bad_arg(name, "Input must be an MException.")
+    return e
+
+
+@builtin("addCause", category="diagnostics", min_in=2, max_in=2)
+def m_addcause(e, cause):
+    import numpy as np
+    from ...values import CellArray as _CA
+    _require_mexc(e, "addCause")
+    _require_mexc(cause, "addCause")
+    old = e.get_scalar_field("cause") if "cause" in e.fields else _CA.empty()
+    n = old.size if hasattr(old, "size") else 0
+    data = np.empty((n + 1, 1), dtype=object)
+    for i in range(n):
+        data[i, 0] = old.data.reshape(-1)[i]
+    data[n, 0] = cause
+    return StructArray.scalar({
+        "identifier": e.get_scalar_field("identifier"),
+        "message": e.get_scalar_field("message"),
+        "stack": e.get_scalar_field("stack") if "stack" in e.fields
+        else StructArray({}, (0, 0)),
+        "cause": _CA(data),
+    })
+
+
+@builtin("getReport", category="diagnostics", min_in=1, max_in=2)
+def m_getreport(e, kind=None):
+    _require_mexc(e, "getReport")
+    ident = text_of(e.get_scalar_field("identifier"))
+    msg = text_of(e.get_scalar_field("message"))
+    head = f"Error using {ident}\n{msg}" if ident else f"Error: {msg}"
+    return MatArray.char_from_str(head)
+
+
+@builtin("throw", category="diagnostics", min_in=1, max_in=1)
+def m_throw(e):
+    _require_mexc(e, "throw")
+    raise MatError(text_of(e.get_scalar_field("identifier")),
+                   text_of(e.get_scalar_field("message")))
+
+
+@builtin("throwAsCaller", category="diagnostics", min_in=1, max_in=1)
+def m_throw_as_caller(e):
+    _require_mexc(e, "throwAsCaller")
+    raise MatError(text_of(e.get_scalar_field("identifier")),
+                   text_of(e.get_scalar_field("message")))

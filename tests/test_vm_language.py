@@ -501,3 +501,16 @@ def test_multi_output_anonymous():
     assert v["b"].host().tolist() == [[2.0, 4.0]]
     assert v["m"].host()[0, 0] == 9.0
     assert v["i"].host()[0, 0] == 2.0
+
+
+def test_mexception_family():
+    from helpers import run_get
+    v = run_get("e = MException('A:b', 'v=%d', 7); m = e.message;"
+                "e2 = addCause(e, MException('C:d', 'inner')); n = numel(e2.cause);"
+                "try, throw(MException('Q:q', 'qq')); catch err, i = err.identifier; end"
+                "\nrep = getReport(MException('R:r', 'text'));",
+                "m", "n", "i", "rep")
+    assert v["m"].to_str() == "v=7"
+    assert v["n"].host()[0, 0] == 1.0
+    assert v["i"].to_str() == "Q:q"
+    assert "text" in v["rep"].to_str()
