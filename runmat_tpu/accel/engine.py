@@ -538,8 +538,13 @@ class JaxEngine:
         if op.startswith("u:"):
             name = op[2:]
             a = args[0]
-            if a.dtype != dt and name not in ("isnan", "isinf", "isfinite", "logical_not"):
-                a = a.astype(dt)
+            if a.dtype != dt and name not in ("isnan", "isinf", "isfinite",
+                                              "logical_not"):
+                # complex -> real ops (abs/real/imag/angle) must see the full
+                # complex input; only the RESULT takes the real output dtype
+                if not (np.dtype(a.dtype).kind == "c"
+                        and np.dtype(dt).kind != "c"):
+                    a = a.astype(dt)
             r = table.UNARY[name](jnp, a)
             return r.astype(dt) if r.dtype != dt else r
         if op == "matmul":

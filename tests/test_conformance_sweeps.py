@@ -81,3 +81,18 @@ def test_device_host_parity(parity_session, expr):
     d, h = s.get("d").host(), s.get("h").host()
     assert d.shape == h.shape
     assert np.allclose(d, h, rtol=1e-10, atol=1e-12, equal_nan=True)
+
+
+def test_complex_device_real_outputs():
+    """Regression: abs/real/imag/angle of device complex arrays must see the
+    full complex input (the unary exec used to pre-cast to the real output
+    dtype, dropping the imaginary part)."""
+    s = Session(accelerate=True)
+    r = s.execute("C0 = [1+2i, 3-4i]; C = gpuArray(C0);"
+                  "a = gather(abs(C)); i = gather(imag(C));"
+                  "g = gather(angle(C)); q = gather(C .* conj(C));")
+    assert r.error is None, r.error
+    assert np.allclose(s.get("a").host(), np.abs([[1+2j, 3-4j]]))
+    assert np.allclose(s.get("i").host(), [[2.0, -4.0]])
+    assert np.allclose(s.get("g").host(), np.angle([[1+2j, 3-4j]]))
+    assert np.allclose(np.real(s.get("q").host()), [[5.0, 25.0]])
