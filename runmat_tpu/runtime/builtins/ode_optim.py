@@ -496,8 +496,28 @@ def m_quad(f, a, b, tol=None, ctx=None):
 
 @builtin("quadgk", category="math/ode", min_in=3, max_in=3, pass_ctx=True)
 def m_quadgk(f, a, b, ctx=None):
+    """Gauss-Kronrod-style quadrature; infinite limits map onto (-1, 1)
+    through the rational substitution x = t/(1-t^2) (MATLAB's own
+    transformation for doubly/semi-infinite quadgk intervals)."""
     fn = lambda x: _sc(_callf(ctx, f, [MatArray.scalar(x)]))
-    return MatArray.scalar(_adaptive_simpson(fn, _sc(a), _sc(b), 1e-10))
+    lo, hi = _sc(a), _sc(b)
+    if np.isinf(lo) and np.isinf(hi):
+        def g(t):
+            d = 1.0 - t * t
+            return fn(t / d) * (1.0 + t * t) / (d * d)
+        eps = 1e-10
+        return MatArray.scalar(_adaptive_simpson(g, -1 + eps, 1 - eps, 1e-10))
+    if np.isinf(hi):
+        def g(t):
+            d = 1.0 - t
+            return fn(lo + t / d) / (d * d)
+        return MatArray.scalar(_adaptive_simpson(g, 0.0, 1.0 - 1e-10, 1e-10))
+    if np.isinf(lo):
+        def g(t):
+            d = 1.0 - t
+            return fn(hi - t / d) / (d * d)
+        return MatArray.scalar(_adaptive_simpson(g, 0.0, 1.0 - 1e-10, 1e-10))
+    return MatArray.scalar(_adaptive_simpson(fn, lo, hi, 1e-10))
 
 
 @builtin("cumtrapz", category="math/reduction", min_in=1, max_in=2)

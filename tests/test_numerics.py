@@ -182,3 +182,14 @@ def test_cat_trailing_dim():
                 "s", "p")
     assert v["s"].host()[0, 0] == 2.0
     assert v["p"].host().reshape(-1)[0] == 4.0
+
+
+def test_quadgk_infinite_limits():
+    import numpy as np
+    from helpers import run_get
+    v = run_get("a = quadgk(@(x) exp(-x.^2), -inf, inf);"
+                "b = quadgk(@(x) exp(-x), 0, inf);"
+                "c = quadgk(@(x) exp(x), -inf, 0);", "a", "b", "c")
+    assert abs(v["a"].host()[0, 0] - np.sqrt(np.pi)) < 1e-6
+    assert abs(v["b"].host()[0, 0] - 1.0) < 1e-6
+    assert abs(v["c"].host()[0, 0] - 1.0) < 1e-6
