@@ -39,6 +39,16 @@ class Session:
     def __init__(self, accelerate: Optional[bool] = None, stdout=None):
         """accelerate: None = auto (enable if a TPU/accelerator engine
         initializes), True/False forces."""
+        import warnings
+
+        # numpy's empty-slice/ddof/invalid-value RuntimeWarnings correspond
+        # to MATLAB-silent behaviors (mean([]) == NaN etc.) — keep them off
+        # the console (matched by message: numpy attributes them to callers)
+        for msg in ("Mean of empty slice", "Degrees of freedom",
+                    "invalid value encountered", "divide by zero",
+                    "overflow encountered", "All-NaN"):
+            warnings.filterwarnings("ignore", message=f".*{msg}.*",
+                                    category=RuntimeWarning)
         self.global_vars: dict = {}
         self.persistents: dict = {}
         self.functions: dict = {}          # user functions defined via files
