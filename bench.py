@@ -42,16 +42,21 @@ def run_case(sess, name: str, force_vars: list[str]) -> float:
     def once() -> float:
         t0 = time.perf_counter()
         sess.run_source(src, name)
-        # Every script ends in a host-gathered checksum, which waits for the
-        # one device dispatch that also produced the workspace outputs — so a
-        # further block is only needed if a variable's DAG was never
-        # dispatched (value is None). Blocking on an already-concrete device
-        # array costs a full tunnel round trip (~30 ms) for nothing.
+        # Every script ends in a host-gathered checksum. Skipping the final
+        # block is only sound when the engine PROVES the variable's dispatch
+        # completed: dispatches finish in stream order, so dispatch_id <=
+        # gathered_seq (the highest id a blocking gather has waited past)
+        # means done. Anything else pays the sync — a ~30 ms tunnel round
+        # trip is cheaper than a wrong benchmark (ADVICE round 1).
         if eng is not None:
             for v in force_vars:
                 val = sess.get(v)
-                if val is not None and getattr(val, "on_device", False) \
-                        and getattr(val.dev, "value", 0) is None:
+                if val is not None and getattr(val, "on_device", False):
+                    node = val.dev
+                    did = getattr(node, "dispatch_id", None)
+                    if node.value is not None and did is not None \
+                            and did <= eng.gathered_seq:
+                        continue
                     eng.block_until_ready(val)
         return (time.perf_counter() - t0) * 1000.0
 

@@ -95,8 +95,12 @@ static double call2(int32_t f, double a, double b) {
 }
 
 // returns: 0 ok, 1 stack error, 2 step budget exceeded, 3 bad opcode
+// dirty[i] is set to 1 iff slot i was actually written by an executed STORE —
+// the host only materializes dirty slots back into workspace variables, so a
+// STORE inside a never-taken branch cannot conjure a variable into existence.
 int32_t turbine_run(const int32_t* ops, const double* opargs, int32_t n_instr,
-                    const double* consts, double* slots, int64_t max_steps) {
+                    const double* consts, double* slots, uint8_t* dirty,
+                    int64_t max_steps) {
     double stack[256];
     int sp = 0;
     int64_t steps = 0;
@@ -109,7 +113,7 @@ int32_t turbine_run(const int32_t* ops, const double* opargs, int32_t n_instr,
         switch (op) {
             case OP_CONST: stack[sp++] = consts[a]; break;
             case OP_LOAD: stack[sp++] = slots[a]; break;
-            case OP_STORE: slots[a] = stack[--sp]; break;
+            case OP_STORE: slots[a] = stack[--sp]; dirty[a] = 1; break;
             case OP_ADD: sp--; stack[sp - 1] += stack[sp]; break;
             case OP_SUB: sp--; stack[sp - 1] -= stack[sp]; break;
             case OP_MUL: sp--; stack[sp - 1] *= stack[sp]; break;

@@ -121,6 +121,10 @@ class JaxEngine:
         self.stats = {"dispatches": 0, "compiles": 0, "cache_hits": 0,
                       "uploads": 0, "gathers": 0, "upload_bytes": 0,
                       "gather_bytes": 0}
+        # monotone dispatch sequence + highest dispatch proven complete by a
+        # blocking host gather (dispatches finish in order on the stream)
+        self.dispatch_seq = 0
+        self.gathered_seq = 0
 
     # ------------------------------------------------------------- dtype policy
 
@@ -427,8 +431,10 @@ class JaxEngine:
                                    tuple(sel_shape), order="F").astype(nb.dtype)
         new_arr = base_arr.at[tuple(idx)].set(val)
         self.stats["dispatches"] += 1
+        self.dispatch_seq += 1
         node = LazyNode(self, "leaf", [], (), tuple(nb.shape), nb.dtype,
                         value=new_arr.reshape(phys_shape(tuple(nb.shape))))
+        node.dispatch_id = self.dispatch_seq
         return MatArray.from_device(node, base.mclass)
 
     # ------------------------------------------------------------ materialization
@@ -483,10 +489,12 @@ class JaxEngine:
             self.stats["cache_hits"] += 1
         results = cached(leaves, scalars)
         self.stats["dispatches"] += 1
+        self.dispatch_seq += 1
         for n, val in zip([node] + extra, results):
             n.value = val
             n.inputs = []
             n.n_ops = 0
+            n.dispatch_id = self.dispatch_seq
         return results[0]
 
     def _build_program(self, order: list[LazyNode]):

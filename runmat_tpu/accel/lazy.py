@@ -30,7 +30,7 @@ class LazyNode:
     'scalar' (traced host scalar parameter), or an op name."""
 
     __slots__ = ("op", "inputs", "static", "shape", "dtype", "value", "n_ops",
-                 "engine", "pinned")
+                 "engine", "pinned", "dispatch_id")
 
     def __init__(self, engine, op: str, inputs: list, static: tuple,
                  shape: tuple, dtype, value: Any = None):
@@ -42,6 +42,7 @@ class LazyNode:
         self.dtype = np.dtype(dtype)
         self.value = value          # concrete jax.Array for leaves / after force
         self.pinned = False         # workspace-bound: materialize alongside any root
+        self.dispatch_id = None     # engine dispatch seq that produced .value
         self.n_ops = (0 if op in ("leaf", "scalar")
                       else 1 + sum(i.n_ops for i in inputs))
 
@@ -60,6 +61,12 @@ class LazyNode:
         to avoid TPU (1,N) sublane padding); reshape back to the logical
         MATLAB shape here at the host boundary."""
         h = self.engine.jax.device_get(self.engine.materialize(self))
+        # dispatches complete in program order on a device stream: a blocking
+        # gather of this node proves every dispatch with id <= this node's is
+        # finished (used by benchmarks to skip redundant sync round trips)
+        if self.dispatch_id is not None:
+            eng = self.engine
+            eng.gathered_seq = max(eng.gathered_seq, self.dispatch_id)
         return h if h.shape == self.shape else h.reshape(self.shape)
 
     def concrete(self):

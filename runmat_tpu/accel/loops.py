@@ -369,6 +369,9 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
 
     program = []           # (kind, payload)
     inv_values = []        # loop-invariant device leaves, passed as args
+    const_values = []      # host scalar consts, passed as TRACED args — the
+    #                        cache key hashes only their dtype, so values must
+    #                        never be baked into the compiled closure
     key_parts: list = []   # structural key (T excluded: it's a traced arg)
     for n in order:
         if n.op == "scalar":
@@ -377,7 +380,8 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
                 program.append((val.tag, val.arg))
                 key_parts.append(("M", val.tag, val.arg, str(n.dtype)))
             else:
-                program.append(("const", np.asarray(val, dtype=n.dtype)))
+                program.append(("const", len(const_values)))
+                const_values.append(np.asarray(val, dtype=n.dtype))
                 key_parts.append(("C", str(n.dtype)))
         elif n.value is not None:
             if id(n) in carried_leaf:
@@ -407,7 +411,7 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
 
     cached = eng._jit_cache.get(key)
     if cached is None:
-        def run(T_, c0lo, c0hi, carry0, invs, itvec):
+        def run(T_, c0lo, c0hi, carry0, invs, consts, itvec):
             def body(i, carry):
                 env: list = [None] * len(program)
                 iu = i.astype(jnp.uint32)
@@ -421,7 +425,7 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
                     elif kind == "inv":
                         env[k] = invs[payload]
                     elif kind == "const":
-                        env[k] = payload
+                        env[k] = consts[payload]
                     elif kind == "rng_lo":
                         d32 = iu * jnp.uint32(BPI) + jnp.uint32(payload)
                         env[k] = c0lo + d32
@@ -477,14 +481,16 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
         itvec = arg_cache[ik] = jax.device_put(it_np, eng.device)
     out = cached(np.int32(T), np.uint32(c0 & 0xFFFFFFFF),
                  np.uint32((c0 >> 32) & 0xFFFFFFFF),
-                 tuple(carry0), tuple(inv_values), itvec)
+                 tuple(carry0), tuple(inv_values), tuple(const_values), itvec)
     eng.stats["dispatches"] += 1
+    eng.dispatch_seq += 1
 
     result = {}
     for k, name in enumerate(names):
         root = finals[name].dev
         node = LazyNode(eng, "leaf", [], (), tuple(root.shape), root.dtype,
                         value=out[k])
+        node.dispatch_id = eng.dispatch_seq
         result[name] = MatArray.from_device(node, finals[name].mclass)
     return result
 
@@ -625,12 +631,14 @@ def _build_and_run_while(eng, tr: _Trace, cond_v: MatArray) -> dict:
         index = {id(n): i for i, n in enumerate(order)}
         program = []
         inv_values = []
+        const_values = []   # traced args — key hashes dtype only, never value
         key_parts: list = []
         for n in order:
             if n.op == "scalar":
                 if isinstance(n.value, _Marker):
                     raise _Bail()    # loopvar/rng markers: not valid in while
-                program.append(("const", np.asarray(n.value, dtype=n.dtype)))
+                program.append(("const", len(const_values)))
+                const_values.append(np.asarray(n.value, dtype=n.dtype))
                 key_parts.append(("C", str(n.dtype)))
             elif n.value is not None:
                 if id(n) in carried_leaf:
@@ -649,10 +657,10 @@ def _build_and_run_while(eng, tr: _Trace, cond_v: MatArray) -> dict:
                                        n.shape)))
                 key_parts.append((n.op, n.static, ins, str(n.dtype), n.shape))
         root_idx = [index[id(r)] for r in roots]
-        return program, inv_values, key_parts, root_idx
+        return program, inv_values, const_values, key_parts, root_idx
 
-    cond_prog, cond_inv, cond_key, (cond_root,) = build([cond_v.dev])
-    body_prog, body_inv, body_key, body_roots = build(
+    cond_prog, cond_inv, cond_const, cond_key, (cond_root,) = build([cond_v.dev])
+    body_prog, body_inv, body_const, body_key, body_roots = build(
         [finals[n].dev for n in names])
 
     key = ("device_while", tuple(cond_key), tuple(body_key),
@@ -664,7 +672,7 @@ def _build_and_run_while(eng, tr: _Trace, cond_v: MatArray) -> dict:
     jax = eng.jax
     cached = eng._jit_cache.get(key)
     if cached is None:
-        def evaluate(program, roots, carry, invs):
+        def evaluate(program, roots, carry, invs, consts):
             env: list = [None] * len(program)
             for k, (kind, payload) in enumerate(program):
                 if kind == "op":
@@ -676,16 +684,18 @@ def _build_and_run_while(eng, tr: _Trace, cond_v: MatArray) -> dict:
                 elif kind == "inv":
                     env[k] = invs[payload]
                 elif kind == "const":
-                    env[k] = payload
+                    env[k] = consts[payload]
             return [env[r] for r in roots]
 
-        def run(carry0, cond_invs, body_invs):
+        def run(carry0, cond_invs, body_invs, cond_consts, body_consts):
             def cond_fn(carry):
-                (c,) = evaluate(cond_prog, [cond_root], carry, cond_invs)
+                (c,) = evaluate(cond_prog, [cond_root], carry, cond_invs,
+                                cond_consts)
                 return jnp.reshape(c, ()).astype(bool)
 
             def body_fn(carry):
-                outs = evaluate(body_prog, body_roots, carry, body_invs)
+                outs = evaluate(body_prog, body_roots, carry, body_invs,
+                                body_consts)
                 return tuple(outs)
 
             return jax.lax.while_loop(cond_fn, body_fn, carry0)
@@ -697,13 +707,16 @@ def _build_and_run_while(eng, tr: _Trace, cond_v: MatArray) -> dict:
         eng.stats["cache_hits"] += 1
 
     carry0 = tuple(tr.carry_init[n] for n in names)
-    out = cached(carry0, tuple(cond_inv), tuple(body_inv))
+    out = cached(carry0, tuple(cond_inv), tuple(body_inv),
+                 tuple(cond_const), tuple(body_const))
     eng.stats["dispatches"] += 1
+    eng.dispatch_seq += 1
 
     result = {}
     for k, name in enumerate(names):
         root = finals[name].dev
         node = LazyNode(eng, "leaf", [], (), tuple(root.shape), root.dtype,
                         value=out[k])
+        node.dispatch_id = eng.dispatch_seq
         result[name] = MatArray.from_device(node, finals[name].mclass)
     return result

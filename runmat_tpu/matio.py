@@ -361,8 +361,12 @@ def save_mat73(path: str, variables: dict) -> None:
     import time as _t
     header = (f"MATLAB 7.3 MAT-file, Platform: runmat-tpu, Created on: "
               f"{_t.strftime('%a %b %d %H:%M:%S %Y')} HDF5 schema 1.00 .")
+    # Level-5 header layout: 116 text bytes, 8 subsystem-offset bytes
+    # (116-123), version u16 0x0200 at 124-125, endian marker 'IM' at 126-127
+    # (the same offsets the v5 writer uses at matio.py:161 and the loader
+    # validates at matio.py:291-293).
     head = header.encode()[:116].ljust(116, b" ")
-    head += b"\x00" * 9 + b"IM" + bytes([0x02, 0x73])  # version 0x0200 + 'MI'
+    head += b"\x00" * 8 + struct.pack("<H", 0x0200) + b"IM"
     with open(path, "r+b") as fb:
         fb.write(head.ljust(512, b"\x00"))
 

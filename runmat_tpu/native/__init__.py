@@ -24,7 +24,11 @@ def _src_dir() -> str:
 
 
 def turbine() -> object:
-    """The libturbine handle, building it if necessary; None if unavailable."""
+    """The libturbine handle, building it if necessary; None if unavailable.
+
+    The build cache is keyed by a hash of the source (never by mtime), so a
+    stale or tampered artifact can't be picked up silently, and no compiled
+    binary lives in the repo."""
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
@@ -32,22 +36,22 @@ def turbine() -> object:
     src = os.path.join(_src_dir(), "turbine.cpp")
     if not os.path.exists(src):
         return None
-    candidates = [os.path.join(_src_dir(), "libturbine.so"),
-                  os.path.expanduser("~/.cache/runmat_tpu/libturbine.so")]
-    lib_path = next((p for p in candidates if os.path.exists(p)
-                     and os.path.getmtime(p) >= os.path.getmtime(src)), None)
-    if lib_path is None:
-        for target in candidates:
-            try:
-                os.makedirs(os.path.dirname(target), exist_ok=True)
-                subprocess.run(["g++", "-O2", "-shared", "-fPIC",
-                                "-std=c++17", "-o", target, src],
-                               check=True, capture_output=True, timeout=120)
-                lib_path = target
-                break
-            except (OSError, subprocess.SubprocessError):
-                continue
-        if lib_path is None:
+    import hashlib
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "RUNMAT_TPU_NATIVE_CACHE",
+        os.path.expanduser("~/.cache/runmat_tpu"))
+    lib_path = os.path.join(cache_dir, f"libturbine-{digest}.so")
+    if not os.path.exists(lib_path):
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = lib_path + f".tmp{os.getpid()}"
+            subprocess.run(["g++", "-O2", "-shared", "-fPIC",
+                            "-std=c++17", "-o", tmp, src],
+                           check=True, capture_output=True, timeout=120)
+            os.replace(tmp, lib_path)
+        except (OSError, subprocess.SubprocessError):
             return None
     try:
         lib = ctypes.CDLL(lib_path)
@@ -55,7 +59,8 @@ def turbine() -> object:
         lib.turbine_run.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
         ]
         _LIB = lib
     except OSError:

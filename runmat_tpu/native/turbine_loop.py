@@ -70,6 +70,7 @@ def try_native_loop(interp, frame, code, for_next_pc: int, iterable):
     args = np.array([float(p[1]) for p in prog], dtype=np.float64)
     cons = np.asarray(consts, dtype=np.float64)
     slots = np.asarray(init, dtype=np.float64).copy()
+    dirty = np.zeros(len(init), dtype=np.uint8)
     if cons.size == 0:
         cons = np.zeros(1)
     status = lib.turbine_run(
@@ -78,34 +79,76 @@ def try_native_loop(interp, frame, code, for_next_pc: int, iterable):
         np.int32(len(prog)),
         cons.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         slots.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        dirty.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         np.int64(200_000_000))
     if status != 0:
         return None    # budget/VM error: fall back, original state untouched
+    # only slots a STORE actually executed for come back as variables — a
+    # store in a never-taken branch must not create/overwrite anything
+    # (the "never required for correctness" invariant)
     for name, k in slot_map.items():
-        frame.vars[name] = MatArray.scalar(float(slots[k]))
+        if dirty[k]:
+            frame.vars[name] = MatArray.scalar(float(slots[k]))
     return done + 1
 
 
 def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
-    """Bytecode window -> turbine program implementing the WHOLE loop."""
+    """Bytecode window -> turbine program implementing the WHOLE loop.
+
+    Class-safety bails (the tier is never required for correctness): the
+    native VM computes in f64 only, so any `single` operand, any store of a
+    logical-valued expression, or any pre-existing logical variable that is
+    a store target makes the translation bail to the interpreter — otherwise
+    class()/rounding would diverge from MATLAB whenever this tier engaged."""
     from ..vm import bytecode as B
     from ..vm.interp import NOVALUE
 
     slot_of: dict[str, int] = {}
     init: list[float] = []
     consts: list[float] = []
+    logical_vars: set[str] = set()
+
+    # prescan: store targets and jump spans inside the window
+    stored_names: set[str] = set()
+    jump_targets: set[int] = set()
+    jump_spans: list[tuple[int, int]] = []
+    for i in range(lo, hi):
+        op, a, b, c, d = instrs[i]
+        if op == B.STORE:
+            stored_names.add(a)
+        elif op in (B.JMP, B.JMP_IF_FALSE, B.JMP_IF_TRUE):
+            if isinstance(a, int):
+                if a < i:
+                    raise _Bail()        # backward jump: nested loop shape
+                jump_targets.add(a)
+                jump_spans.append((i, a))
+
+    def _in_branch(i: int) -> bool:
+        return any(src < i < tgt for src, tgt in jump_spans)
+
+    undefined_vars: set[str] = set()   # no pre-loop value; defined by STORE
+    stored_so_far: set[str] = set()    # saw an unconditional in-window STORE
 
     def slot(name: str) -> int:
         if name in slot_of:
             return slot_of[name]
         v = interp._load_name(frame, name)
         if v is NOVALUE:
-            val = 0.0    # write-before-read target
+            # only valid for write-before-read targets; a genuine read of an
+            # undefined variable must error through the interpreter path
+            if name not in stored_names:
+                raise _Bail()
+            undefined_vars.add(name)
+            val = 0.0
         else:
             if not (isinstance(v, MatArray) and v.size == 1
                     and not v.on_device and not v.is_complex
-                    and v.mclass in ("double", "logical", "single")):
-                raise _Bail()
+                    and v.mclass in ("double", "logical")):
+                raise _Bail()            # single/int: f64 compute would diverge
+            if v.mclass == "logical":
+                if name in stored_names:
+                    raise _Bail()        # writeback would coerce to double
+                logical_vars.add(name)
             val = float(v.host().reshape(-1)[0])
         slot_of[name] = len(init)
         init.append(val)
@@ -115,8 +158,11 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
         consts.append(float(v))
         return len(consts) - 1
 
-    # reads must see pre-loop values; pre-register the loop variable
-    lv_slot = slot(loopvar) if loopvar not in slot_of else slot_of[loopvar]
+    # the loop variable is always written by the prologue before any read;
+    # register its slot directly (its pre-loop value/class is irrelevant)
+    slot_of[loopvar] = len(init)
+    init.append(0.0)
+    lv_slot = slot_of[loopvar]
 
     # iterable handling: uniform-step ranges run natively; other vectors bail
     it = itvals.reshape(-1)
@@ -140,10 +186,21 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
     prog.append((T_STORE, lv_slot))
     loop_top = len(prog)
 
+    # abstract class-tag stack mirroring the value stack: "n" numeric,
+    # "b" logical, "u" unknown (control-flow merge). Storing anything but a
+    # definitely-numeric value bails — the native VM carries doubles only.
+    tags: list = []
+    _CMP = {"lt", "le", "gt", "ge", "eq", "ne", "and", "or"}
+
+    def _pop_tag():
+        return tags.pop() if tags else "u"
+
     body_base = len(prog)
     pc = lo
     while pc < hi:
         jump_map[pc] = len(prog)
+        if pc in jump_targets and tags:
+            tags[:] = ["u"] * len(tags)   # merge point: paths may disagree
         op, a, b, c, d = instrs[pc]
         pc += 1
         if op == B.CONST:
@@ -152,25 +209,43 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
                     and not v.is_complex and v.mclass in ("double", "int32")):
                 raise _Bail()
             prog.append((T_CONST, const_idx(float(v.host().reshape(-1)[0]))))
+            tags.append("n")
         elif op == B.LOAD:
-            prog.append((T_LOAD, slot(a)))
+            k = slot(a)
+            if a in undefined_vars and a not in stored_so_far:
+                raise _Bail()        # dynamic read-before-write: must error
+            prog.append((T_LOAD, k))
+            tags.append("b" if a in logical_vars else "n")
         elif op == B.STORE:
             if b:
                 raise _Bail()        # display side effect
-            prog.append((T_STORE, slot(a)))
+            if _pop_tag() != "n":
+                raise _Bail()        # logical-valued store: class divergence
+            k = slot(a)
+            if a in undefined_vars and a not in stored_so_far:
+                if _in_branch(pc - 1):
+                    raise _Bail()    # conditional first definition
+                stored_so_far.add(a)
+            prog.append((T_STORE, k))
         elif op == B.BINOP:
             t = _BIN.get(a)
             if t is None:
                 raise _Bail()
             prog.append((t, 0))
+            _pop_tag(); _pop_tag()
+            tags.append("b" if a in _CMP else "n")
         elif op == B.UNOP:
             t = _UN.get(a, -1)
             if t == -1:
                 raise _Bail()
             if t is not None:
                 prog.append((t, 0))
+            _pop_tag()
+            tags.append("b" if a == "logical_not" else "n")
         elif op in (B.MTIMES, B.MPOW):
             prog.append((T_MUL if op == B.MTIMES else T_POW, 0))
+            _pop_tag(); _pop_tag()
+            tags.append("n")
         elif op == B.MLDIV or op == B.MRDIV:
             raise _Bail()
         elif op == B.JMP:
@@ -181,16 +256,20 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
             idx = len(prog)
             prog.append((T_JMP_IF_FALSE, 0))
             patches.append((idx, a))
+            _pop_tag()
         elif op == B.JMP_IF_TRUE:
             idx = len(prog)
             prog.append((T_JMP_IF_TRUE, 0))
             patches.append((idx, a))
+            _pop_tag()
         elif op == B.BOOL_SCALAR:
             pass                     # scalars are already 0/1 doubles
         elif op == B.DUP:
             prog.append((T_DUP, 0))
+            tags.append(tags[-1] if tags else "u")
         elif op == B.POP:
             prog.append((T_POP, 0))
+            _pop_tag()
         elif op == B.CHECK_INTERRUPT:
             pass
         elif op == B.RESOLVE_CALL:
@@ -199,15 +278,23 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
                 raise _Bail()
             if name in slot_of or interp._load_name(frame, name) is not NOVALUE:
                 if nargs == 0:
+                    if name in undefined_vars and name not in stored_so_far:
+                        raise _Bail()   # dynamic read-before-write
                     prog.append((T_LOAD, slot(name)))
+                    tags.append("b" if name in logical_vars else "n")
                     continue
                 raise _Bail()        # indexing a scalar? bail
             if nargs == 1 and name in _FN1:
                 prog.append((T_CALL1, _FN1[name]))
+                _pop_tag()
+                tags.append("n")
             elif nargs == 2 and name in _FN2:
                 prog.append((T_CALL2, _FN2[name]))
+                _pop_tag(); _pop_tag()
+                tags.append("n")
             elif nargs == 0 and name == "pi":
                 prog.append((T_CONST, const_idx(float(np.pi))))
+                tags.append("n")
             else:
                 raise _Bail()
         else:

@@ -21,6 +21,25 @@ from .vm.bytecode import CompiledProgram
 from .vm.compiler import Compiler
 from .vm.interp import Frame, Interp
 
+# numpy's empty-slice/ddof/invalid-value RuntimeWarnings correspond to
+# MATLAB-silent behaviors (mean([]) == NaN etc.). Installed once at module
+# import, scoped to numpy-originated warnings, so embedding processes don't
+# get global filters re-prepended per Session construction.
+_WARN_FILTERS_INSTALLED = False
+
+
+def _install_warning_filters() -> None:
+    global _WARN_FILTERS_INSTALLED
+    if _WARN_FILTERS_INSTALLED:
+        return
+    _WARN_FILTERS_INSTALLED = True
+    import warnings
+    for msg in ("Mean of empty slice", "Degrees of freedom",
+                "invalid value encountered", "divide by zero",
+                "overflow encountered", "All-NaN"):
+        warnings.filterwarnings("ignore", message=f".*{msg}.*",
+                                category=RuntimeWarning)
+
 
 class ExecutionResult:
     __slots__ = ("output", "error", "wall_time")
@@ -39,16 +58,7 @@ class Session:
     def __init__(self, accelerate: Optional[bool] = None, stdout=None):
         """accelerate: None = auto (enable if a TPU/accelerator engine
         initializes), True/False forces."""
-        import warnings
-
-        # numpy's empty-slice/ddof/invalid-value RuntimeWarnings correspond
-        # to MATLAB-silent behaviors (mean([]) == NaN etc.) — keep them off
-        # the console (matched by message: numpy attributes them to callers)
-        for msg in ("Mean of empty slice", "Degrees of freedom",
-                    "invalid value encountered", "divide by zero",
-                    "overflow encountered", "All-NaN"):
-            warnings.filterwarnings("ignore", message=f".*{msg}.*",
-                                    category=RuntimeWarning)
+        _install_warning_filters()
         self.global_vars: dict = {}
         self.persistents: dict = {}
         self.functions: dict = {}          # user functions defined via files

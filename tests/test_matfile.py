@@ -163,3 +163,16 @@ def test_save_append_and_ascii(tmp_path):
 def test_load_missing_file_error():
     from helpers import fails
     fails("load('/definitely/not/here.mat');", "couldNotReadFile")
+
+
+def test_v73_header_level5_offsets(tmp_path):
+    """Level-5/7.3 layout: version u16 0x0200 at 124-125, 'IM' at 126-127
+    (ADVICE round 1: readers validating those offsets rejected our files)."""
+    import struct
+    from helpers import run
+    p = tmp_path / "hdr73.mat"
+    run(f"x = [1 2; 3 4]; save('{p}', 'x', '-v7.3');")
+    head = p.read_bytes()[:128]
+    assert struct.unpack("<H", head[124:126])[0] == 0x0200
+    assert head[126:128] == b"IM"
+    assert head[116:124] == b"\x00" * 8

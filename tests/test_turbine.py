@@ -98,3 +98,50 @@ def test_native_loop_is_fast():
     run("s = 0; for i = 1:2000000, s = s + sqrt(i); end")
     dt = time.perf_counter() - t0
     assert dt < 2.0    # interpreter would take ~80 s
+
+
+# --- class/definedness invariants (ADVICE round 1, turbine_loop writeback) --- #
+
+def test_never_taken_branch_does_not_create_variable():
+    s = run("n = 0; for k = 1:100, if k > 1000, ghost = 1; end, n = n + 1; end")
+    assert s.get("ghost") is None
+    assert float(s.get("n").host()) == 100.0
+
+
+def test_conditionally_stored_existing_var_updates():
+    vals = both_paths("hits = 0; for k = 1:100, if mod(k,2)==0, "
+                      "hits = hits + 1; end, end", ["hits"])
+    assert vals[0] == 50.0
+
+
+def test_logical_loop_carried_keeps_class():
+    s = run("flag = true; for k = 1:100, flag = ~flag; end")
+    v = s.get("flag")
+    assert v.mclass == "logical"
+    assert float(v.host()) == 1.0
+
+
+def test_logical_valued_store_keeps_class():
+    # comparison result stored to a fresh variable inside the loop
+    s = run("for k = 1:100, isbig = k > 50; end")
+    assert s.get("isbig").mclass == "logical"
+
+
+def test_single_loop_carried_keeps_class_and_precision():
+    s = run("x = single(0); for k = 1:100, x = x + single(0.1); end")
+    v = s.get("x")
+    assert v.mclass == "single"
+    assert abs(float(v.host()) - np.float32(sum([np.float32(0.1)] * 100,
+                                                np.float32(0)))) < 1e-6
+
+
+def test_read_of_undefined_var_in_loop_errors():
+    from helpers import fails
+    fails("for k = 1:100, zz = undefined_thing_q + 1; "
+          "undefined_thing_q = 5; end")
+
+
+def test_logical_readonly_var_in_arithmetic_ok():
+    vals = both_paths("on = true; s = 0; for k = 1:100, s = s + on * k; end",
+                      ["s"])
+    assert vals[0] == 5050.0
