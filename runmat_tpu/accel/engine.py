@@ -117,6 +117,8 @@ class JaxEngine:
                     pass
         self.offload_threshold = offload_threshold or 32768
         self.fuse_cap = int(os.environ.get("RUNMAT_TPU_FUSE_CAP", str(DEFAULT_FUSE_CAP)))
+        from .dense import DenseOps
+        self.dense = DenseOps(self)
         self._jit_cache: dict = {}
         self.stats = {"dispatches": 0, "compiles": 0, "cache_hits": 0,
                       "uploads": 0, "gathers": 0, "upload_bytes": 0,
@@ -310,8 +312,46 @@ class JaxEngine:
         node = LazyNode(self, "leaf", [], (), (1, n), dt, value=arr)
         return MatArray.from_device(node, mclass)
 
-    def fft(self, x: MatArray, n, dim, inverse: bool):
-        return None  # round 1: host fft; device fft is a later milestone
+    # ------------------------------------------------- dense linalg / fft (MXU)
+
+    def route_linalg(self, *xs: MatArray) -> bool:
+        """Device when any operand is resident, or auto-offload elects (same
+        policy family as route_matmul; factorizations are O(n^3) so the
+        threshold is on the matrix element count)."""
+        xs = [x for x in xs if isinstance(x, MatArray)]
+        if any(x.on_device for x in xs):
+            return True
+        if not self.auto_offload:
+            return False
+        if any(x.mclass not in ("double", "single") for x in xs):
+            return False
+        return max((x.size for x in xs), default=0) >= self.offload_threshold
+
+    def linalg(self, kind: str, xs: list, opts: tuple = (),
+               out_class: Optional[str] = None) -> Optional[list]:
+        """Eager device factorization/solve; outputs wrap as leaf MatArrays.
+        Returns None when this (kind, dtype) is unsupported on the platform —
+        caller falls back to the host LAPACK path (never required for
+        correctness)."""
+        from .dense import DenseOps  # noqa: F401 (docs)
+        out = self.dense.call(kind, xs, opts)
+        if out is None:
+            return None
+        if out_class is None:
+            out_class = "single" if any(x.mclass == "single" for x in xs) \
+                else "double"
+        return [self.dense._leaf(arr, out_class) for arr in out]
+
+    def fft(self, x: MatArray, n: Optional[int], dim: int, inverse: bool
+            ) -> Optional[MatArray]:
+        """Device FFT along logical 0-based `dim` (≙ provider fft_dim/ifft_dim,
+        runmat-accelerate-api/src/lib.rs + backend/wgpu/dispatch/fft.rs).
+        Eager with failure memo; returns None -> host fftpack path."""
+        out = self.dense.call("fft", [x], (bool(inverse), n, int(dim)))
+        if out is None:
+            return None
+        out_class = "single" if x.mclass == "single" else "double"
+        return self.dense._leaf(out[0], out_class)
 
     # ------------------------------------------------------ indexing fast paths
 

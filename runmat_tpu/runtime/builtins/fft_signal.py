@@ -21,18 +21,25 @@ def _cx(x: MatArray) -> np.ndarray:
 
 
 def _default_dim(h: np.ndarray) -> int:
-    for i, s in enumerate(h.shape):
+    return _default_dim_shape(h.shape)
+
+
+def _default_dim_shape(shape) -> int:
+    for i, s in enumerate(shape):
         if s != 1:
             return i
     return 0
 
 
 def _fft_impl(x, n, dim, inverse: bool):
-    if isinstance(x, MatArray) and x.on_device:
+    if isinstance(x, MatArray):
         from ...accel import active_engine
         eng = active_engine()
-        if eng is not None:
-            r = eng.fft(x, n, dim, inverse)
+        if eng is not None and eng.route_linalg(x):
+            ax = (scalar_int(dim) - 1) if dim is not None else \
+                _default_dim_shape(x.shape)
+            nn = scalar_int(n) if n is not None and n.size else None
+            r = eng.fft(x, nn, ax, inverse)
             if r is not None:
                 return r
     h = _cx(x)
@@ -59,20 +66,31 @@ def m_ifft(x, n=None, dim=None):
     return _fft_impl(x, n, dim, inverse=True)
 
 
-@builtin("fft2", category="math/fft", min_in=1, max_in=3)
-def m_fft2(x, m=None, n=None):
+def _fft2_impl(x, m, n, inverse: bool):
+    if m is None and n is None and isinstance(x, MatArray) and \
+            len(x.shape) == 2:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(x):
+            out = eng.linalg("fft2", [x], (bool(inverse),),
+                             out_class="single" if x.mclass == "single"
+                             else "double")
+            if out is not None:
+                return out[0]
     h = _cx(x)
     s = (scalar_int(m), scalar_int(n)) if m is not None and n is not None else None
-    r = np.fft.fft2(h, s=s)
+    r = (np.fft.ifft2 if inverse else np.fft.fft2)(h, s=s)
     return MatArray(r, "single" if x.mclass == "single" else "double")
+
+
+@builtin("fft2", category="math/fft", min_in=1, max_in=3)
+def m_fft2(x, m=None, n=None):
+    return _fft2_impl(x, m, n, inverse=False)
 
 
 @builtin("ifft2", category="math/fft", min_in=1, max_in=3)
 def m_ifft2(x, m=None, n=None):
-    h = _cx(x)
-    s = (scalar_int(m), scalar_int(n)) if m is not None and n is not None else None
-    r = np.fft.ifft2(h, s=s)
-    return MatArray(r, "single" if x.mclass == "single" else "double")
+    return _fft2_impl(x, m, n, inverse=True)
 
 
 @builtin("fftshift", category="math/fft", min_in=1, max_in=2)

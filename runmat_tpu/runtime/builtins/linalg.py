@@ -2,8 +2,11 @@
 
 Reference parity: runmat-runtime/src/{blas.rs,lapack.rs} + provider solve/
 decomposition hooks (runmat-accelerate-api/src/lib.rs:2422-2530). Host path
-uses numpy/LAPACK; device path (accel engine) dispatches to jnp.linalg on the
-MXU with the same MATLAB option surfaces (economy QR, chol info output, ...).
+uses numpy/LAPACK; device path routes through the accel engine's DenseOps
+(accel/dense.py) onto the MXU via jnp.linalg/jax.scipy.linalg, with the same
+MATLAB option surfaces (economy QR, chol info output, linsolve structure
+opts). Every device route has the host path as its fallback — the engine is
+never required for correctness.
 """
 
 from __future__ import annotations
@@ -15,6 +18,23 @@ from ...errors import MatError, bad_arg
 from ...values import MatArray, is_text, text_of
 from ..registry import builtin
 from .common import scalar_int
+
+
+def _dev_eng(*xs):
+    """Engine when the device-linalg route applies to these operands."""
+    from ...accel import active_engine
+    eng = active_engine()
+    if eng is None:
+        return None
+    for x in xs:
+        if not isinstance(x, MatArray):
+            return None
+    return eng if eng.route_linalg(*xs) else None
+
+
+def _is_sq(x: MatArray) -> bool:
+    s = x.shape
+    return len(s) == 2 and s[0] == s[1] and s[0] > 0
 
 
 def _sq(x: MatArray, fn: str) -> np.ndarray:
@@ -38,6 +58,16 @@ def _out(r: np.ndarray, x: MatArray) -> MatArray:
 
 @builtin("inv", category="math/linalg", min_in=1, max_in=1)
 def m_inv(x):
+    eng = _dev_eng(x)
+    if eng is not None and _is_sq(x):
+        out = eng.linalg("inv", [x])
+        if out is None:
+            # LU-based inv unsupported for this dtype -> QR solve vs identity
+            n = x.shape[0]
+            eye = MatArray(np.eye(n), "double")
+            out = eng.linalg("lstsq", [x, eye])
+        if out is not None:
+            return out[0]
     a = _sq(x, "inv")
     try:
         r = np.linalg.inv(a)
@@ -48,47 +78,76 @@ def m_inv(x):
 
 @builtin("pinv", category="math/linalg", min_in=1, max_in=2)
 def m_pinv(x, tol=None):
+    tv = tol.scalar_double() if tol is not None else 1e-15
+    eng = _dev_eng(x)
+    if eng is not None and len(x.shape) == 2 and x.size:
+        out = eng.linalg("pinv", [x], (float(tv),))
+        if out is not None:
+            return out[0]
     a = _f(x)
-    r = np.linalg.pinv(a, rcond=tol.scalar_double() if tol is not None else 1e-15)
+    r = np.linalg.pinv(a, rcond=tv)
     return _out(r, x)
 
 
 @builtin("det", category="math/linalg", min_in=1, max_in=1)
 def m_det(x):
+    eng = _dev_eng(x)
+    if eng is not None and _is_sq(x):
+        out = eng.linalg("det", [x])
+        if out is not None:
+            return out[0]
     return _out(np.linalg.det(_sq(x, "det")), x)
 
 
 @builtin("trace", category="math/linalg", min_in=1, max_in=1)
 def m_trace(x):
+    eng = _dev_eng(x)
+    if eng is not None and len(x.shape) == 2:
+        out = eng.linalg("trace", [x])
+        if out is not None:
+            return out[0]
     return _out(np.trace(_f(x)), x)
 
 
 @builtin("rank", category="math/linalg", min_in=1, max_in=2)
 def m_rank(x, tol=None):
+    tv = tol.scalar_double() if tol is not None else None
+    eng = _dev_eng(x)
+    if eng is not None and len(x.shape) == 2 and x.size:
+        out = eng.linalg("rank", [x], (tv,), out_class="double")
+        if out is not None:
+            return out[0]
     a = _f(x)
-    return MatArray.scalar(float(np.linalg.matrix_rank(
-        a, tol=tol.scalar_double() if tol is not None else None)))
+    return MatArray.scalar(float(np.linalg.matrix_rank(a, tol=tv)))
 
 
 @builtin("norm", category="math/linalg", min_in=1, max_in=2)
 def m_norm(x, p=None):
-    h = _f(x)
-    is_vec = h.ndim == 2 and (h.shape[0] == 1 or h.shape[1] == 1)
+    shape = x.shape
+    is_vec = len(shape) == 2 and (shape[0] == 1 or shape[1] == 1)
     if p is not None and is_text(p):
         t = text_of(p)
         if t == "fro":
-            return MatArray.scalar(float(np.linalg.norm(h, "fro")))
-        if t == "inf":
-            p = MatArray.scalar(np.inf)
+            pv = "fro"
+        elif t == "inf":
+            pv = np.inf
         else:
             raise bad_arg("norm", f"Unknown norm option '{t}'.")
-    pv = p.scalar_double() if p is not None else 2.0
+    else:
+        pv = p.scalar_double() if p is not None else 2.0
+    if not is_vec and pv not in (1.0, 2.0, np.inf, "fro"):
+        raise bad_arg("norm", "Matrix norm only supports 1, 2, inf, 'fro'.")
+    eng = _dev_eng(x)
+    if eng is not None and len(shape) == 2 and x.size:
+        out = eng.linalg("norm", [x], (pv, is_vec), out_class="double")
+        if out is not None:
+            return out[0]
+    h = _f(x)
+    if pv == "fro":
+        return MatArray.scalar(float(np.linalg.norm(h, "fro")))
     if is_vec:
-        v = h.reshape(-1)
-        return MatArray.scalar(float(np.linalg.norm(v, pv)))
-    if pv in (1.0, 2.0, np.inf):
-        return MatArray.scalar(float(np.linalg.norm(h, pv)))
-    raise bad_arg("norm", "Matrix norm only supports 1, 2, inf, 'fro'.")
+        return MatArray.scalar(float(np.linalg.norm(h.reshape(-1), pv)))
+    return MatArray.scalar(float(np.linalg.norm(h, pv)))
 
 
 @builtin("cond", category="math/linalg", min_in=1, max_in=2)
@@ -109,7 +168,14 @@ def m_rcond(x):
 
 @builtin("lu", category="math/linalg", min_in=1, max_in=1, pass_nargout=True)
 def m_lu(x, nargout=1):
-    """[L,U] / [L,U,P] = lu(A) via LAPACK getrf (scipy-free partial pivoting)."""
+    """[L,U] / [L,U,P] = lu(A) via LAPACK getrf (scipy-free partial pivoting);
+    device route: jax.scipy.linalg.lu (accel/dense.py)."""
+    eng = _dev_eng(x)
+    if eng is not None and len(x.shape) == 2 and x.size:
+        mode = "1out" if nargout <= 1 else ("2out" if nargout == 2 else "3out")
+        out = eng.linalg("lu", [x], (mode,))
+        if out is not None:
+            return out[0] if nargout <= 1 else out[:nargout]
     a = _sq(x, "lu") if x.shape[0] == x.shape[1] else _f(x)
     m, n = a.shape
     U = a.copy()
@@ -145,6 +211,20 @@ def m_lu(x, nargout=1):
 
 @builtin("chol", category="math/linalg", min_in=1, max_in=2, pass_nargout=True)
 def m_chol(x, opt=None, nargout=1):
+    eng = _dev_eng(x)
+    if eng is not None and _is_sq(x):
+        lw = opt is not None and text_of(opt) == "lower"
+        out = eng.linalg("chol", [x], (("lower",) if lw else ()))
+        if out is not None:
+            R, bad = out
+            not_posdef = bool(bad.host().reshape(-1)[0])  # scalar gather
+            if nargout >= 2:
+                return [MatArray.empty() if not_posdef else R,
+                        MatArray.scalar(1.0 if not_posdef else 0.0)]
+            if not_posdef:
+                raise MatError("MATLAB:posdef",
+                               "Matrix must be positive definite.")
+            return R
     a = _sq(x, "chol")
     lower = opt is not None and text_of(opt) == "lower"
     try:
@@ -161,10 +241,16 @@ def m_chol(x, opt=None, nargout=1):
 
 @builtin("qr", category="math/linalg", min_in=1, max_in=2, pass_nargout=True)
 def m_qr(x, opt=None, nargout=1):
-    a = _f(x)
     economy = opt is not None and (
         (isinstance(opt, MatArray) and not is_text(opt) and opt.scalar_double() == 0) or
         (is_text(opt) and text_of(opt) in ("econ", "0")))
+    eng = _dev_eng(x)
+    if eng is not None and len(x.shape) == 2 and x.size and nargout <= 2:
+        out = eng.linalg("qr", [x], (("econ",) if economy else ()))
+        if out is not None:
+            Q, R = out
+            return R if nargout <= 1 else [Q, R]
+    a = _f(x)
     mode = "reduced" if economy else "complete"
     Q, R = np.linalg.qr(a, mode=mode)
     if nargout <= 1:
@@ -174,10 +260,16 @@ def m_qr(x, opt=None, nargout=1):
 
 @builtin("svd", category="math/linalg", min_in=1, max_in=2, pass_nargout=True)
 def m_svd(x, opt=None, nargout=1):
-    a = _f(x)
     economy = opt is not None and (
         (isinstance(opt, MatArray) and not is_text(opt) and opt.size and opt.scalar_double() == 0) or
         (is_text(opt) and text_of(opt) == "econ"))
+    eng = _dev_eng(x)
+    if eng is not None and len(x.shape) == 2 and x.size:
+        mode = "vals" if nargout <= 1 else ("econ3" if economy else "f3")
+        out = eng.linalg("svd", [x], (mode,))
+        if out is not None:
+            return out[0] if nargout <= 1 else out[:max(nargout, 2)]
+    a = _f(x)
     if nargout <= 1:
         s = np.linalg.svd(a, compute_uv=False)
         return _out(s.reshape(-1, 1), x)
@@ -189,6 +281,17 @@ def m_svd(x, opt=None, nargout=1):
 
 @builtin("eig", category="math/linalg", min_in=1, max_in=2, pass_nargout=True)
 def m_eig(x, b=None, nargout=1):
+    eng = _dev_eng(x)
+    if eng is not None and b is None and _is_sq(x):
+        # driver selection = MATLAB ishermitian (exact); the check itself runs
+        # on device so a resident operand never round-trips just to decide
+        # only the hermitian driver runs on device (non-symmetric eig has no
+        # TPU lowering and data-dependent real/complex output class)
+        hm = eng.linalg("ishermitian", [x], out_class="logical")
+        if hm is not None and bool(hm[0].host().reshape(-1)[0]):
+            out = eng.linalg("eigh", [x], ("vals",) if nargout <= 1 else ())
+            if out is not None:
+                return out[0] if nargout <= 1 else [out[0], out[1]]
     a = _sq(x, "eig")
     if b is not None:
         bb = _sq(b, "eig")
@@ -197,7 +300,7 @@ def m_eig(x, b=None, nargout=1):
         except np.linalg.LinAlgError:
             raise MatError("MATLAB:eig:matrixMustBeFinite", "Generalized eig failed.")
     else:
-        herm = np.allclose(a, a.conj().T)
+        herm = np.array_equal(a, a.conj().T)
         if herm:
             w, v = np.linalg.eigh(a)
         else:
@@ -211,17 +314,63 @@ def m_eig(x, b=None, nargout=1):
 
 @builtin("schur", category="math/linalg", min_in=1, max_in=2, pass_nargout=True)
 def m_schur(x, opt=None, nargout=1):
+    """[U,T] = schur(A[, 'real'|'complex']) via LAPACK gees (scipy host path;
+    ≙ reference decomposition hooks, backend/wgpu/provider/ops/linalg/
+    decomposition.rs)."""
+    import scipy.linalg as sla
     a = _sq(x, "schur")
-    # numpy lacks schur; use eig-based quasi form for symmetric, else hessenberg-ish
-    herm = np.allclose(a, a.conj().T)
-    if herm:
-        w, v = np.linalg.eigh(a)
-        T = np.diag(w)
-        if nargout <= 1:
-            return _out(T, x)
-        return [_out(v, x), _out(T, x)]
-    raise MatError("MATLAB:schur:unsupported",
-                   "schur currently requires a symmetric matrix.")
+    form = text_of(opt) if opt is not None else \
+        ("complex" if np.iscomplexobj(a) else "real")
+    if form not in ("real", "complex"):
+        raise bad_arg("schur", f"Unknown option '{form}'.")
+    T, U = sla.schur(a, output=form)
+    if nargout <= 1:
+        return _out(T, x)
+    return [_out(U, x), _out(T, x)]
+
+
+@builtin("hess", category="math/linalg", min_in=1, max_in=1, pass_nargout=True)
+def m_hess(x, nargout=1):
+    """[P,H] = hess(A): Hessenberg form via LAPACK gehrd."""
+    import scipy.linalg as sla
+    a = _sq(x, "hess")
+    H, Q = sla.hessenberg(a, calc_q=True)
+    if nargout <= 1:
+        return _out(H, x)
+    return [_out(Q, x), _out(H, x)]
+
+
+@builtin("sqrtm", category="math/linalg", min_in=1, max_in=1)
+def m_sqrtm(x):
+    import scipy.linalg as sla
+    r = sla.sqrtm(_sq(x, "sqrtm"))
+    return _out(np.asarray(r), x)
+
+
+@builtin("logm", category="math/linalg", min_in=1, max_in=1)
+def m_logm(x):
+    import scipy.linalg as sla
+    r = sla.logm(_sq(x, "logm"))
+    return _out(np.asarray(r), x)
+
+
+@builtin("funm", category="math/linalg", min_in=2, max_in=2, pass_ctx=True)
+def m_funm(x, f, ctx=None):
+    import scipy.linalg as sla
+    a = _sq(x, "funm")
+    from ...values import FunctionHandle
+    if not isinstance(f, FunctionHandle):
+        raise bad_arg("funm", "Second argument must be a function handle.")
+
+    def apply(z):
+        zz = np.asarray(z)
+        arr = MatArray.from_np(np.atleast_2d(zz))
+        out = ctx.interp.call_value(f, [arr], 1, ctx.frame)
+        h = (out[0] if out else MatArray.empty()).host()
+        return np.ascontiguousarray(h.reshape(zz.shape))
+
+    r = sla.funm(a, apply)
+    return _out(np.asarray(r), x)
 
 
 @builtin("expm", category="math/linalg", min_in=1, max_in=1)
@@ -248,10 +397,122 @@ def m_expm(x):
     return _out(R, x)
 
 
-@builtin("linsolve", category="math/linalg", min_in=2, max_in=3)
-def m_linsolve(a, b, opts=None):
-    from ..dispatch import mldivide
-    return mldivide(a, b)
+_LINSOLVE_OPTS = ("LT", "UT", "UHESS", "SYM", "POSDEF", "RECT", "TRANSA")
+
+
+@builtin("linsolve", category="math/linalg", min_in=2, max_in=3,
+         pass_nargout=True)
+def m_linsolve(a, b, opts=None, nargout=1):
+    """linsolve(A,B,opts): structure-aware solve.
+
+    Honors the MATLAB option struct (LT/UT/UHESS/SYM/POSDEF/RECT/TRANSA):
+    the flagged structure is TRUSTED — only the relevant triangle/part of A is
+    read, exactly like MATLAB (reference provider hook linsolve,
+    runmat-accelerate-api/src/lib.rs:2422-2530). Second output is the
+    reciprocal condition estimate (square) or rank (RECT)."""
+    from ...values import StructArray
+    from ..dispatch import mldivide, as_matarray
+
+    flags = {k: False for k in _LINSOLVE_OPTS}
+    if opts is not None:
+        if not isinstance(opts, StructArray) or not opts.is_scalar:
+            raise bad_arg("linsolve", "Options must be a scalar struct.")
+        for k in opts.fields:
+            ku = k.upper()
+            if ku not in flags:
+                raise MatError("MATLAB:linsolve:unknownOption",
+                               f"Unknown option '{k}'.")
+            v = opts.get_scalar_field(k)
+            flags[ku] = bool(v.host().reshape(-1)[0]) if isinstance(v, MatArray) \
+                and v.size else False
+        if flags["LT"] and flags["UT"]:
+            raise MatError("MATLAB:linsolve:conflictingOptions",
+                           "LT and UT cannot both be true.")
+
+    if opts is None or not any(flags.values()):
+        r = mldivide(a, b)
+        if nargout >= 2:
+            am = as_matarray(a)
+            ha = am.host()
+            if ha.ndim == 2 and ha.shape[0] == ha.shape[1]:
+                try:
+                    c = np.linalg.cond(ha.astype(np.float64
+                                       if ha.dtype.kind != "c" else np.complex128), 1)
+                    rc = 0.0 if not np.isfinite(c) else 1.0 / c
+                except np.linalg.LinAlgError:
+                    rc = 0.0
+                return [r, MatArray.scalar(rc)]
+            return [r, MatArray.scalar(float(np.linalg.matrix_rank(ha)))]
+        return r
+
+    am, bm = as_matarray(a), as_matarray(b)
+    eng = _dev_eng(am, bm)
+    if eng is not None and nargout <= 1 and (flags["LT"] or flags["UT"]) \
+            and not flags["RECT"] and _is_sq(am) and len(bm.shape) == 2 \
+            and am.shape[0] == (bm.shape[0] if not flags["TRANSA"]
+                                else bm.shape[0]):
+        out = eng.linalg("trisolve", [am, bm],
+                         (bool(flags["LT"]), bool(flags["TRANSA"])))
+        if out is not None:
+            return out[0]
+    import scipy.linalg as sla
+    A, B = _f(am), _f(bm)
+    if A.ndim != 2 or B.ndim != 2:
+        raise bad_arg("linsolve", "Arguments must be 2-D.")
+    trans = flags["TRANSA"]
+    m, n = A.shape
+    if (m if not trans else n) != B.shape[0]:
+        raise MatError("MATLAB:dimagree", "Matrix dimensions must agree.")
+    second = None
+    if flags["RECT"] or m != n:
+        Ae = A.conj().T if trans else A
+        r, _, rk, _ = np.linalg.lstsq(Ae, B, rcond=None)
+        second = float(rk)
+    elif flags["LT"] or flags["UT"]:
+        lower = flags["LT"]
+        Atri = np.tril(A) if lower else np.triu(A)
+        with np.errstate(all="ignore"):
+            d = np.diag(Atri)
+            if np.any(d == 0):
+                r = np.linalg.lstsq(Atri.conj().T if trans else Atri, B,
+                                    rcond=None)[0]
+            else:
+                r = sla.solve_triangular(Atri, B, lower=lower,
+                                         trans="C" if trans else "N")
+        second = _rcond_est(Atri)
+    elif flags["POSDEF"]:
+        Asym = np.tril(A) + np.tril(A, -1).conj().T if not flags["SYM"] else A
+        try:
+            c, low = sla.cho_factor(Asym, lower=True)
+            r = sla.cho_solve((c, low), B)
+        except np.linalg.LinAlgError:
+            raise MatError("MATLAB:posdef", "Matrix must be positive definite.")
+        second = _rcond_est(Asym)
+    elif flags["SYM"]:
+        Asym = np.tril(A) + np.tril(A, -1).conj().T
+        Ae = Asym.conj().T if trans else Asym
+        r = np.linalg.solve(Ae, B)
+        second = _rcond_est(Asym)
+    elif flags["UHESS"]:
+        Ae = A.conj().T if trans else A
+        r = np.linalg.solve(Ae, B)
+        second = _rcond_est(A)
+    else:
+        Ae = A.conj().T if trans else A
+        r = np.linalg.solve(Ae, B)
+        second = _rcond_est(A)
+    out = _out(r, am)
+    if nargout >= 2:
+        return [out, MatArray.scalar(second)]
+    return out
+
+
+def _rcond_est(A: np.ndarray) -> float:
+    try:
+        c = np.linalg.cond(A, 1)
+        return 0.0 if not np.isfinite(c) else 1.0 / c
+    except np.linalg.LinAlgError:
+        return 0.0
 
 
 @builtin("dot", category="math/linalg", min_in=2, max_in=3)

@@ -68,6 +68,15 @@ def m_pagemtimes(a, *rest):
         tb = text_of(rest[2]).lower()
     else:
         raise bad_arg("pagemtimes", "Expected pagemtimes(A,B) or pagemtimes(A,transpA,B,transpB).")
+    if ta not in ("none", "transpose", "ctranspose") or \
+            tb not in ("none", "transpose", "ctranspose"):
+        raise bad_arg("pagemtimes", "transp must be 'none', 'transpose' or 'ctranspose'.")
+    from .linalg import _dev_eng
+    eng = _dev_eng(a, b)
+    if eng is not None and a.size and b.size:
+        out = eng.linalg("pagemtimes", [a, b], (ta, tb))
+        if out is not None:
+            return out[0]
     ha, hb = a.host(), b.host()
     is_c = ha.dtype.kind == "c" or hb.dtype.kind == "c"
     ha = ha.astype(np.complex128 if is_c else np.float64)
@@ -91,7 +100,10 @@ def m_pagemtimes(a, *rest):
     out_shape = (r.shape[1], r.shape[2]) if npages == 1 else \
         (r.shape[1], r.shape[2]) + (ha.shape[2:] if ha.ndim > 2 else hb.shape[2:])
     out = np.moveaxis(r, 0, -1).reshape(out_shape, order="F") if npages > 1 else r[0]
-    return MatArray(out, "double")
+    out_class = "single" if "single" in (a.mclass, b.mclass) else "double"
+    if out_class == "single":
+        out = out.astype(np.complex64 if is_c else np.float32)
+    return MatArray(out, out_class)
 
 
 @builtin("pagetranspose", category="math/linalg", min_in=1, max_in=1)

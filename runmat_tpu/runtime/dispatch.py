@@ -439,6 +439,22 @@ def mldivide(a, b):
     if dtypes.is_integer_class(out_class):
         raise MatError("MATLAB:mldivide:integerNotSupported",
                        "MLDIVIDE is not supported for integer classes.")
+    eng = _engine()
+    if eng is not None and eng.route_linalg(a, b):
+        sa, sb = a.shape, b.shape
+        if len(sa) == 2 and len(sb) == 2 and sa[0] == sb[0] \
+                and a.size and b.size:
+            # square -> LU solve on MXU; rectangular -> QR least squares
+            # (≙ provider mldivide, runmat-accelerate-api/src/lib.rs:2422)
+            kind = "solve" if sa[0] == sa[1] else "lstsq"
+            out = eng.linalg(kind, [a, b], out_class=out_class)
+            if out is None and kind == "solve":
+                # LU solve unsupported for this dtype (observed: f64 LU custom
+                # calls fail on some TPU stacks while QR works) -> QR solve,
+                # still on the MXU
+                out = eng.linalg("lstsq", [a, b], out_class=out_class)
+            if out is not None:
+                return out[0]
     ha, hb = numeric_host(a), numeric_host(b)
     if hb.ndim != 2 or ha.ndim != 2:
         raise MatError("MATLAB:mldivide:inputsMustBe2D", "Arguments must be 2-D.")
