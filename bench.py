@@ -1,14 +1,20 @@
 #!/usr/bin/env python
-"""Benchmark driver: runs the three reference workloads on the real TPU and
-prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""Benchmark driver: reference workloads + roofline measurement on the real TPU.
 
-Baselines (BASELINE.md — reference RunMat wall-clock on its wgpu GPU):
-  elementwise-math 10M pts : 143.39 ms
-  monte-carlo 1M paths T256: 188.00 ms
-  4k-image B=16            : 241.56 ms
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
-vs_baseline = geometric-mean speedup (reference_ms / our_ms, >1 means faster
-than the reference). Per-workload details go to stderr.
+Two benchmark families (BASELINE.json metric line):
+  1. The three reference workloads (wall-clock vs the reference's published ms,
+     BASELINE.md) -> geomean speedup = the headline value.
+  2. Roofline: fused-elementwise HBM GB/s (target >=80% of peak) and chained
+     8k single-precision matmul TFLOP/s (target >=50% of MXU peak). Both run
+     as MATLAB `for` loops that the device loop gate folds into one
+     lax.fori_loop dispatch, so the tunnel round trip (~30 ms on this
+     remote-attached chip) amortizes over many passes; the measured
+     empty-dispatch round trip is subtracted before computing rates.
+
+vs_baseline = geometric-mean speedup (reference_ms / our_ms, >1 means faster).
+Per-workload details go to stderr.
 """
 
 from __future__ import annotations
@@ -28,9 +34,27 @@ BASELINES_MS = {
 
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 
+# per-chip peaks for roofline denominators
+PEAKS = {
+    # device_kind substring -> (HBM GB/s, MXU dense TFLOP/s bf16)
+    "v5 lite": (819.0, 197.0),
+    "v5e": (819.0, 197.0),
+    "v4": (1228.0, 275.0),
+    "v5p": (2765.0, 459.0),
+    "v6": (1640.0, 918.0),
+}
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def _peaks(eng) -> tuple:
+    kind = str(eng.device_info().get("name", "")).lower()
+    for key, v in PEAKS.items():
+        if key in kind:
+            return v
+    return (819.0, 197.0)  # default to v5e-class
 
 
 def run_case(sess, name: str, force_vars: list[str]) -> float:
@@ -69,6 +93,99 @@ def run_case(sess, name: str, force_vars: list[str]) -> float:
     return med
 
 
+# --------------------------------------------------------------------------- #
+# roofline cases
+# --------------------------------------------------------------------------- #
+
+def _timed_loop(sess, eng, setup: str, loop_src: str, force_var: str,
+                reps: int) -> float:
+    """Median wall ms of running `loop_src` + blocking on force_var."""
+    sess.run_source(setup, "roofline_setup")
+    if eng is not None:
+        eng.block_until_ready(sess.get(force_var))
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        sess.run_source(loop_src, "roofline_loop")
+        v = sess.get(force_var)
+        if v is not None and getattr(v, "on_device", False):
+            eng.block_until_ready(v)
+        return (time.perf_counter() - t0) * 1000.0
+
+    warm = once()   # compile
+    times = [once() for _ in range(max(reps, 3))]
+    med = statistics.median(times)
+    log(f"    warmup {warm:.1f} ms, median {med:.2f} ms "
+        f"(min {min(times):.2f}, max {max(times):.2f})")
+    return med
+
+
+def run_roofline(sess) -> dict:
+    """Roofline accounting: each workload is a MATLAB `for` loop folded into
+    ONE lax.fori_loop dispatch. Fixed overhead (parse + loop-gate trace +
+    tunnel round trips) is measured by running the SAME loop over tiny data
+    (zero device work) and subtracted — more accurate than a bare round-trip
+    probe because it includes the per-call host-side costs."""
+    from runmat_tpu.accel import active_engine
+    eng = active_engine()
+    if eng is None:
+        return {}
+    hbm_peak, mxu_peak = _peaks(eng)
+    out: dict = {}
+
+    # ---- fused elementwise HBM roofline: K passes of an axpy over N floats.
+    # Each fori_loop iteration reads + writes 4N bytes (carry is donated), so
+    # traffic = K * 2 * 4N bytes in one dispatch (accel/loops.py).
+    N = int(os.environ.get("BENCH_EW_N", 100_000_000))
+    K = int(os.environ.get("BENCH_EW_K", 256))
+    log(f"  elementwise roofline: N={N}, K={K}")
+
+    def ew_loop(k):
+        return (f"for bench_k = 1:{k}, "
+                f"ew_x = ew_x .* single(1.0001) + single(1e-7); end")
+
+    ctl = _timed_loop(sess, eng, "ew_x = gpuArray(rand(16, 1, 'single'));",
+                      ew_loop(K), "ew_x", REPS)
+    ms = _timed_loop(sess, eng, f"ew_x = gpuArray(rand({N}, 1, 'single'));",
+                     ew_loop(K), "ew_x", REPS)
+    out["overhead_ms"] = round(ctl, 2)
+    dev_ms = max(ms - ctl, 1e-3)
+    gbytes = K * 2 * 4 * N / 1e9
+    gbps = gbytes / (dev_ms / 1e3)
+    out["elementwise_gbps"] = round(gbps, 1)
+    out["elementwise_pct_hbm"] = round(100.0 * gbps / hbm_peak, 1)
+    log(f"  elementwise: {gbps:.0f} GB/s = {out['elementwise_pct_hbm']:.1f}% "
+        f"of {hbm_peak:.0f} GB/s peak (overhead control {ctl:.1f} ms)")
+    sess.run_source("clear ew_x", "roofline_clear")
+
+    # ---- matmul MXU roofline: K chained NxN single matmuls in one fori_loop
+    # dispatch. sc = 1/2048 keeps magnitudes stable (exact in f32).
+    Nm = int(os.environ.get("BENCH_MM_N", 8192))
+    Km = int(os.environ.get("BENCH_MM_K", 16))
+    log(f"  matmul roofline: N={Nm}, K={Km}")
+
+    def mm_loop(k):
+        return (f"for bench_k = 1:{k}, "
+                f"mm_C = mm_C * mm_B .* single(1/2048); end")
+
+    ctl = _timed_loop(
+        sess, eng, "mm_B = gpuArray(rand(16, 16, 'single')); "
+        "mm_C = gpuArray(rand(16, 16, 'single'));", mm_loop(Km), "mm_C", REPS)
+    ms = _timed_loop(
+        sess, eng, f"mm_B = gpuArray(rand({Nm}, {Nm}, 'single')); "
+        f"mm_C = gpuArray(rand({Nm}, {Nm}, 'single'));", mm_loop(Km), "mm_C",
+        REPS)
+    dev_ms = max(ms - ctl, 1e-3)
+    flops = Km * 2.0 * (Nm ** 3)
+    tflops = flops / (dev_ms / 1e3) / 1e12
+    out["matmul_tflops"] = round(tflops, 1)
+    out["matmul_pct_mxu"] = round(100.0 * tflops / mxu_peak, 1)
+    log(f"  matmul: {tflops:.1f} TFLOP/s = {out['matmul_pct_mxu']:.1f}% of "
+        f"{mxu_peak:.0f} TFLOP/s MXU peak (overhead control {ctl:.1f} ms)")
+    sess.run_source("clear mm_B mm_C", "roofline_clear")
+    return out
+
+
 def main() -> int:
     # Real accelerator: do NOT pin platform (tests pin cpu via env; clear it).
     os.environ.pop("RUNMAT_TPU_PLATFORM", None)
@@ -96,6 +213,14 @@ def main() -> int:
         geo *= s
     geo **= 1.0 / len(speedups)
 
+    roofline = {}
+    if os.environ.get("BENCH_SKIP_ROOFLINE") != "1":
+        log("roofline:")
+        try:
+            roofline = run_roofline(sess)
+        except Exception as e:  # roofline must never sink the suite result
+            log(f"  roofline failed: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "benchmark_suite_geomean_speedup_vs_runmat",
         "value": round(geo, 4),
@@ -103,6 +228,7 @@ def main() -> int:
                 "monte-carlo 1M/T256, 4k-image B=16)",
         "vs_baseline": round(geo, 4),
         "detail_ms": {k: round(v, 2) for k, v in results.items()},
+        "roofline": roofline,
     }))
     return 0
 

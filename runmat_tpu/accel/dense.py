@@ -333,6 +333,24 @@ def _b_trace(eng, opts):
     return lambda a: jnp.trace(a)
 
 
+def _b_sort(eng, opts):
+    """Sort along axis with MATLAB NaN-last rule in BOTH directions; indices
+    come back 1-based double (≙ provider sort, api lib.rs sort methods)."""
+    jnp = eng.jnp
+    axis, descend, want_idx = opts
+
+    def f(a):
+        keys = -a if descend else a
+        # ascending argsort: XLA float total order puts NaN last; for descend,
+        # -NaN is still NaN so NaN-keyed elements also land last
+        idx = jnp.argsort(keys, axis=axis, stable=True)
+        vals = jnp.take_along_axis(a, idx, axis=axis)
+        if want_idx:
+            return vals, (idx + 1).astype(jnp.float64)
+        return vals
+    return f
+
+
 def _b_ishermitian(eng, opts):
     jnp = eng.jnp
     return lambda a: jnp.all(a == a.conj().T)
@@ -418,6 +436,7 @@ _BUILDERS = {
     "pagemtimes": _b_pagemtimes,
     "trisolve": _b_trisolve,
     "trace": _b_trace,
+    "sort": _b_sort,
     "ishermitian": _b_ishermitian,
     "norm": _b_norm,
     "cond": _b_cond,

@@ -249,8 +249,17 @@ def m_kron(a, b):
 
 @builtin("find", category="array", min_in=1, max_in=3, pass_nargout=True)
 def m_find(x, n=None, direction=None, nargout=1):
+    """find is inherently a device->host sync (the result SHAPE depends on the
+    data, which XLA cannot express). For device operands the comparison mask
+    is computed ON device (fused with any pending producer chain) and only the
+    packed logical array crosses the link — 8x less transfer than gathering
+    the payload (≙ provider find + download, api lib.rs find methods)."""
     if type(x).__name__ == "SparseMatrix":
         x = x.to_matarray()
+    if isinstance(x, MatArray) and x.on_device and nargout <= 2 \
+            and x.mclass != "logical":
+        from ..dispatch import binary as _bin
+        x = _bin("ne", x, MatArray.scalar(0.0))
     h = x.host()
     flat = fortran_ravel(h)
     idx = np.nonzero(flat != 0)[0]

@@ -178,6 +178,10 @@ def m_median(x, *rest):
     dims, type_mode, nan_mode = _parse_opts(list(rest))
     axes = _axes_for(x.shape, dims)
     acc = "single" if x.mclass == "single" else "double"
+    if isinstance(x, MatArray) and x.on_device and not x.is_complex:
+        dv = _device_reduce("median", x, axes, acc, nan_mode)
+        if dv is not None:
+            return dv
     h = _host_data(x, acc)
     if len(axes) != 1:
         h2 = h
@@ -362,6 +366,11 @@ def m_nnz(x):
     if type(x).__name__ == "SparseMatrix":
         from ...values import MatArray as _MA
         return _MA.scalar(float(x.prune().nnz))
+    if isinstance(x, MatArray) and x.on_device:
+        dv = _device_reduce("nnz", x, tuple(range(len(x.shape))), "double",
+                            None)
+        if dv is not None:
+            return dv
     return MatArray.scalar(float(np.count_nonzero(x.host())))
 
 
@@ -385,6 +394,13 @@ def _cum(x, rest, npfn, nanfn, name):
             dim = int(a.scalar_double())
     ax = (dim - 1) if dim else _axes_for(x.shape, None)[0]
     acc = "single" if x.mclass == "single" else ("double" if x.mclass in ("logical", "char") else x.mclass)
+    if isinstance(x, MatArray) and x.on_device and \
+            not dtypes.is_integer_class(acc) and not x.is_complex:
+        eng = _engine()
+        if eng is not None:
+            dv = eng.scan(name, x, ax, reverse, nan_mode == "omitnan", acc)
+            if dv is not None:
+                return dv
     h = _host_data(x, acc if not dtypes.is_integer_class(acc) else "double")
     if reverse:
         h = np.flip(h, axis=ax)
@@ -408,8 +424,24 @@ def m_cumprod(x, *rest):
     return _cum(x, rest, np.cumprod, np.nancumprod, "cumprod")
 
 
+def _cum_minmax_dev(x, rest, name):
+    if not (isinstance(x, MatArray) and x.on_device) or x.is_complex or \
+            x.mclass not in ("double", "single"):
+        return None
+    eng = _engine()
+    if eng is None:
+        return None
+    dim = int(rest[0].scalar_double()) - 1 if rest and isinstance(rest[0], MatArray) else \
+        _axes_for(x.shape, None)[0]
+    acc = "single" if x.mclass == "single" else "double"
+    return eng.scan(name, x, dim, False, False, acc)
+
+
 @builtin("cummax", category="math/reduction", min_in=1)
 def m_cummax(x, *rest):
+    dv = _cum_minmax_dev(x, rest, "cummax")
+    if dv is not None:
+        return dv
     h = x.host()
     dim = int(rest[0].scalar_double()) - 1 if rest and isinstance(rest[0], MatArray) else \
         _axes_for(x.shape, None)[0]
@@ -419,6 +451,9 @@ def m_cummax(x, *rest):
 
 @builtin("cummin", category="math/reduction", min_in=1)
 def m_cummin(x, *rest):
+    dv = _cum_minmax_dev(x, rest, "cummin")
+    if dv is not None:
+        return dv
     h = x.host()
     dim = int(rest[0].scalar_double()) - 1 if rest and isinstance(rest[0], MatArray) else \
         _axes_for(x.shape, None)[0]

@@ -48,6 +48,16 @@ def m_sort(x, *rest, nargout=1):
         if nargout <= 1:
             return out
         return [out, _norm(order.astype(np.float64) + 1, "double")]
+    if isinstance(x, MatArray) and x.on_device:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None:
+            shape = x.shape
+            ax = (dim - 1) if dim else (0 if shape[0] != 1 else 1)
+            if ax < len(shape):
+                out = eng.sort(x, ax, direction == "descend", nargout >= 2)
+                if out is not None:
+                    return out[0] if nargout <= 1 else out
     h = x.host()
     ax = (dim - 1) if dim else (0 if h.shape[0] != 1 else 1)
     hk = h

@@ -220,7 +220,11 @@ def _try_device_read(base, args):
     eng = active_engine()
     if eng is None:
         return None
-    return eng.index_read(base, args)  # may return None -> fall through to gather
+    r = eng.index_read(base, args)   # contiguous-slice fast path
+    if r is None:
+        # arbitrary numeric subscripts: lazy XLA gather (stays fused)
+        r = eng.index_read_general(base, args)
+    return r                          # None -> fall through to host gather
 
 
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,181 @@
+"""Device DAG breadth (VERDICT round-1 task 4): scans, sort, median/nnz,
+arbitrary gather/scatter indexing, mask writes, lazy index_write.
+
+Parity model: reference provider scan/sort/find/scatter/gather methods
+(runmat-accelerate-api/src/lib.rs) exercised through the MATLAB surface on the
+jax-CPU fake-provider path, asserting results AND residency (lazy writes must
+not force a gather)."""
+
+import numpy as np
+
+from helpers import run, run_get
+
+MAGIC4 = np.array([[16, 2, 3, 13], [5, 11, 10, 8],
+                   [9, 7, 6, 12], [4, 14, 15, 1]], float)
+
+
+def pair(body, names, setup_val="reshape(1:20, 4, 5)", tol=1e-12):
+    h = run_get(f"A = {setup_val};" + body, *names)
+    d = run_get(f"A = gpuArray({setup_val});" + body, *names, accelerate=True)
+    for n in names:
+        hv, dv = h[n].host(), d[n].host()
+        assert hv.shape == dv.shape, f"{n}: {hv.shape} vs {dv.shape}"
+        np.testing.assert_allclose(dv, hv, rtol=tol, atol=tol, err_msg=n,
+                                   equal_nan=True)
+
+
+# ---------------------------------------------------------------- scans
+
+def test_cumsum_device_matches_host():
+    pair("c1 = cumsum(A); c2 = cumsum(A, 2); c3 = cumsum(A, 'reverse');",
+         ["c1", "c2", "c3"])
+
+
+def test_cumsum_omitnan_device():
+    pair("c = cumsum(A, 'omitnan'); p = cumprod(A, 'omitnan');",
+         ["c", "p"], setup_val="[3 NaN 1 2]")
+
+
+def test_cumsum_includenan_device():
+    pair("c = cumsum(A);", ["c"], setup_val="[3 NaN 1 2]")
+
+
+def test_cummax_cummin_nan_skip_device():
+    pair("a = cummax(A); b = cummin(A);", ["a", "b"],
+         setup_val="[NaN 3 NaN 1 5 2]")
+
+
+def test_cumprod_matrix_device():
+    pair("p = cumprod(A); p2 = cumprod(A, 2);", ["p", "p2"])
+
+
+def test_scan_stays_resident():
+    s = run("x = gpuArray(1:100); y = cumsum(x) + 1;", accelerate=True)
+    assert s.get("y").on_device
+
+
+# ---------------------------------------------------------------- sort
+
+def test_sort_device_matches_host():
+    pair("s1 = sort(A); s2 = sort(A, 2); s3 = sort(A, 'descend');",
+         ["s1", "s2", "s3"])
+
+
+def test_sort_device_indices():
+    s = run("[v, i] = sort(gpuArray([3 1 2]));", accelerate=True)
+    np.testing.assert_allclose(s.get("v").host(), [[1, 2, 3]])
+    np.testing.assert_allclose(s.get("i").host(), [[2, 3, 1]])
+
+
+def test_sort_device_nan_last_both_directions():
+    s = run("a = sort(gpuArray([3 NaN 1]), 'descend'); "
+            "b = sort(gpuArray([3 NaN 1]));", accelerate=True)
+    np.testing.assert_allclose(s.get("a").host(), [[3, 1, np.nan]],
+                               equal_nan=True)
+    np.testing.assert_allclose(s.get("b").host(), [[1, 3, np.nan]],
+                               equal_nan=True)
+
+
+def test_median_nnz_device():
+    pair("m = median(A); m2 = median(A, 2); n = nnz(A > 7);", ["m", "m2", "n"])
+
+
+def test_median_omitnan_device():
+    pair("m = median(A, 'omitnan');", ["m"], setup_val="[1 NaN 3 10]")
+
+
+# ---------------------------------------------------------------- gather
+
+def test_arbitrary_index_read_stays_device():
+    s = run("A = gpuArray(reshape(1:20, 4, 5)); B = A([3 1], [5 2 4]); "
+            "C = B + 0;", accelerate=True)
+    assert s.get("C").on_device
+    An = np.arange(1, 21).reshape(4, 5, order="F")
+    np.testing.assert_allclose(s.get("B").host(),
+                               An[np.ix_([2, 0], [4, 1, 3])])
+
+
+def test_linear_gather_device():
+    pair("b = A([1 6 20]); c = A([2; 3]); d = A(end);", ["b", "c", "d"])
+
+
+def test_gather_orientation_device():
+    pair("r = A(1, [3 1 2]); c = A([2 4], 3); v = A(:);", ["r", "c", "v"])
+
+
+def test_out_of_range_read_errors_device():
+    s = run("x = 0;", accelerate=True)
+    r = s.execute("A = gpuArray(1:5); b = A(9);")
+    assert r.error is not None
+
+
+# ---------------------------------------------------------------- scatter
+
+def test_slice_write_lazy_no_dispatch():
+    """An indexed write must NOT dispatch eagerly (VERDICT: index_write
+    breaks fusion)."""
+    from runmat_tpu.accel import active_engine
+    s = run("A = gpuArray(reshape(1:20, 4, 5));", accelerate=True)
+    eng = active_engine()
+    base = eng.stats["dispatches"]
+    r = s.execute("A(2, :) = 0; A(1, 2) = 99;")
+    assert r.error is None
+    assert eng.stats["dispatches"] == base   # still lazy
+    An = np.arange(1, 21).reshape(4, 5, order="F").astype(float)
+    An[1, :] = 0
+    An[0, 1] = 99
+    np.testing.assert_allclose(s.get("A").host(), An)
+
+
+def test_arbitrary_scatter_device():
+    pair("A([1 3], [2 4]) = [100 200; 300 400]; A([1 5]) = -1;", ["A"])
+
+
+def test_mask_write_scalar_device():
+    s = run("M = gpuArray(magic(4)); M(M > 10) = 0; t = sum(M(:));",
+            accelerate=True)
+    Mn = MAGIC4.copy()
+    Mn[Mn > 10] = 0
+    np.testing.assert_allclose(s.get("M").host(), Mn)
+
+
+def test_colon_fill_device():
+    pair("A(:) = 7;", ["A"])
+    pair("A(:) = 1:20;", ["A"])
+
+
+def test_duplicate_index_write_last_wins():
+    # duplicates must fall back to host (XLA scatter order is unspecified)
+    pair("A([2 2]) = [10 20];", ["A"], setup_val="1:5")
+
+
+def test_write_preserves_cow():
+    """B = A; A(1) = 99 must not change B (value semantics on device)."""
+    s = run("A = gpuArray(1:5); B = A; A(1) = 99;", accelerate=True)
+    np.testing.assert_allclose(s.get("B").host(), [[1, 2, 3, 4, 5]])
+    np.testing.assert_allclose(s.get("A").host(), [[99, 2, 3, 4, 5]])
+
+
+def test_write_then_read_chain_fuses():
+    s = run("x = gpuArray(zeros(1, 8)); x(3:6) = 5; y = sin(x) + 1; "
+            "t = sum(y);", accelerate=True)
+    xn = np.zeros((1, 8))
+    xn[0, 2:6] = 5
+    np.testing.assert_allclose(s.get("t").host(),
+                               np.sum(np.sin(xn) + 1), rtol=1e-12)
+
+
+def test_growth_falls_back_to_host():
+    s = run("A = gpuArray(1:3); A(5) = 9;", accelerate=True)
+    np.testing.assert_allclose(s.get("A").host(), [[1, 2, 3, 0, 9]])
+
+
+# ---------------------------------------------------------------- find
+
+def test_find_device():
+    pair("f = find(A > 10); [r, c] = find(A == 15);", ["f", "r", "c"])
+
+
+def test_find_first_n_device():
+    s = run("f = find(gpuArray([0 5 0 7 0 9]), 2);", accelerate=True)
+    np.testing.assert_allclose(s.get("f").host(), [[2, 4]])
