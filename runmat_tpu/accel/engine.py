@@ -529,7 +529,7 @@ class JaxEngine:
             iv = self._index_vec(a, shape[k])
             if iv is None:
                 return None
-            spec.append(len(inputs))
+            spec.append(("s", len(inputs)))
             inputs.append(self._idx_leaf(iv))
             out_shape.append(iv.size)
         node = self._op("gatherN", inputs, (tuple(spec),),
@@ -616,7 +616,7 @@ class JaxEngine:
             iv = self._index_vec(a, shape[k], unique_required=True)
             if iv is None:
                 return None
-            spec.append(len(inputs))
+            spec.append(("s", len(inputs)))
             inputs.append(self._idx_leaf(iv))
             sel_shape.append(iv.size)
         nelem = 1
@@ -804,13 +804,41 @@ class JaxEngine:
             if len(ps) <= 1:
                 return taken.reshape(ps)
             return jnp.reshape(taken, out_shape, order="F")
+        if op == "gather1d":
+            # linear (F-order) gather at a traced 1-based scalar subscript
+            la = in_shapes[0]
+            x = args[0]
+            if x.ndim > 1:
+                flat = jnp.reshape(x.reshape(la), -1, order="F")
+            else:
+                flat = x.reshape(-1)
+            i0 = jnp.reshape(args[1], ()).astype(jnp.int32) - 1
+            return jnp.take(flat, i0)
+        if op == "scatter1d":
+            la = in_shapes[0]
+            x, iv, r = args[0], args[1], args[2]
+            if x.ndim > 1:
+                flat = jnp.reshape(x.reshape(la), -1, order="F")
+            else:
+                flat = x.reshape(-1)
+            i0 = jnp.reshape(iv, ()).astype(jnp.int32) - 1
+            upd = flat.at[i0].set(jnp.reshape(r, ()).astype(dt))
+            if x.ndim > 1:
+                return jnp.reshape(upd, la, order="F")
+            return upd.reshape(x.shape)
         if op == "gatherN":
             (spec,) = static
             la = in_shapes[0]
             x = args[0].reshape(la)
             for k, s in enumerate(spec):
-                if s != "colon":
-                    x = jnp.take(x, args[s], axis=k)
+                if s == "colon":
+                    continue
+                kind, slot = s
+                if kind == "s":
+                    x = jnp.take(x, args[slot], axis=k)
+                else:   # dynamic 1-based scalar subscript (traced)
+                    i0 = (jnp.reshape(args[slot], ()).astype(jnp.int32) - 1)
+                    x = jnp.take(x, i0.reshape(1), axis=k)
             return self._to_phys(x, out_shape)
         if op == "fillall":
             la = in_shapes[0]
@@ -859,8 +887,11 @@ class JaxEngine:
             for k, s in enumerate(spec):
                 if s == "colon":
                     idxs.append(jnp.arange(la[k]))
+                elif s[0] == "s":
+                    idxs.append(args[s[1]])
                 else:
-                    idxs.append(args[s])
+                    idxs.append((jnp.reshape(args[s[1]], ())
+                                 .astype(jnp.int32) - 1).reshape(1))
             mesh = jnp.ix_(*idxs)
             if scalar_rhs:
                 val = jnp.reshape(r, ()).astype(dt)

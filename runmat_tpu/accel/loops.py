@@ -90,21 +90,8 @@ def try_device_loop(interp, frame, code, for_next_pc: int, iterable) -> Optional
     lo_pc, hi_pc = for_next_pc + 1, done - 2
 
     written: set[str] = set()
-    for i in range(lo_pc, hi_pc):
-        op, a, b, c, d = instrs[i]
-        if op == B.STORE:
-            if b:           # display output -> host side effect
-                return None
-            written.add(a)
-        elif op == B.BUILD_MAT:
-            if a != ():
-                return None          # only the empty [] literal is traceable
-        elif op in (B.CONST, B.LOAD, B.BINOP, B.UNOP, B.MTIMES, B.TRANSPOSE,
-                    B.RESOLVE_CALL, B.POP, B.DUP, B.CHECK_INTERRUPT):
-            if op == B.RESOLVE_CALL and (d == 2 or c > 1):
-                return None
-        else:
-            return None
+    if _scan_window(B, instrs, range(lo_pc, hi_pc), written) is None:
+        return None
     if not written:
         return None
 
@@ -136,6 +123,35 @@ def _bc():
     return B
 
 
+def _scan_window(B, instrs, rng, written: set, allow_store: bool = True):
+    """Static eligibility scan over a bytecode window. Returns True when every
+    opcode is traceable (collecting written names), None to bail."""
+    for i in rng:
+        op, a, b, c, d = instrs[i]
+        if op == B.STORE:
+            if not allow_store or b:    # display output -> host side effect
+                return None
+            written.add(a)
+        elif op == B.STORE_INDEX:
+            if not allow_store or d or c != "paren":
+                return None
+            written.add(a)
+        elif op == B.BUILD_MAT:
+            if a != ():
+                return None          # only the empty [] literal is traceable
+        elif op in (B.CONST, B.LOAD, B.BINOP, B.UNOP, B.MTIMES, B.TRANSPOSE,
+                    B.RESOLVE_CALL, B.POP, B.DUP, B.CHECK_INTERRUPT,
+                    B.COLON_VAL, B.RANGE, B.PUSH_IXCTX, B.PUSH_IXCTX_VAR,
+                    B.POP_IXCTX, B.END_VAL, B.INDEX):
+            if op == B.RESOLVE_CALL and (d == 2 or c > 1):
+                return None
+            if op == B.INDEX and b != "paren":
+                return None
+        else:
+            return None
+    return True
+
+
 # --------------------------------------------------------------------------- #
 # trace: mini-interpreter over the restricted body window
 # --------------------------------------------------------------------------- #
@@ -158,6 +174,7 @@ class _Trace:
         self.rng_blocks = 0                       # Philox blocks per iteration
         self.loopvar_node: Optional[LazyNode] = None
         self.marker_nodes: list[LazyNode] = []
+        self.ixctx: list = []                     # END_VAL context bases
 
     # -- value access -------------------------------------------------------- #
 
@@ -281,6 +298,39 @@ class _Trace:
                 if a != ():
                     raise _Bail()
                 stack.append(MatArray.empty())
+            elif op == B.COLON_VAL:
+                from ..vm.indexing import COLON
+                stack.append(COLON)
+            elif op == B.RANGE:
+                stop = _unwrap1(stack.pop())
+                step = _unwrap1(stack.pop()) if a else None
+                start = _unwrap1(stack.pop())
+                for v in (start, step, stop):
+                    if isinstance(v, MatArray) and v.on_device:
+                        raise _Bail()   # data-dependent extent
+                from ..vm.interp import _make_range
+                stack.append(_make_range(start, step, stop))
+            elif op == B.PUSH_IXCTX:
+                self.ixctx.append(stack[-1] if stack else None)
+            elif op == B.PUSH_IXCTX_VAR:
+                v = self._load(a)
+                self.ixctx.append(None if v is NOVALUE else v)
+            elif op == B.POP_IXCTX:
+                self.ixctx.pop()
+            elif op == B.END_VAL:
+                base = self.ixctx[-1] if self.ixctx else None
+                from ..vm.interp import _end_value
+                stack.append(_end_value(base, a, b))
+            elif op == B.INDEX:
+                args = _collect_args(stack, a)
+                base = _unwrap1(stack.pop())
+                if self.ixctx and self.ixctx[-1] is None:
+                    self.ixctx[-1] = base
+                stack.append(self._index_read(base, args))
+            elif op == B.STORE_INDEX:
+                args = _collect_args(stack, b)
+                rhs = _unwrap1(stack.pop())
+                self._store_index(a, args, rhs)
             elif op == B.RESOLVE_CALL:
                 name, nargs, nargout = a, b, c
                 args = _collect_args(stack, nargs)
@@ -289,7 +339,10 @@ class _Trace:
                     if nargs == 0:
                         stack.append(v)
                         continue
-                    raise _Bail()   # paren-indexing a traced value: v1 bails
+                    if isinstance(v, MatArray):
+                        stack.append(self._index_read(v, args))
+                        continue
+                    raise _Bail()   # paren-indexing a non-array traced value
                 if name in _RNG_BUILTINS:
                     stack.append(self._rng(name, args))
                     continue
@@ -311,6 +364,177 @@ class _Trace:
 
     # condition windows want the residual stack (the cond value)
     run_window = run
+
+    # -- indexed reads / writes ----------------------------------------------#
+
+    def _is_dyn(self, a) -> bool:
+        """A subscript that is the raw loop variable (traced scalar)."""
+        return isinstance(a, MatArray) and a.on_device and \
+            a.dev is self.loopvar_node
+
+    def _check_loopvar_bounds(self, extent: int) -> None:
+        """The loop variable used as a subscript: every iterate must be an
+        in-range integer, known from the host iterable at gate time."""
+        if self.iterable is None:
+            raise _Bail()
+        h = self.iterable.host().reshape(-1)
+        if not np.all(h == np.floor(h)) or h.size == 0 or \
+                h.min() < 1 or h.max() > extent:
+            raise _Bail()
+
+    def _classify_args(self, base: MatArray, args: list):
+        """-> (spec_args, dynamic?) where each entry is COLON | host MatArray
+        | ('dyn',). Bails on anything else (device masks handled separately
+        by engine.index_write)."""
+        from ..vm.indexing import ColonMark
+        dyn = False
+        for a in args:
+            if isinstance(a, ColonMark):
+                continue
+            if self._is_dyn(a):
+                dyn = True
+                continue
+            if isinstance(a, MatArray) and not a.on_device and \
+                    a.mclass != "logical":
+                continue
+            return None, False
+        return args, dyn
+
+    def _index_read(self, base, args: list):
+        if not isinstance(base, MatArray) or not args:
+            raise _Bail()
+        eng = self.eng
+        spec_args, dyn = self._classify_args(base, args)
+        if spec_args is None:
+            raise _Bail()
+        if not dyn:
+            if not base.on_device:
+                # loop-invariant host read: plain interpreter indexing
+                from ..vm import indexing as IXM
+                return IXM.read_paren(base, args)
+            r = eng.index_read(base, args)
+            if r is None:
+                r = eng.index_read_general(base, args)
+            if r is None:
+                raise _Bail()
+            return r
+        # dynamic subscript: lower to a traced gather
+        if not base.on_device:
+            if base.mclass not in ("double", "single", "logical"):
+                raise _Bail()
+            node = eng._lift(base, base.host().dtype)
+            base = MatArray.from_device(node, base.mclass)
+        nb = base.dev
+        shape = nb.shape
+        from ..vm.indexing import ColonMark
+        if len(args) == 1:
+            n = 1
+            for s in shape:
+                n *= s
+            self._check_loopvar_bounds(n)
+            node = eng._op("gather1d", [nb, args[0].dev], (), (1, 1),
+                           nb.dtype)
+            return MatArray.from_device(node, base.mclass)
+        if len(args) != len(shape):
+            raise _Bail()
+        inputs = [nb]
+        spec = []
+        out_shape = []
+        for k, a in enumerate(args):
+            if isinstance(a, ColonMark):
+                spec.append("colon")
+                out_shape.append(shape[k])
+            elif self._is_dyn(a):
+                self._check_loopvar_bounds(shape[k])
+                spec.append(("d", len(inputs)))
+                inputs.append(a.dev)
+                out_shape.append(1)
+            else:
+                iv = eng._index_vec(a, shape[k])
+                if iv is None:
+                    raise _Bail()
+                spec.append(("s", len(inputs)))
+                inputs.append(eng._idx_leaf(iv))
+                out_shape.append(iv.size)
+        from ..values import normalize_shape
+        node = eng._op("gatherN", inputs, (tuple(spec),),
+                       normalize_shape(out_shape), nb.dtype)
+        return MatArray.from_device(node, base.mclass)
+
+    def _store_index(self, name: str, args: list, rhs) -> None:
+        if not isinstance(rhs, MatArray) or not args:
+            raise _Bail()
+        base = self._load(name)
+        from ..vm.interp import NOVALUE
+        if base is NOVALUE or not isinstance(base, MatArray):
+            raise _Bail()
+        eng = self.eng
+        if not base.on_device:
+            raise _Bail()   # written vars are lifted by _load; anything else
+        spec_args, dyn = self._classify_args(base, args)
+        if spec_args is None:
+            # device logical mask with scalar rhs is handled by index_write
+            res = eng.index_write(base, args, rhs)
+            if res is None:
+                raise _Bail()
+            self.shadow[name] = res
+            return
+        if not dyn:
+            res = eng.index_write(base, args, rhs)
+            if res is None:
+                raise _Bail()
+            self.shadow[name] = res
+            return
+        if rhs.mclass not in ("double", "single", "logical") or \
+                rhs.is_complex != base.is_complex:
+            raise _Bail()
+        nb = base.dev
+        shape = nb.shape
+        from ..vm.indexing import ColonMark
+        rn = eng._lift(rhs, nb.dtype) if rhs.size != 1 or rhs.on_device \
+            else eng._scalar_node(rhs._host.reshape(-1)[0], nb.dtype)
+        if len(args) == 1:
+            n = 1
+            for s in shape:
+                n *= s
+            if rhs.size != 1:
+                raise _Bail()
+            self._check_loopvar_bounds(n)
+            node = eng._op("scatter1d", [nb, args[0].dev, rn], (), shape,
+                           nb.dtype)
+            self.shadow[name] = MatArray.from_device(node, base.mclass)
+            return
+        if len(args) != len(shape):
+            raise _Bail()
+        inputs = [nb]
+        spec = []
+        sel_shape = []
+        for k, a in enumerate(args):
+            if isinstance(a, ColonMark):
+                spec.append("colon")
+                sel_shape.append(shape[k])
+            elif self._is_dyn(a):
+                self._check_loopvar_bounds(shape[k])
+                spec.append(("d", len(inputs)))
+                inputs.append(a.dev)
+                sel_shape.append(1)
+            else:
+                iv = eng._index_vec(a, shape[k], unique_required=True)
+                if iv is None:
+                    raise _Bail()
+                spec.append(("s", len(inputs)))
+                inputs.append(eng._idx_leaf(iv))
+                sel_shape.append(iv.size)
+        nelem = 1
+        for s in sel_shape:
+            nelem *= s
+        if rhs.size not in (1, nelem):
+            raise _Bail()
+        inputs.append(rn)
+        node = eng._op("scatterN", inputs,
+                       (tuple(spec), tuple(sel_shape), rhs.size == 1),
+                       shape, nb.dtype)
+        self.shadow[name] = MatArray.from_device(node, base.mclass)
 
     def _op2(self, fn, opname, lhs, rhs):
         r = fn(opname, lhs, rhs) if opname is not None else fn(lhs, rhs)
@@ -528,26 +752,15 @@ def try_device_while(interp, frame, code, marker_pc: int, jf_pc: int,
     body_lo, body_hi = jf_pc + 1, end_pc - 2
 
     written: set[str] = set()
+    if _scan_window(B, instrs, range(cond_lo, cond_hi), written,
+                    allow_store=False) is None:
+        return None                  # condition with a side effect: bail
+    if _scan_window(B, instrs, range(body_lo, body_hi), written) is None:
+        return None
     for i in [*range(cond_lo, cond_hi), *range(body_lo, body_hi)]:
         op, a, b, c, d = instrs[i]
-        if i < cond_hi and op == B.STORE:
-            return None              # condition with a side effect: bail
-        if op == B.STORE:
-            if b:
-                return None          # display output -> host side effect
-            written.add(a)
-        elif op == B.BUILD_MAT:
-            if a != ():
-                return None          # only the empty [] literal is traceable
-        elif op in (B.CONST, B.LOAD, B.BINOP, B.UNOP, B.MTIMES, B.TRANSPOSE,
-                    B.RESOLVE_CALL, B.POP, B.DUP, B.CHECK_INTERRUPT):
-            if op == B.RESOLVE_CALL:
-                if d == 2 or c > 1:
-                    return None
-                if a in _RNG_BUILTINS:
-                    return None      # v1: no data-dependent RNG counters
-        else:
-            return None
+        if op == B.RESOLVE_CALL and a in _RNG_BUILTINS:
+            return None              # v1: no data-dependent RNG counters
     if not written:
         if os.environ.get("RUNMAT_TPU_DEBUG_LOOPS"):
             print("[device_while] bail: no written vars")
