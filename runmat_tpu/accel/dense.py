@@ -70,7 +70,7 @@ class DenseOps:
             h = x.host()
             if x.mclass in ("logical", "char") or h.dtype.kind in "iu":
                 h = h.astype(np.float64)
-            arr = eng.jax.device_put(h, eng.device)
+            arr = eng.jax.device_put(h, eng.placement(tuple(h.shape)))
             eng.stats["uploads"] += 1
             eng.stats["upload_bytes"] += h.nbytes
             lshape = tuple(h.shape)

@@ -61,7 +61,8 @@ def phys_shape(shape: tuple) -> tuple:
 class JaxEngine:
     def __init__(self, platform: Optional[str] = None, required: bool = False,
                  auto_offload: Optional[bool] = None,
-                 offload_threshold: Optional[int] = None):
+                 offload_threshold: Optional[int] = None,
+                 mesh_devices: Optional[int] = None):
         import jax
         jax.config.update("jax_enable_x64", True)
         # Persistent executable cache (≙ the reference's on-disk pipeline
@@ -118,6 +119,24 @@ class JaxEngine:
                 except Exception:
                     pass
         self.offload_threshold = offload_threshold or 32768
+        # ---- multi-chip mesh (SURVEY §2.3 TPU-native extension): a 1-D
+        # 'data' mesh over the visible chips. Large leaves (uploads,
+        # creations, RNG carriers) are sharded over it; everything else is
+        # replicated; XLA GSPMD propagates shardings through every lazy op
+        # and inserts the ICI collectives (psum for reductions etc.).
+        # Off by default; enable with RUNMAT_TPU_MESH=auto|<n> or the
+        # mesh_devices ctor arg (tests / dryrun).
+        self.mesh = None
+        self.shard_threshold = int(os.environ.get(
+            "RUNMAT_TPU_SHARD_THRESHOLD", str(1 << 20)))
+        mesh_req = mesh_devices if mesh_devices is not None else \
+            os.environ.get("RUNMAT_TPU_MESH")
+        if mesh_req and str(mesh_req) != "0":
+            n = len(devices) if str(mesh_req) == "auto" else \
+                min(int(mesh_req), len(devices))
+            if n > 1:
+                from jax.sharding import Mesh
+                self.mesh = Mesh(np.array(devices[:n]), ("data",))
         self.fuse_cap = int(os.environ.get("RUNMAT_TPU_FUSE_CAP", str(DEFAULT_FUSE_CAP)))
         from .dense import DenseOps
         self.dense = DenseOps(self)
@@ -140,9 +159,47 @@ class JaxEngine:
 
     # ------------------------------------------------------------ residency ops
 
-    def upload(self, x: MatArray) -> MatArray:
+    def placement(self, pshape: tuple):
+        """Placement for a physical shape: shard the largest mesh-divisible
+        axis of big arrays over 'data', replicate everything else. With no
+        mesh: the single device (≙ GpuTensorHandle.device_id placement)."""
+        if self.mesh is None:
+            return self.device
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ndev = self.mesh.devices.size
+        n = 1
+        for s in pshape:
+            n *= s
+        if n >= self.shard_threshold:
+            best = None
+            for i, s in enumerate(pshape):
+                if s >= ndev and s % ndev == 0 and \
+                        (best is None or s > pshape[best]):
+                    best = i
+            if best is not None:
+                spec = [None] * len(pshape)
+                spec[best] = "data"
+                return NamedSharding(self.mesh, P(*spec))
+        return NamedSharding(self.mesh, P())
+
+    def upload(self, x: MatArray, force_shard: bool = False) -> MatArray:
         h = x.host()
-        arr = self.jax.device_put(h.reshape(phys_shape(h.shape)), self.device)
+        ps = phys_shape(h.shape)
+        place = self.placement(ps)
+        if force_shard and self.mesh is not None:
+            # distributed(X): shard even below the auto-shard threshold
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ndev = self.mesh.devices.size
+            best = None
+            for i, s in enumerate(ps):
+                if s >= ndev and s % ndev == 0 and \
+                        (best is None or s > ps[best]):
+                    best = i
+            if best is not None:
+                spec = [None] * len(ps)
+                spec[best] = "data"
+                place = NamedSharding(self.mesh, P(*spec))
+        arr = self.jax.device_put(h.reshape(ps), place)
         self.stats["uploads"] += 1
         self.stats["upload_bytes"] += h.nbytes
         node = LazyNode(self, "leaf", [], (), h.shape, h.dtype, value=arr)
@@ -155,7 +212,8 @@ class JaxEngine:
         h = x._host
         if h.size == 1:
             return self._scalar_node(h.reshape(-1)[0], dt)
-        arr = self.jax.device_put(h.reshape(phys_shape(h.shape)), self.device)
+        ps = phys_shape(h.shape)
+        arr = self.jax.device_put(h.reshape(ps), self.placement(ps))
         self.stats["uploads"] += 1
         self.stats["upload_bytes"] += h.nbytes
         return LazyNode(self, "leaf", [], (), h.shape, h.dtype, value=arr)
@@ -334,8 +392,9 @@ class JaxEngine:
     def full(self, dims, value, mclass: str) -> MatArray:
         dt = self.dtype_for(mclass)
         shape = normalize_shape(dims)
-        arr = self.jnp.full(phys_shape(shape), value, dtype=dt,
-                            device=self.device)
+        ps = phys_shape(shape)
+        arr = self.jnp.full(ps, value, dtype=dt,
+                            device=self.placement(ps))
         node = LazyNode(self, "leaf", [], (), shape, dt, value=arr)
         return MatArray.from_device(node, mclass)
 
@@ -343,6 +402,8 @@ class JaxEngine:
         dt = self.dtype_for(mclass)
         arr = self.jnp.linspace(np.asarray(start, dt), np.asarray(stop, dt), n,
                                 dtype=dt)
+        if self.mesh is not None:
+            arr = self.jax.device_put(arr, self.placement(tuple(arr.shape)))
         node = LazyNode(self, "leaf", [], (), (1, n), dt, value=arr)
         return MatArray.from_device(node, mclass)
 
@@ -466,7 +527,7 @@ class JaxEngine:
     def _idx_leaf(self, flat: np.ndarray) -> LazyNode:
         """Upload a 0-based index vector as an int32 leaf node."""
         iv = flat.astype(np.int32)
-        arr = self.jax.device_put(iv, self.device)
+        arr = self.jax.device_put(iv, self.placement(iv.shape))
         self.stats["uploads"] += 1
         self.stats["upload_bytes"] += iv.nbytes
         return LazyNode(self, "leaf", [], (), (iv.size,), np.dtype(np.int32),
@@ -580,7 +641,7 @@ class JaxEngine:
                 mnode = LazyNode(self, "leaf", [], (), (n,),
                                  np.dtype(np.bool_),
                                  value=self.jax.device_put(
-                                     mask, self.device))
+                                     mask, self.placement(mask.shape)))
                 self.stats["uploads"] += 1
                 self.stats["upload_bytes"] += mask.nbytes
                 node = self._op("maskset", [nb, mnode, rn], (), shape,

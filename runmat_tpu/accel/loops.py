@@ -203,8 +203,9 @@ class _Trace:
                 init = self.eng.materialize(v.dev)
             else:
                 from .engine import phys_shape
+                ps = phys_shape(v.host().shape)
                 init = self.eng.jax.device_put(
-                    v.host().reshape(phys_shape(v.host().shape)), self.eng.device)
+                    v.host().reshape(ps), self.eng.placement(ps))
             node = LazyNode(self.eng, "leaf", [], (), v.shape,
                             np.dtype(init.dtype), value=init)
             tracer = MatArray.from_device(node, v.mclass)
@@ -691,7 +692,10 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
             zk = ("zeros", ps, str(root.dtype))
             z = arg_cache.get(zk)
             if z is None:
-                z = arg_cache[zk] = jnp.zeros(ps, dtype=root.dtype)
+                z = jnp.zeros(ps, dtype=root.dtype)
+                if eng.mesh is not None:
+                    z = jax.device_put(z, eng.placement(ps))
+                arg_cache[zk] = z
             carry0.append(z)
 
     c0 = state.counter
@@ -702,7 +706,8 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
     if itvec is None:
         if len(arg_cache) > 256:
             arg_cache.clear()
-        itvec = arg_cache[ik] = jax.device_put(it_np, eng.device)
+        itvec = arg_cache[ik] = jax.device_put(
+            it_np, eng.placement(tuple(it_np.shape)))
     out = cached(np.int32(T), np.uint32(c0 & 0xFFFFFFFF),
                  np.uint32((c0 >> 32) & 0xFFFFFFFF),
                  tuple(carry0), tuple(inv_values), tuple(const_values), itvec)

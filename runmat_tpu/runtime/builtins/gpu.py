@@ -51,6 +51,38 @@ def m_gather(x):
     return x
 
 
+@builtin("distributed", category="acceleration", min_in=1, max_in=1)
+def m_distributed(x):
+    """distributed(X): device residency sharded over the engine mesh (the
+    multi-chip extension, SURVEY.md §2.3 — reference is single-device; on a
+    1-chip engine this is equivalent to gpuArray). The largest mesh-divisible
+    axis is partitioned over the 'data' axis; XLA GSPMD propagates the
+    sharding through all subsequent lazy ops and inserts ICI collectives."""
+    eng = _engine()
+    if not isinstance(x, MatArray):
+        raise bad_arg("distributed", "Input must be numeric or logical.")
+    if x.on_device:
+        x.host()
+    return eng.upload(x, force_shard=True)
+
+
+@builtin("isdistributed", category="acceleration", min_in=1, max_in=1)
+def m_isdistributed(x):
+    if not (isinstance(x, MatArray) and x.on_device):
+        return MatArray.logical_scalar(False)
+    eng = _engine(required=False)
+    if eng is None or eng.mesh is None:
+        return MatArray.logical_scalar(False)
+    try:
+        arr = eng.materialize(x.dev)
+        sh = getattr(arr, "sharding", None)
+        from jax.sharding import PartitionSpec as P
+        return MatArray.logical_scalar(
+            sh is not None and getattr(sh, "spec", P()) != P())
+    except Exception:
+        return MatArray.logical_scalar(False)
+
+
 @builtin("existsOnGPU", category="acceleration", min_in=1, max_in=1)
 def m_exists_on_gpu(x):
     return MatArray.logical_scalar(isinstance(x, MatArray) and x.on_device)
