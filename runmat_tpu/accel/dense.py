@@ -123,9 +123,14 @@ class DenseOps:
                 eng.stats["compiles"] += 1
             else:
                 eng.stats["cache_hits"] += 1
+            import time as _time
+            _t0 = _time.perf_counter()
             out = fn(*args)
+            _ms = (_time.perf_counter() - _t0) * 1e3
             if not isinstance(out, tuple):
                 out = (out,)
+            eng.record_launch("linalg", [kind], _ms,
+                              sum(int(getattr(o, "nbytes", 0)) for o in out))
             probe_key = (kind, str(dt))
             if fresh and probe_key not in self._good:
                 # force execution now so a backend crash falls back cleanly

@@ -35,6 +35,28 @@ _REDUCE_OPS = {"sum", "mean", "min", "max", "any", "all", "prod",
 _SCAN_OPS = {"cumsum", "cumprod", "cummax", "cummin"}
 
 
+def _categorize(ops: list) -> str:
+    """Dominant dispatch category for telemetry (≙ ProviderTelemetry
+    per-category counters)."""
+    cats = set()
+    for op in ops:
+        if op == "matmul":
+            cats.add("matmul")
+        elif op.startswith("rng:"):
+            cats.add("rng")
+        elif op.startswith("r:"):
+            cats.add("reduction")
+        elif op.startswith("s:"):
+            cats.add("scan")
+        elif op.startswith(("gather", "scatter", "slice", "maskset",
+                            "fillall")):
+            cats.add("indexing")
+    for c in ("matmul", "rng", "reduction", "scan", "indexing"):
+        if c in cats:
+            return c
+    return "elementwise"
+
+
 def phys_shape(shape: tuple) -> tuple:
     """Logical MATLAB shape -> physical on-device shape.
 
@@ -144,6 +166,12 @@ class JaxEngine:
         self.stats = {"dispatches": 0, "compiles": 0, "cache_hits": 0,
                       "uploads": 0, "gathers": 0, "upload_bytes": 0,
                       "gather_bytes": 0}
+        # per-category dispatch accounting + bounded kernel-launch log
+        # (≙ ProviderTelemetry wall-time categories + launch log,
+        # runmat-accelerate-api/src/lib.rs:1337-1376)
+        import collections
+        self.category_stats: dict = {}       # cat -> [count, enqueue_ms]
+        self.launch_log = collections.deque(maxlen=64)
         # monotone dispatch sequence + highest dispatch proven complete by a
         # blocking host gather (dispatches finish in order on the stream)
         self.dispatch_seq = 0
@@ -741,9 +769,15 @@ class JaxEngine:
             self.stats["compiles"] += 1
         else:
             self.stats["cache_hits"] += 1
+        import time as _time
+        _t0 = _time.perf_counter()
         results = cached(leaves, scalars)
+        _ms = (_time.perf_counter() - _t0) * 1e3
         self.stats["dispatches"] += 1
         self.dispatch_seq += 1
+        ops = [p[0] for p in program if p[0] not in ("__leaf__", "scalar")]
+        self.record_launch(_categorize(ops), ops, _ms,
+                           sum(int(getattr(r, "nbytes", 0)) for r in results))
         for n, val in zip([node] + extra, results):
             n.value = val
             n.inputs = []
@@ -1099,6 +1133,35 @@ class JaxEngine:
         return jnp.reshape(vals, shape, order="F")
 
     # ----------------------------------------------------------------- info/misc
+
+    def record_launch(self, category: str, ops, ms: float,
+                      out_bytes: int = 0) -> None:
+        ent = self.category_stats.setdefault(category, [0, 0.0])
+        ent[0] += 1
+        ent[1] += ms
+        self.launch_log.append({"cat": category, "ops": list(ops)[:16],
+                                "n_ops": len(ops), "enqueue_ms": round(ms, 3),
+                                "out_bytes": out_bytes})
+
+    def memory_info(self) -> dict:
+        """Live device memory (HBM) accounting where the backend exposes it
+        (TPU: per-device memory_stats; jax-CPU: unavailable -> zeros)."""
+        total_in_use = 0
+        total_limit = 0
+        available = False
+        devs = list(self.mesh.devices.reshape(-1)) if self.mesh is not None \
+            else [self.device]
+        for d in devs:
+            try:
+                ms = d.memory_stats()
+            except Exception:
+                ms = None
+            if ms:
+                available = True
+                total_in_use += int(ms.get("bytes_in_use", 0))
+                total_limit += int(ms.get("bytes_limit", 0))
+        return {"available": available, "bytes_in_use": total_in_use,
+                "bytes_limit": total_limit, "devices": len(devs)}
 
     def device_info(self) -> dict:
         mem = 0

@@ -708,11 +708,17 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
             arg_cache.clear()
         itvec = arg_cache[ik] = jax.device_put(
             it_np, eng.placement(tuple(it_np.shape)))
+    import time as _time
+    _t0 = _time.perf_counter()
     out = cached(np.int32(T), np.uint32(c0 & 0xFFFFFFFF),
                  np.uint32((c0 >> 32) & 0xFFFFFFFF),
                  tuple(carry0), tuple(inv_values), tuple(const_values), itvec)
     eng.stats["dispatches"] += 1
     eng.dispatch_seq += 1
+    eng.record_launch("device_loop",
+                      [p[1][0] for p in program if p[0] == "op"],
+                      (_time.perf_counter() - _t0) * 1e3,
+                      sum(int(getattr(o, "nbytes", 0)) for o in out))
 
     result = {}
     for k, name in enumerate(names):
@@ -925,10 +931,16 @@ def _build_and_run_while(eng, tr: _Trace, cond_v: MatArray) -> dict:
         eng.stats["cache_hits"] += 1
 
     carry0 = tuple(tr.carry_init[n] for n in names)
+    import time as _time
+    _t0 = _time.perf_counter()
     out = cached(carry0, tuple(cond_inv), tuple(body_inv),
                  tuple(cond_const), tuple(body_const))
     eng.stats["dispatches"] += 1
     eng.dispatch_seq += 1
+    eng.record_launch("device_while",
+                      [p[1][0] for p in body_prog if p[0] == "op"],
+                      (_time.perf_counter() - _t0) * 1e3,
+                      sum(int(getattr(o, "nbytes", 0)) for o in out))
 
     result = {}
     for k, name in enumerate(names):

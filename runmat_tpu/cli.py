@@ -139,6 +139,14 @@ def _dispatch(cmd: str, rest: list) -> int:
         if eng is not None:
             print(f"device uploads: {eng.stats['uploads']} "
                   f"({eng.stats['upload_bytes']} bytes)")
+            mi = eng.memory_info()
+            if mi["available"]:
+                print(f"device memory: {mi['bytes_in_use']} / "
+                      f"{mi['bytes_limit']} bytes in use "
+                      f"({mi['devices']} device(s))")
+            else:
+                print("device memory: backend does not report usage "
+                      "(jax-CPU)")
         return 0
 
     if cmd == "benchmark":

@@ -72,6 +72,15 @@ class Server:
                     "completionProvider": {"triggerCharacters": ["."]},
                     "hoverProvider": True,
                     "documentSymbolProvider": True,
+                    "definitionProvider": True,
+                    "referencesProvider": True,
+                    "documentFormattingProvider": True,
+                    "renameProvider": True,
+                    "semanticTokensProvider": {
+                        "legend": {"tokenTypes": SEMANTIC_TOKEN_TYPES,
+                                   "tokenModifiers": []},
+                        "full": True,
+                    },
                 },
                 "serverInfo": {"name": "runmat-tpu-lsp"},
             })
@@ -99,6 +108,16 @@ class Server:
             self._reply(msg, self._hover(params))
         elif method == "textDocument/documentSymbol":
             self._reply(msg, self._symbols(params))
+        elif method == "textDocument/definition":
+            self._reply(msg, self._definition(params))
+        elif method == "textDocument/references":
+            self._reply(msg, self._references(params))
+        elif method == "textDocument/semanticTokens/full":
+            self._reply(msg, self._semantic_tokens(params))
+        elif method == "textDocument/formatting":
+            self._reply(msg, self._formatting(params))
+        elif method == "textDocument/rename":
+            self._reply(msg, self._rename(params))
         elif "id" in msg:
             self._reply(msg, None)
 
@@ -162,7 +181,248 @@ class Server:
         return out
 
 
+    # -- definition / references / rename ------------------------------------
+    # (≙ runmat-lsp goto-definition/references, runmat-lsp/src/backend.rs:6-8)
+
+    def _ident_occurrences(self, src: str, word: str) -> list[dict]:
+        """All IDENT-token occurrences of `word` (lexer-accurate: strings and
+        comments never match)."""
+        out = []
+        try:
+            from .frontend.lexer import tokenize
+            toks = tokenize(src)
+        except MatError:
+            return out
+        for t in toks:
+            if t.kind == "IDENT" and t.text == word:
+                out.append({"start": {"line": t.line - 1,
+                                      "character": t.col - 1},
+                            "end": {"line": t.line - 1,
+                                    "character": t.col - 1 + len(word)}})
+        return out
+
+    def _definition(self, params: dict):
+        uri = params["textDocument"]["uri"]
+        pos = params["position"]
+        src = self.docs.get(uri, "")
+        word = _word_at(src, pos["line"], pos["character"])
+        if not word:
+            return None
+        # function/class defined in this document
+        try:
+            from .frontend.parser import parse
+            prog = parse(src, uri)
+            fd = prog.functions.get(word)
+            if fd is not None:
+                return {"uri": uri, "range": _line_range(fd.line)}
+            cd = prog.classes.get(word)
+            if cd is not None:
+                return {"uri": uri, "range": _line_range(cd.line)}
+        except MatError:
+            pass
+        # variable: first assignment occurrence (name = / name( / [.. name ..] =)
+        occ = self._ident_occurrences(src, word)
+        lines = src.splitlines()
+        for r in occ:
+            ln = r["start"]["line"]
+            rest = lines[ln][r["end"]["character"]:] if ln < len(lines) else ""
+            if re.match(r"\s*(\(.*\))?\s*=[^=]", rest):
+                return {"uri": uri, "range": r}
+        return ({"uri": uri, "range": occ[0]}) if occ else None
+
+    def _references(self, params: dict) -> list:
+        uri = params["textDocument"]["uri"]
+        pos = params["position"]
+        src = self.docs.get(uri, "")
+        word = _word_at(src, pos["line"], pos["character"])
+        if not word:
+            return []
+        return [{"uri": uri, "range": r}
+                for r in self._ident_occurrences(src, word)]
+
+    def _rename(self, params: dict):
+        uri = params["textDocument"]["uri"]
+        pos = params["position"]
+        new = params.get("newName", "")
+        src = self.docs.get(uri, "")
+        word = _word_at(src, pos["line"], pos["character"])
+        if not word or not re.fullmatch(r"[A-Za-z_]\w*", new or ""):
+            return None
+        edits = [{"range": r, "newText": new}
+                 for r in self._ident_occurrences(src, word)]
+        return {"changes": {uri: edits}} if edits else None
+
+    # -- semantic tokens -------------------------------------------------------
+
+    def _semantic_tokens(self, params: dict) -> dict:
+        uri = params["textDocument"]["uri"]
+        src = self.docs.get(uri, "")
+        return {"data": semantic_tokens(src)}
+
+    # -- formatting -----------------------------------------------------------
+
+    def _formatting(self, params: dict) -> list:
+        uri = params["textDocument"]["uri"]
+        src = self.docs.get(uri, "")
+        new = format_source(src)
+        if new == src:
+            return []
+        lines = src.count("\n") + 1
+        return [{"range": {"start": {"line": 0, "character": 0},
+                           "end": {"line": lines, "character": 0}},
+                 "newText": new}]
+
+
 _SEV = {"error": 1, "warning": 2, "info": 3}
+
+SEMANTIC_TOKEN_TYPES = ["keyword", "function", "variable", "number",
+                        "string", "comment", "operator", "class"]
+_ST = {n: i for i, n in enumerate(SEMANTIC_TOKEN_TYPES)}
+
+
+def semantic_tokens(src: str) -> list[int]:
+    """LSP semantic-tokens/full data: lexer-driven classification encoded as
+    (deltaLine, deltaStart, length, type, 0) runs."""
+    from .frontend.lexer import tokenize
+    from .runtime import registry
+    registry.ensure_loaded()
+    try:
+        toks = tokenize(src)
+    except MatError:
+        return []
+    raw: list[tuple[int, int, int, int]] = []   # (line0, col0, len, type)
+    defined: set[str] = set()
+    try:
+        from .frontend.parser import parse
+        prog = parse(src, "<st>")
+        defined = set(prog.functions) | set(prog.classes)
+    except MatError:
+        prog = None
+    for t in toks:
+        if t.kind == "KW":
+            tt = _ST["keyword"]
+        elif t.kind in ("NUM", "IMAG"):
+            tt = _ST["number"]
+        elif t.kind in ("STR", "DQSTR"):
+            tt = _ST["string"]
+        elif t.kind == "IDENT":
+            if t.text in defined:
+                tt = _ST["function"]
+            elif registry.lookup(t.text) is not None:
+                tt = _ST["function"]
+            else:
+                tt = _ST["variable"]
+        elif t.kind == "OP":
+            tt = _ST["operator"]
+        else:
+            continue
+        ln = len(t.text) if t.kind not in ("STR", "DQSTR") else len(t.text) + 2
+        raw.append((t.line - 1, t.col - 1, max(ln, 1), tt))
+    # comments: not emitted by the lexer; detect '%' outside token spans
+    tok_spans: dict[int, list[tuple[int, int]]] = {}
+    for (l0, c0, ln, _) in raw:
+        tok_spans.setdefault(l0, []).append((c0, c0 + ln))
+    for i, line in enumerate(src.splitlines()):
+        for m in re.finditer(r"%", line):
+            c = m.start()
+            if any(s <= c < e for s, e in tok_spans.get(i, [])):
+                continue
+            raw.append((i, c, len(line) - c, _ST["comment"]))
+            break
+    raw.sort()
+    data: list[int] = []
+    pl, pc = 0, 0
+    for (l0, c0, ln, tt) in raw:
+        dl = l0 - pl
+        dc = c0 - pc if dl == 0 else c0
+        data.extend([dl, dc, ln, tt, 0])
+        pl, pc = l0, c0
+    return data
+
+
+_INDENT_OPEN = {"if", "for", "while", "switch", "function", "parfor", "try",
+                "classdef", "methods", "properties", "events", "spmd",
+                "arguments"}
+_INDENT_MID = {"else", "elseif", "case", "otherwise", "catch"}
+
+
+def format_source(src: str, indent: str = "    ") -> str:
+    """Structure-aware re-indentation + trailing-whitespace cleanup (the
+    formatting surface of runmat-lsp/src/core/formatting.rs). Token content
+    is never altered — only leading/trailing whitespace. `end` inside
+    subscripts (paren depth > 0) is not structural; switch/case follow the
+    MATLAB editor convention (case bodies two levels under switch)."""
+    from .frontend.lexer import tokenize
+    out_lines = []
+    depth = 0
+    blocks: list[dict] = []         # {"kind": str, "seen_case": bool}
+    cont = False                    # previous line ended with ...
+    for line in src.splitlines():
+        stripped = line.rstrip()
+        body = stripped.strip()
+        if not body:
+            out_lines.append("")
+            continue
+        try:
+            toks = [t for t in tokenize(body)
+                    if t.kind not in ("NEWLINE", "EOF")]
+        except MatError:
+            toks = []
+        first = toks[0] if toks else None
+        # line indent: end/else/elseif/catch/case/otherwise dedent one level
+        this_depth = depth
+        if first is not None and first.kind == "KW" and not cont:
+            if first.text == "end":
+                d = 1
+                if blocks and blocks[-1]["kind"] == "switch" and \
+                        blocks[-1]["seen_case"]:
+                    d = 2
+                this_depth = max(0, depth - d)
+            elif first.text in _INDENT_MID and first.text not in \
+                    ("case", "otherwise"):
+                this_depth = max(0, depth - 1)
+            elif first.text in ("case", "otherwise"):
+                sw = next((b for b in reversed(blocks)
+                           if b["kind"] == "switch"), None)
+                this_depth = max(0, depth - 1) if sw is not None and \
+                    sw["seen_case"] else depth
+        if cont:
+            this_depth = depth + 1
+        out_lines.append(indent * this_depth + body if this_depth else body)
+        # update depth from this line's structural tokens
+        pdepth = 0
+        for t in toks:
+            if t.kind == "OP":
+                if t.text in ("(", "[", "{"):
+                    pdepth += 1
+                elif t.text in (")", "]", "}"):
+                    pdepth = max(0, pdepth - 1)
+                continue
+            if t.kind != "KW" or pdepth:
+                continue
+            if t.text in _INDENT_OPEN:
+                blocks.append({"kind": t.text, "seen_case": False})
+                depth += 1
+            elif t.text in ("case", "otherwise"):
+                sw = next((b for b in reversed(blocks)
+                           if b["kind"] == "switch"), None)
+                if sw is not None:
+                    if not sw["seen_case"]:
+                        sw["seen_case"] = True
+                        depth += 1
+                    # subsequent cases: dedent+indent cancel out
+            elif t.text == "end":
+                if blocks:
+                    b = blocks.pop()
+                    depth = max(0, depth - (2 if b["kind"] == "switch"
+                                            and b["seen_case"] else 1))
+                else:
+                    depth = max(0, depth - 1)
+        cont = body.endswith("...")
+    text = "\n".join(out_lines)
+    if src.endswith("\n") and not text.endswith("\n"):
+        text += "\n"
+    return text
 
 
 def diagnostics(src: str) -> list:

@@ -57,6 +57,13 @@ def snapshot(session=None) -> dict:
             "device": str(getattr(eng.device, "device_kind", eng.device)),
             **eng.stats,
         }
+        # live HBM accounting + per-category dispatch stats + bounded
+        # kernel-launch log (api lib.rs:1337-1376 parity)
+        out["memory"] = eng.memory_info()
+        out["categories"] = {
+            k: {"dispatches": v[0], "enqueue_ms": round(v[1], 3)}
+            for k, v in sorted(eng.category_stats.items())}
+        out["launches"] = list(eng.launch_log)
     if session is not None:
         out["session"] = {
             "workspace_vars": len(session.base_frame.vars),

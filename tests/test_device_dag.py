@@ -256,3 +256,21 @@ def test_loop_out_of_range_loopvar_falls_back():
                             "for t = 1:5, v(t) = t; end")
     np.testing.assert_allclose(s.get("v").host(),
                                np.arange(1, 6).reshape(1, -1))
+
+
+# ---------------------------------------------------------------- telemetry
+
+def test_telemetry_categories_memory_launches():
+    """accel-info --json surface: per-category dispatch stats, HBM accounting
+    fields, bounded kernel-launch log (≙ ProviderTelemetry,
+    runmat-accelerate-api/src/lib.rs:1337-1376)."""
+    from runmat_tpu import telemetry
+    s = run("x = gpuArray(rand(64)); y = x * x; g = gather(sum(sin(y(:))));",
+            accelerate=True)
+    snap = telemetry.snapshot(s)
+    assert "matmul" in snap["categories"]
+    assert snap["categories"]["matmul"]["dispatches"] >= 1
+    mem = snap["memory"]
+    assert set(mem) >= {"available", "bytes_in_use", "bytes_limit", "devices"}
+    assert snap["launches"] and "ops" in snap["launches"][0]
+    assert "out_bytes" in snap["launches"][0]

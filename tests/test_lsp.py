@@ -94,3 +94,73 @@ def test_diagnostics_function():
     assert diagnostics("x = 3;") == []
     d = diagnostics("x = 1 +;")
     assert d and d[0]["severity"] == 1
+
+
+def _req(id_, method, **params):
+    return {"jsonrpc": "2.0", "id": id_, "method": method, "params": params}
+
+
+def test_definition_and_references():
+    src = "function y = helper(x)\ny = x + 1;\nend\nz = 3;\nw = helper(z) + z;\n"
+    out = lsp_session([
+        _open(src),
+        _req(1, "textDocument/definition",
+             textDocument={"uri": URI}, position={"line": 4, "character": 5}),
+        _req(2, "textDocument/references",
+             textDocument={"uri": URI}, position={"line": 3, "character": 0}),
+        _req(3, "textDocument/definition",
+             textDocument={"uri": URI}, position={"line": 4, "character": 15}),
+    ])
+    res = {m["id"]: m["result"] for m in out if "id" in m}
+    assert res[1]["range"]["start"]["line"] == 0       # helper -> function def
+    assert len(res[2]) == 3                   # z: assignment + two reads
+    assert res[3]["range"]["start"]["line"] == 3       # z -> its assignment
+
+
+def test_semantic_tokens_and_legend():
+    out = lsp_session([
+        _req(1, "initialize"),
+        _open("for k = 1:3\n  y = sin(k); % c\nend\n"),
+        _req(2, "textDocument/semanticTokens/full",
+             textDocument={"uri": URI}),
+    ])
+    res = {m["id"]: m["result"] for m in out if "id" in m}
+    legend = res[1]["capabilities"]["semanticTokensProvider"]["legend"]
+    types = legend["tokenTypes"]
+    data = res[2]["data"]
+    assert len(data) % 5 == 0 and data
+    kinds = {types[data[i + 3]] for i in range(0, len(data), 5)}
+    assert {"keyword", "function", "variable", "number", "comment"} <= kinds
+
+
+def test_formatting_reindents():
+    src = "if a\nb = 1;\nelse\nb = 2;\nend\n"
+    out = lsp_session([
+        _open(src),
+        _req(1, "textDocument/formatting",
+             textDocument={"uri": URI}, options={}),
+    ])
+    res = {m["id"]: m["result"] for m in out if "id" in m}
+    new = res[1][0]["newText"]
+    assert new == "if a\n    b = 1;\nelse\n    b = 2;\nend\n"
+
+
+def test_formatting_switch_and_subscript_end():
+    from runmat_tpu.lsp import format_source
+    src = "switch x\ncase 1\ny = A(end);\notherwise\ny = 0;\nend\n"
+    assert format_source(src) == (
+        "switch x\n    case 1\n        y = A(end);\n    otherwise\n"
+        "        y = 0;\nend\n")
+
+
+def test_rename():
+    out = lsp_session([
+        _open("abc = 1;\nd = abc + abc;\n"),
+        _req(1, "textDocument/rename",
+             textDocument={"uri": URI}, position={"line": 0, "character": 1},
+             newName="xyz"),
+    ])
+    res = {m["id"]: m["result"] for m in out if "id" in m}
+    edits = res[1]["changes"][URI]
+    assert len(edits) == 3
+    assert all(e["newText"] == "xyz" for e in edits)
