@@ -109,7 +109,7 @@ def test_definition_and_references():
         _req(2, "textDocument/references",
              textDocument={"uri": URI}, position={"line": 3, "character": 0}),
         _req(3, "textDocument/definition",
-             textDocument={"uri": URI}, position={"line": 4, "character": 15}),
+             textDocument={"uri": URI}, position={"line": 4, "character": 16}),
     ])
     res = {m["id"]: m["result"] for m in out if "id" in m}
     assert res[1]["range"]["start"]["line"] == 0       # helper -> function def
