@@ -775,7 +775,8 @@ class JaxEngine:
         _ms = (_time.perf_counter() - _t0) * 1e3
         self.stats["dispatches"] += 1
         self.dispatch_seq += 1
-        ops = [p[0] for p in program if p[0] not in ("__leaf__", "scalar")]
+        ops = [n.op for n in order
+               if n.value is None and n.op not in ("scalar", "leaf")]
         self.record_launch(_categorize(ops), ops, _ms,
                            sum(int(getattr(r, "nbytes", 0)) for r in results))
         for n, val in zip([node] + extra, results):
