@@ -121,6 +121,8 @@ class DenseOps:
                 fn = eng.jax.jit(_BUILDERS[kind](eng, opts))
                 self._cache[ck] = fn
                 eng.stats["compiles"] += 1
+                from . import warmup as _wu
+                _wu.record_dense(eng, kind, shapes, dt, opts)
             else:
                 eng.stats["cache_hits"] += 1
             import time as _time

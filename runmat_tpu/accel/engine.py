@@ -746,6 +746,8 @@ class JaxEngine:
         out_idx = [index[id(node)]] + [index[id(n)] for n in extra]
         if cached is None:
             program = self._build_program(order)
+            from . import warmup as _wu
+            _wu.record_fusion(self, program, out_idx, leaves, scalars)
             jnp = self.jnp
 
             def fn(leaf_args, scalar_args):

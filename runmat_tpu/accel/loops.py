@@ -81,6 +81,13 @@ def try_device_loop(interp, frame, code, for_next_pc: int, iterable) -> Optional
 
     B = _bc()
     instrs = code.instrs
+    # static pre-qualification memo: a loop site whose bytecode window is
+    # ineligible never re-scans; a site whose traces keep bailing stops
+    # speculating after a few entries (≙ MIR fact pre-qualification replacing
+    # trial-trace-every-entry, VERDICT round-1 task 8)
+    hint = code.loop_hints.get(for_next_pc)
+    if hint == "never":
+        return None
     fn_op, loopvar, done, _, _ = instrs[for_next_pc]
     if fn_op != B.FOR_NEXT or done is None:
         return None
@@ -90,9 +97,9 @@ def try_device_loop(interp, frame, code, for_next_pc: int, iterable) -> Optional
     lo_pc, hi_pc = for_next_pc + 1, done - 2
 
     written: set[str] = set()
-    if _scan_window(B, instrs, range(lo_pc, hi_pc), written) is None:
-        return None
-    if not written:
+    if _scan_window(B, instrs, range(lo_pc, hi_pc), written) is None or \
+            not written:
+        code.loop_hints[for_next_pc] = "never"
         return None
 
     state = interp.session.rng
@@ -104,12 +111,15 @@ def try_device_loop(interp, frame, code, for_next_pc: int, iterable) -> Optional
         tr.run(instrs, code.consts, lo_pc, hi_pc)
         result = _build_and_run(eng, tr, T, state, h)
     except (_Bail, MatError, NotImplementedError):
+        _note_bail(code, for_next_pc)
         return None
     except Exception:
+        _note_bail(code, for_next_pc)
         return None
     finally:
         eng.fuse_cap = old_cap
 
+    code.loop_hints[for_next_pc] = 0     # proven eligible: keep speculating
     for name, val in result.items():
         frame.vars[name] = val
     # MATLAB leaves the loop variable bound to its last iterate
@@ -118,9 +128,91 @@ def try_device_loop(interp, frame, code, for_next_pc: int, iterable) -> Optional
     return done + 1
 
 
+# --------------------------------------------------------------------------- #
+# loop-program fn builders (shared with accel/warmup.py for AOT pre-compiles)
+# --------------------------------------------------------------------------- #
+
+def make_loop_fn(eng, program, roots, BPI):
+    """Build the fori_loop callable for a serialized loop program."""
+    jnp = eng.jnp
+    jax = eng.jax
+
+    def run(T_, c0lo, c0hi, carry0, invs, consts, itvec):
+        def body(i, carry):
+            env: list = [None] * len(program)
+            iu = i.astype(jnp.uint32)
+            for k, (kind, payload) in enumerate(program):
+                if kind == "op":
+                    opn, static, dt, ins, ishapes, oshape = payload
+                    env[k] = eng._exec(opn, static, dt,
+                                       [env[j] for j in ins], ishapes, oshape)
+                elif kind == "carry":
+                    env[k] = carry[payload]
+                elif kind == "inv":
+                    env[k] = invs[payload]
+                elif kind == "const":
+                    env[k] = consts[payload]
+                elif kind == "rng_lo":
+                    d32 = iu * jnp.uint32(BPI) + jnp.uint32(payload)
+                    env[k] = c0lo + d32
+                elif kind == "rng_hi":
+                    d32 = iu * jnp.uint32(BPI) + jnp.uint32(payload)
+                    lo = c0lo + d32
+                    env[k] = c0hi + (lo < c0lo).astype(jnp.uint32)
+                elif kind == "loopvar":
+                    env[k] = jax.lax.dynamic_index_in_dim(
+                        itvec, i, keepdims=False)
+            return tuple(env[r] for r in roots)
+        return jax.lax.fori_loop(0, T_, body, carry0)
+    return run
+
+
+def make_while_fn(eng, cond_prog, cond_root, body_prog, body_roots):
+    """Build the while_loop callable for serialized cond/body programs."""
+    jnp = eng.jnp
+    jax = eng.jax
+
+    def evaluate(program, roots, carry, invs, consts):
+        env: list = [None] * len(program)
+        for k, (kind, payload) in enumerate(program):
+            if kind == "op":
+                opn, static, dt, ins, ishapes, oshape = payload
+                env[k] = eng._exec(opn, static, dt,
+                                   [env[j] for j in ins], ishapes, oshape)
+            elif kind == "carry":
+                env[k] = carry[payload]
+            elif kind == "inv":
+                env[k] = invs[payload]
+            elif kind == "const":
+                env[k] = consts[payload]
+        return [env[r] for r in roots]
+
+    def run(carry0, cond_invs, body_invs, cond_consts, body_consts):
+        def cond_fn(carry):
+            (c,) = evaluate(cond_prog, [cond_root], carry, cond_invs,
+                            cond_consts)
+            return jnp.reshape(c, ()).astype(bool)
+
+        def body_fn(carry):
+            outs = evaluate(body_prog, body_roots, carry, body_invs,
+                            body_consts)
+            return tuple(outs)
+
+        return jax.lax.while_loop(cond_fn, body_fn, carry0)
+    return run
+
+
 def _bc():
     from ..vm import bytecode as B
     return B
+
+
+def _note_bail(code, pc: int, limit: int = 8) -> None:
+    cur = code.loop_hints.get(pc, 0)
+    if cur == "never":
+        return
+    cur += 1
+    code.loop_hints[pc] = "never" if cur >= limit else cur
 
 
 def _scan_window(B, instrs, rng, written: set, allow_store: bool = True):
@@ -636,38 +728,12 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
 
     cached = eng._jit_cache.get(key)
     if cached is None:
-        def run(T_, c0lo, c0hi, carry0, invs, consts, itvec):
-            def body(i, carry):
-                env: list = [None] * len(program)
-                iu = i.astype(jnp.uint32)
-                for k, (kind, payload) in enumerate(program):
-                    if kind == "op":
-                        opn, static, dt, ins, ishapes, oshape = payload
-                        env[k] = eng._exec(opn, static, dt,
-                                           [env[j] for j in ins], ishapes, oshape)
-                    elif kind == "carry":
-                        env[k] = carry[payload]
-                    elif kind == "inv":
-                        env[k] = invs[payload]
-                    elif kind == "const":
-                        env[k] = consts[payload]
-                    elif kind == "rng_lo":
-                        d32 = iu * jnp.uint32(BPI) + jnp.uint32(payload)
-                        env[k] = c0lo + d32
-                    elif kind == "rng_hi":
-                        d32 = iu * jnp.uint32(BPI) + jnp.uint32(payload)
-                        lo = c0lo + d32
-                        env[k] = c0hi + (lo < c0lo).astype(jnp.uint32)
-                    elif kind == "loopvar":
-                        env[k] = jax.lax.dynamic_index_in_dim(
-                            itvec, i, keepdims=False)
-                return tuple(env[r] for r in roots)
-            return jax.lax.fori_loop(0, T_, body, carry0)
-
-        cached = jax.jit(run)
+        cached = jax.jit(make_loop_fn(eng, program, roots, BPI))
         eng._jit_cache[key] = cached
         eng.stats["compiles"] += 1
+        fresh_compile = True
     else:
+        fresh_compile = False
         eng.stats["cache_hits"] += 1
 
     # initial carry: read-carried vars start from their live values;
@@ -708,6 +774,10 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
             arg_cache.clear()
         itvec = arg_cache[ik] = jax.device_put(
             it_np, eng.placement(tuple(it_np.shape)))
+    if fresh_compile:
+        from . import warmup as _wu
+        _wu.record_loop(eng, program, roots, BPI, carry0, inv_values,
+                        const_values, itvec)
     import time as _time
     _t0 = _time.perf_counter()
     out = cached(np.int32(T), np.uint32(c0 & 0xFFFFFFFF),
@@ -757,6 +827,9 @@ def try_device_while(interp, frame, code, marker_pc: int, jf_pc: int,
     instrs = code.instrs
     if jf_pc is None or end_pc is None:
         return None
+    hint = code.loop_hints.get(marker_pc)
+    if hint == "never":
+        return None
     if instrs[end_pc - 1][0] != B.JMP or instrs[end_pc - 2][0] != B.CHECK_INTERRUPT:
         return None
     cond_lo, cond_hi = marker_pc + 1, jf_pc
@@ -765,12 +838,15 @@ def try_device_while(interp, frame, code, marker_pc: int, jf_pc: int,
     written: set[str] = set()
     if _scan_window(B, instrs, range(cond_lo, cond_hi), written,
                     allow_store=False) is None:
+        code.loop_hints[marker_pc] = "never"
         return None                  # condition with a side effect: bail
     if _scan_window(B, instrs, range(body_lo, body_hi), written) is None:
+        code.loop_hints[marker_pc] = "never"
         return None
     for i in [*range(cond_lo, cond_hi), *range(body_lo, body_hi)]:
         op, a, b, c, d = instrs[i]
         if op == B.RESOLVE_CALL and a in _RNG_BUILTINS:
+            code.loop_hints[marker_pc] = "never"
             return None              # v1: no data-dependent RNG counters
     if not written:
         if os.environ.get("RUNMAT_TPU_DEBUG_LOOPS"):
@@ -805,11 +881,13 @@ def try_device_while(interp, frame, code, marker_pc: int, jf_pc: int,
             raise _Bail()
         result = _build_and_run_while(eng, tr, cond_v)
     except (_Bail, MatError, NotImplementedError):
+        _note_bail(code, marker_pc)
         if os.environ.get("RUNMAT_TPU_DEBUG_LOOPS"):
             import traceback
             traceback.print_exc()
         return None
     except Exception:
+        _note_bail(code, marker_pc)
         if os.environ.get("RUNMAT_TPU_DEBUG_LOOPS"):
             import traceback
             traceback.print_exc()
@@ -896,35 +974,8 @@ def _build_and_run_while(eng, tr: _Trace, cond_v: MatArray) -> dict:
     jax = eng.jax
     cached = eng._jit_cache.get(key)
     if cached is None:
-        def evaluate(program, roots, carry, invs, consts):
-            env: list = [None] * len(program)
-            for k, (kind, payload) in enumerate(program):
-                if kind == "op":
-                    opn, static, dt, ins, ishapes, oshape = payload
-                    env[k] = eng._exec(opn, static, dt,
-                                       [env[j] for j in ins], ishapes, oshape)
-                elif kind == "carry":
-                    env[k] = carry[payload]
-                elif kind == "inv":
-                    env[k] = invs[payload]
-                elif kind == "const":
-                    env[k] = consts[payload]
-            return [env[r] for r in roots]
-
-        def run(carry0, cond_invs, body_invs, cond_consts, body_consts):
-            def cond_fn(carry):
-                (c,) = evaluate(cond_prog, [cond_root], carry, cond_invs,
-                                cond_consts)
-                return jnp.reshape(c, ()).astype(bool)
-
-            def body_fn(carry):
-                outs = evaluate(body_prog, body_roots, carry, body_invs,
-                                body_consts)
-                return tuple(outs)
-
-            return jax.lax.while_loop(cond_fn, body_fn, carry0)
-
-        cached = jax.jit(run)
+        cached = jax.jit(make_while_fn(eng, cond_prog, cond_root, body_prog,
+                                       body_roots))
         eng._jit_cache[key] = cached
         eng.stats["compiles"] += 1
     else:

@@ -1,0 +1,218 @@
+"""Compile-cache warmup manifest: record compiled program shapes, replay with
+AOT lowering to pre-populate the persistent XLA cache.
+
+Reference parity: the wgpu pipeline warmup + on-disk pipeline cache
+(crates/runmat-accelerate/src/backend/wgpu/{cache/persist.rs,warmup.rs:10}).
+On TPU the expensive step is the (remote) XLA compile of each fused program;
+the persistent jax compilation cache stores executables by HLO hash, so a
+cold process pays the full compile once per program. This module records a
+JSON manifest entry per fresh compile (program structure + argument avals —
+never data), and `replay()` rebuilds each jitted function and AOT-compiles it
+against ShapeDtypeStructs: `jit(fn).lower(*avals).compile()` writes the same
+persistent-cache entries a real run would, with zero device data movement.
+
+CLI: `runmat-tpu accel-warmup` replays the manifest; sessions record
+automatically (bounded file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+_MAX_ENTRIES = 256
+
+
+def manifest_path() -> str:
+    return os.environ.get(
+        "RUNMAT_TPU_WARMUP_MANIFEST",
+        os.path.expanduser("~/.cache/runmat_tpu/warmup_manifest.jsonl"))
+
+
+def _enabled() -> bool:
+    return os.environ.get("RUNMAT_TPU_WARMUP_RECORD", "1") != "0"
+
+
+# --------------------------------------------------------------------------- #
+# (de)serialization: tuples <-> lists, dtypes <-> strings
+# --------------------------------------------------------------------------- #
+
+def _enc(x):
+    if isinstance(x, tuple):
+        return {"t": [_enc(v) for v in x]}
+    if isinstance(x, list):
+        return [_enc(v) for v in x]
+    if isinstance(x, np.dtype):
+        return {"dt": str(x)}
+    if isinstance(x, (np.integer,)):
+        return int(x)
+    if isinstance(x, (np.floating,)):
+        return float(x)
+    if isinstance(x, (np.bool_,)):
+        return bool(x)
+    return x
+
+
+def _dec(x):
+    if isinstance(x, dict):
+        if "t" in x:
+            return tuple(_dec(v) for v in x["t"])
+        if "dt" in x:
+            return np.dtype(x["dt"])
+    if isinstance(x, list):
+        return [_dec(v) for v in x]
+    return x
+
+
+def _aval(arr) -> dict:
+    return {"shape": list(np.shape(arr)), "dtype": str(np.asarray(arr).dtype)
+            if not hasattr(arr, "dtype") else str(arr.dtype)}
+
+
+def _write(entry: dict) -> None:
+    path = manifest_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # dedupe by structural hash; bound the file
+        key = json.dumps(entry, sort_keys=True)
+        existing = set()
+        lines: list[str] = []
+        if os.path.exists(path):
+            with open(path) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            existing = set(lines)
+        if key in existing:
+            return
+        lines.append(key)
+        if len(lines) > _MAX_ENTRIES:
+            lines = lines[-_MAX_ENTRIES:]
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    except Exception:
+        pass   # recording must never affect execution
+
+
+# --------------------------------------------------------------------------- #
+# recording hooks (called on fresh compiles)
+# --------------------------------------------------------------------------- #
+
+def record_fusion(eng, program, out_idx, leaves, scalars) -> None:
+    if not _enabled():
+        return
+    _write({
+        "kind": "fusion",
+        "program": _enc(list(program)),
+        "out_idx": list(out_idx),
+        "leaves": [_aval(a) for a in leaves],
+        "scalars": [str(np.asarray(s).dtype) for s in scalars],
+    })
+
+
+def record_loop(eng, program, roots, bpi, carry0, invs, consts, itvec) -> None:
+    if not _enabled():
+        return
+    _write({
+        "kind": "loop",
+        "program": _enc(list(program)),
+        "roots": list(roots),
+        "bpi": int(bpi),
+        "carry": [_aval(a) for a in carry0],
+        "invs": [_aval(a) for a in invs],
+        "consts": [str(np.asarray(c).dtype) for c in consts],
+        "itvec": _aval(itvec),
+    })
+
+
+def record_dense(eng, kind, shapes, dtype, opts) -> None:
+    if not _enabled():
+        return
+    _write({
+        "kind": "dense",
+        "op": kind,
+        "shapes": [list(s) for s in shapes],
+        "dtype": str(dtype),
+        "opts": _enc(tuple(opts)),
+    })
+
+
+# --------------------------------------------------------------------------- #
+# replay
+# --------------------------------------------------------------------------- #
+
+def _sds(shape, dtype):
+    import jax
+    return jax.ShapeDtypeStruct(tuple(shape), np.dtype(dtype))
+
+
+def replay(eng, path: Optional[str] = None, log=None) -> int:
+    """AOT-compile every manifest entry; returns the number compiled.
+    Entries that fail to rebuild (stale program format) are skipped."""
+    import jax
+    path = path or manifest_path()
+    if not os.path.exists(path):
+        return 0
+    n = 0
+    with open(path) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    for ln in lines:
+        try:
+            e = json.loads(ln)
+            if e["kind"] == "fusion":
+                program = [tuple(_dec(p)) for p in e["program"]]
+                out_idx = list(e["out_idx"])
+
+                def fn(leaf_args, scalar_args, _program=program,
+                       _out=out_idx):
+                    env: list = [None] * len(_program)
+                    li = si = 0
+                    for i, (op, static, dt, in_idx, in_shapes, out_shape) \
+                            in enumerate(_program):
+                        if op == "__leaf__":
+                            env[i] = leaf_args[li]
+                            li += 1
+                        elif op == "scalar":
+                            env[i] = scalar_args[si]
+                            si += 1
+                        else:
+                            env[i] = eng._exec(op, static, dt,
+                                               [env[j] for j in in_idx],
+                                               in_shapes, out_shape)
+                    return tuple(env[j] for j in _out)
+
+                leaves = tuple(_sds(a["shape"], a["dtype"])
+                               for a in e["leaves"])
+                scalars = tuple(_sds((), d) for d in e["scalars"])
+                jax.jit(fn).lower(leaves, scalars).compile()
+                n += 1
+            elif e["kind"] == "loop":
+                from .loops import make_loop_fn
+                program = [tuple(_dec(p)) for p in e["program"]]
+                fn = make_loop_fn(eng, program, list(e["roots"]),
+                                  int(e["bpi"]))
+                carry = tuple(_sds(a["shape"], a["dtype"])
+                              for a in e["carry"])
+                invs = tuple(_sds(a["shape"], a["dtype"])
+                             for a in e["invs"])
+                consts = tuple(_sds((), d) for d in e["consts"])
+                itvec = _sds(e["itvec"]["shape"], e["itvec"]["dtype"])
+                jax.jit(fn).lower(_sds((), np.int32),
+                                  _sds((), np.uint32), _sds((), np.uint32),
+                                  carry, invs, consts, itvec).compile()
+                n += 1
+            elif e["kind"] == "dense":
+                from .dense import _BUILDERS
+                fn = _BUILDERS[e["op"]](eng, tuple(_dec(e["opts"])))
+                args = [_sds(s, e["dtype"]) for s in e["shapes"]]
+                jax.jit(fn).lower(*args).compile()
+                n += 1
+            if log:
+                log(f"  warmed {e['kind']}:{e.get('op', '')} "
+                    f"({len(e.get('program', []))} ops)")
+        except Exception as ex:
+            if log:
+                log(f"  skipped stale entry: {type(ex).__name__}: {ex}")
+            continue
+    return n

@@ -213,5 +213,16 @@ def analyze_source(source: str, name: str = "<input>") -> list[Finding]:
                         f"Variable '{n}' is assigned but never used "
                         f"(function '{unit_name}')."))
 
+    # shape/class fact propagation (≙ HIR/MIR fact lattice,
+    # runmat-hir/src/lib.rs:16-44): catches mismatches built from variables
+    from .facts import analyze_facts
+    seen = {(f.line, f.identifier) for f in findings}
+    for line, ident, msg in analyze_facts(prog):
+        if (line, ident) in seen:
+            continue
+        seen.add((line, ident))
+        findings.append(Finding(line, "warning" if ident.endswith(
+            ("DimMismatch", "InnerDim")) else "error", ident, msg))
+
     findings.sort(key=lambda f: (f.line, f.identifier, f.message))
     return findings

@@ -19,7 +19,8 @@ def main(argv=None) -> int:
 
     # subcommand style: runmat-tpu <cmd> [...]
     if argv and argv[0] in ("repl", "run", "check", "version", "info",
-                            "accel-info", "accel-calibrate", "gc-stats",
+                            "accel-info", "accel-calibrate", "accel-warmup",
+                            "gc-stats",
                             "benchmark", "config", "lsp", "serve"):
         cmd = argv[0]
         rest = argv[1:]
@@ -177,6 +178,23 @@ def _dispatch(cmd: str, rest: list) -> int:
 
     if cmd == "accel-calibrate":
         return _accel_calibrate(rest)
+
+    if cmd == "accel-warmup":
+        # Replay the warmup manifest: AOT-compile every recorded program so
+        # the persistent XLA cache is hot before real work (≙ pipeline warmup,
+        # backend/wgpu/{warmup.rs,cache/persist.rs}).
+        from .accel import active_engine, init_engine
+        from .accel import warmup as wu
+        eng = active_engine() or init_engine()
+        if eng is None:
+            print("no accelerator available", file=sys.stderr)
+            return 1
+        import time as _t
+        t0 = _t.perf_counter()
+        n = wu.replay(eng, log=lambda m: print(m, file=sys.stderr))
+        print(f"warmed {n} programs from {wu.manifest_path()} "
+              f"in {(_t.perf_counter() - t0):.1f}s")
+        return 0
 
     print(f"unknown command '{cmd}'", file=sys.stderr)
     return 2

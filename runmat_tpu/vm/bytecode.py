@@ -91,6 +91,10 @@ class Code:
     is_script: bool = True
     nested: dict = field(default_factory=dict)   # name -> Code (nested functions)
     arg_specs: list = field(default_factory=list)
+    # per-loop-site device-gate state (≙ static pre-qualification from the
+    # MIR fact pass, runmat-mir/src/analysis/facts.rs): for_next_pc ->
+    # "never" (statically ineligible / gave up) or dynamic bail count
+    loop_hints: dict = field(default_factory=dict)
     # arguments-block entries: (name, field|None, dims|None, cls|None,
     #                           validators, default_code|None)
 

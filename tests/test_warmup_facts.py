@@ -1,0 +1,95 @@
+"""Warmup manifest (compile-cost control, VERDICT task 7) + shape-fact
+propagation lints (task 8)."""
+
+import json
+import os
+
+import numpy as np
+
+from helpers import run
+
+
+def test_warmup_record_and_replay(tmp_path, monkeypatch):
+    """Fresh compiles record manifest entries; replay AOT-compiles them all
+    (≙ pipeline warmup, backend/wgpu/warmup.rs:10 + cache/persist.rs)."""
+    mp = str(tmp_path / "manifest.jsonl")
+    monkeypatch.setenv("RUNMAT_TPU_WARMUP_MANIFEST", mp)
+    s = run("x = gpuArray(rand(512,1,'single')); y = gather(sum(sin(x))); "
+            "A = gpuArray(magic(4) + 8*eye(4)); z = gather(norm(A\\(1:4)')); "
+            "S = gpuArray(ones(32,1)); "
+            "for t = 1:12, S = S .* 1.01 + 0.1; end\n"
+            "g = gather(sum(S));", accelerate=True)
+    entries = [json.loads(ln) for ln in open(mp)]
+    kinds = {e["kind"] for e in entries}
+    assert {"fusion", "dense", "loop"} <= kinds
+    from runmat_tpu.accel import active_engine
+    from runmat_tpu.accel import warmup as wu
+    n = wu.replay(active_engine(), path=mp)
+    assert n == len(entries) and n >= 4
+
+
+def test_warmup_manifest_dedupes(tmp_path, monkeypatch):
+    mp = str(tmp_path / "m.jsonl")
+    monkeypatch.setenv("RUNMAT_TPU_WARMUP_MANIFEST", mp)
+    run("a = gather(gpuArray(1:100) + 1);", accelerate=True)
+    n1 = len(open(mp).read().splitlines())
+    run("a = gather(gpuArray(1:100) + 1);", accelerate=True)
+    # second identical session compiles may hit the in-process cache or
+    # re-record the same structure: the manifest must not grow
+    assert len(open(mp).read().splitlines()) == n1
+
+
+# ------------------------------------------------------------- shape facts
+
+def _shape_findings(src):
+    from runmat_tpu.analysis import analyze_source
+    return [f for f in analyze_source(src)
+            if f.identifier.split(":")[-1] in
+            ("ShapeMismatch", "DimMismatch", "InnerDim")]
+
+
+def test_facts_matrix_literal_with_variables():
+    assert _shape_findings("a = [1 2 3]; b = [4 5]; c = [a; b];")
+    assert not _shape_findings("a = [1 2 3]; b = [4 5 6]; c = [a; b];")
+
+
+def test_facts_elementwise_dim_mismatch():
+    assert _shape_findings("a = zeros(2, 3); b = ones(3, 3); c = a + b;")
+    assert not _shape_findings("a = zeros(2, 3); b = ones(1, 3); c = a + b;")
+    assert not _shape_findings("a = zeros(2, 3); c = a + 1;")
+
+
+def test_facts_inner_dim():
+    assert _shape_findings("a = zeros(2, 3); b = ones(4, 2); c = a * b;")
+    assert not _shape_findings("a = zeros(2, 3); b = ones(3, 2); c = a * b;")
+
+
+def test_facts_ranges_and_transpose():
+    assert _shape_findings("x = 1:5; y = 1:4; z = x .* y;")
+    assert not _shape_findings("x = 1:5; y = (1:5)'; z = x .* y;")  # expansion
+
+
+def test_facts_control_flow_join_widens():
+    src = ("if rand > 0.5, a = zeros(2,3); else, a = zeros(2,4); end\n"
+           "b = a + ones(2,3);")
+    assert not _shape_findings(src)   # width unknown after merge: no claim
+
+
+def test_loop_gate_static_prequalification():
+    """An ineligible loop site is scanned once, then never re-attempted
+    (fact-based pre-qualification replacing trial-trace-every-entry)."""
+    from runmat_tpu.accel import active_engine
+    s = run("x = gpuArray(1:64);", accelerate=True)
+    src = ("for outer = 1:20\n"
+           "  for k = 1:10, disp_dummy{k} = k; end\n"   # cell write: ineligible
+           "end")
+    r = s.execute("disp_dummy = {};" + src)
+    assert r.error is None
+    code = s.last_code if hasattr(s, "last_code") else None
+    # the hint map on the compiled unit marks the inner site 'never'
+    # (indirect check: a second run goes through without device dispatches)
+    eng = active_engine()
+    d0 = eng.stats["dispatches"]
+    r = s.execute("disp_dummy = {};" + src)
+    assert r.error is None
+    assert eng.stats["dispatches"] == d0
