@@ -418,21 +418,22 @@ class JaxEngine:
         return MatArray.from_device(node, mclass)
 
     def full(self, dims, value, mclass: str) -> MatArray:
+        """Lazy creation op (≙ provider zeros/ones/fill constructors). The
+        fill value rides as a traced scalar parameter so differing constants
+        share one executable; the creation fuses into its consumers."""
         dt = self.dtype_for(mclass)
         shape = normalize_shape(dims)
-        ps = phys_shape(shape)
-        arr = self.jnp.full(ps, value, dtype=dt,
-                            device=self.placement(ps))
-        node = LazyNode(self, "leaf", [], (), shape, dt, value=arr)
+        vn = self._scalar_node(np.asarray(value, dt).reshape(()), dt)
+        node = self._op("c:full", [vn], (shape,), shape, dt)
         return MatArray.from_device(node, mclass)
 
     def linspace(self, start: float, stop: float, n: int, mclass: str) -> MatArray:
+        """Lazy linspace (≙ provider linspace constructor): endpoints are
+        traced scalars, so only the length is baked into the executable."""
         dt = self.dtype_for(mclass)
-        arr = self.jnp.linspace(np.asarray(start, dt), np.asarray(stop, dt), n,
-                                dtype=dt)
-        if self.mesh is not None:
-            arr = self.jax.device_put(arr, self.placement(tuple(arr.shape)))
-        node = LazyNode(self, "leaf", [], (), (1, n), dt, value=arr)
+        sn = self._scalar_node(np.asarray(start, dt).reshape(()), dt)
+        en = self._scalar_node(np.asarray(stop, dt).reshape(()), dt)
+        node = self._op("c:linspace", [sn, en], (int(n),), (1, n), dt)
         return MatArray.from_device(node, mclass)
 
     # ------------------------------------------------- dense linalg / fft (MXU)
@@ -804,6 +805,17 @@ class JaxEngine:
 
     # --------------------------------------------------------------- op executor
 
+    def _shard_created(self, out):
+        """Sharding constraint for creation ops (c:full/c:linspace): created
+        arrays have no sharded leaf input for GSPMD to propagate from, so in
+        mesh mode large ones get the same data-axis placement an uploaded
+        leaf would (placement() depends only on shape, which is part of the
+        structure key, so the constraint is jit-cache consistent)."""
+        if self.mesh is None:
+            return out
+        return self.jax.lax.with_sharding_constraint(
+            out, self.placement(tuple(out.shape)))
+
     def _to_phys(self, x, lshape: tuple):
         ps = phys_shape(tuple(lshape))
         return x if tuple(x.shape) == ps else x.reshape(ps)
@@ -902,6 +914,16 @@ class JaxEngine:
             if len(ps) <= 1:
                 return taken.reshape(ps)
             return jnp.reshape(taken, out_shape, order="F")
+        if op == "c:full":
+            (shape,) = static
+            out = jnp.full(phys_shape(tuple(shape)),
+                           jnp.reshape(args[0], ()), dtype=dt)
+            return self._shard_created(out)
+        if op == "c:linspace":
+            (n,) = static
+            out = jnp.linspace(jnp.reshape(args[0], ()),
+                               jnp.reshape(args[1], ()), n, dtype=dt)
+            return self._shard_created(out)
         if op == "gather1d":
             # linear (F-order) gather at a traced 1-based scalar subscript
             la = in_shapes[0]

@@ -185,6 +185,12 @@ def m_hex2dec(s):
 def m_dec2base(x, b):
     v = int(_sc(x))
     base = int(_sc(b))
+    if not (2 <= base <= 36):
+        raise MatError("MATLAB:dec2base:InvalidBase",
+                       "Base must be an integer between 2 and 36.")
+    if v < 0:
+        raise MatError("MATLAB:dec2base:MustBeNonNegative",
+                       "Input must be a nonnegative integer.")
     digits = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
     if v == 0:
         return MatArray.char_from_str("0")
@@ -294,8 +300,33 @@ def m_nchoosek(n, k):
 def m_perms(v):
     import itertools
     vals = _np(v).reshape(-1)
+    if vals.size > 10:
+        # matches MATLAB's practical bound (n! rows exhaust memory; MATLAB
+        # errors with a maximum-variable-size failure)
+        raise MatError("MATLAB:pmaxsize",
+                       "Too many permutations: input must have 10 or fewer "
+                       "elements.")
     rows = list(itertools.permutations(vals))[::-1]
     return MatArray(np.array(rows, np.float64), "double")
+
+
+@builtin("fibonacci", category="math/discrete", min_in=1, max_in=1)
+def m_fibonacci(n):
+    """fibonacci(n): nth Fibonacci number (elementwise over arrays)."""
+    h = _np(n)
+    out = np.empty(h.shape, dtype=np.float64)
+    flat_in = h.reshape(-1)
+    flat = out.reshape(-1)
+    for i, v in enumerate(flat_in):
+        k = int(v)
+        if k < 0:
+            raise MatError("MATLAB:fibonacci:negative",
+                           "Input must be nonnegative.")
+        a, b = 0, 1
+        for _ in range(k):
+            a, b = b, a + b
+        flat[i] = float(a)
+    return MatArray(out, "double")
 
 
 @builtin("primes", category="math/discrete", min_in=1, max_in=1)

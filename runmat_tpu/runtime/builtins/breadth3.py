@@ -178,7 +178,19 @@ _mat_pred("ishermitian", lambda h: h.shape[0] == h.shape[1]
 _mat_pred("isdiag", lambda h: np.count_nonzero(h - np.diag(np.diag(h))) == 0)
 _mat_pred("istriu", lambda h: np.count_nonzero(np.tril(h, -1)) == 0)
 _mat_pred("istril", lambda h: np.count_nonzero(np.triu(h, 1)) == 0)
-_mat_pred("isbanded", lambda h: True)
+
+
+@builtin("isbanded", category="introspection", min_in=3, max_in=3)
+def m_isbanded(x, lower, upper):
+    """isbanded(A, lower, upper): all nonzeros within the band."""
+    h = x.host()
+    lo = int(lower.scalar_double())
+    up = int(upper.scalar_double())
+    if h.ndim != 2:
+        return MatArray.logical_scalar(False)
+    below = np.count_nonzero(np.tril(h, -(lo + 1)))
+    above = np.count_nonzero(np.triu(h, up + 1))
+    return MatArray.logical_scalar(below == 0 and above == 0)
 
 
 @builtin("bandwidth", category="introspection", min_in=1, max_in=1,

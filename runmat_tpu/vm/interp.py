@@ -144,17 +144,29 @@ class Interp:
         if b.pass_ctx:
             kw["ctx"] = Ctx(self, frame, nargout)
         prof = getattr(self.session, "_profile", None)
-        if prof is not None:
-            import time as _time
-            t0 = _time.perf_counter()
-            try:
+        try:
+            if prof is not None:
+                import time as _time
+                t0 = _time.perf_counter()
+                try:
+                    res = b.fn(*args, **kw)
+                finally:
+                    rec = prof.setdefault(b.name, [0, 0.0])
+                    rec[0] += 1
+                    rec[1] += _time.perf_counter() - t0
+            else:
                 res = b.fn(*args, **kw)
-            finally:
-                rec = prof.setdefault(b.name, [0, 0.0])
-                rec[0] += 1
-                rec[1] += _time.perf_counter() - t0
-        else:
-            res = b.fn(*args, **kw)
+        except (MatError, KeyboardInterrupt, SystemExit, MemoryError):
+            raise
+        except RecursionError:
+            raise
+        except Exception as e:
+            # A builtin must never leak a host-language exception: surface it
+            # as a MATLAB error (≙ the reference dispatcher mapping builtin
+            # failures into MException, runmat-runtime/src/dispatcher.rs).
+            raise MatError(
+                "RunMat:builtin:internalError",
+                f"{b.name}: invalid input ({type(e).__name__}: {e})")
         if res is None:
             return []
         if isinstance(res, list):

@@ -14,6 +14,11 @@ def test_warmup_record_and_replay(tmp_path, monkeypatch):
     (≙ pipeline warmup, backend/wgpu/warmup.rs:10 + cache/persist.rs)."""
     mp = str(tmp_path / "manifest.jsonl")
     monkeypatch.setenv("RUNMAT_TPU_WARMUP_MANIFEST", mp)
+    # fresh engine: recording happens on FRESH compiles only (the global
+    # engine's jit cache would otherwise satisfy these structures)
+    from runmat_tpu.accel import active_engine, reset_engine, set_engine
+    prev = active_engine()
+    reset_engine()
     s = run("x = gpuArray(rand(512,1,'single')); y = gather(sum(sin(x))); "
             "A = gpuArray(magic(4) + 8*eye(4)); z = gather(norm(A\\(1:4)')); "
             "S = gpuArray(ones(32,1)); "
@@ -22,10 +27,12 @@ def test_warmup_record_and_replay(tmp_path, monkeypatch):
     entries = [json.loads(ln) for ln in open(mp)]
     kinds = {e["kind"] for e in entries}
     assert {"fusion", "dense", "loop"} <= kinds
-    from runmat_tpu.accel import active_engine
     from runmat_tpu.accel import warmup as wu
-    n = wu.replay(active_engine(), path=mp)
-    assert n == len(entries) and n >= 4
+    try:
+        n = wu.replay(active_engine(), path=mp)
+        assert n == len(entries) and n >= 4
+    finally:
+        set_engine(prev)
 
 
 def test_warmup_manifest_dedupes(tmp_path, monkeypatch):
