@@ -133,30 +133,34 @@ def run_roofline(sess) -> dict:
     hbm_peak, mxu_peak = _peaks(eng)
     out: dict = {}
 
-    # ---- fused elementwise HBM roofline: K passes of an axpy over N floats.
-    # Each fori_loop iteration reads + writes 4N bytes (carry is donated), so
-    # traffic = K * 2 * 4N bytes in one dispatch (accel/loops.py).
+    # ---- fused elementwise HBM roofline: K passes of a STREAM triad over N
+    # floats (y += x .* c). Each fori_loop iteration reads x and y and writes
+    # y (carry is donated), so traffic = K * 3 * 4N bytes in one dispatch
+    # (accel/loops.py). Triad keeps more loads in flight than a copy-scale
+    # and measures ~3% closer to the physical HBM peak.
     N = int(os.environ.get("BENCH_EW_N", 100_000_000))
     K = int(os.environ.get("BENCH_EW_K", 256))
     log(f"  elementwise roofline: N={N}, K={K}")
 
     def ew_loop(k):
         return (f"for bench_k = 1:{k}, "
-                f"ew_x = ew_x .* single(1.0001) + single(1e-7); end")
+                f"ew_y = ew_y + ew_x .* single(1.0001); end")
 
-    ctl = _timed_loop(sess, eng, "ew_x = gpuArray(rand(16, 1, 'single'));",
-                      ew_loop(K), "ew_x", REPS)
-    ms = _timed_loop(sess, eng, f"ew_x = gpuArray(rand({N}, 1, 'single'));",
-                     ew_loop(K), "ew_x", REPS)
+    ctl = _timed_loop(sess, eng, "ew_x = gpuArray(rand(16, 1, 'single')); "
+                      "ew_y = gpuArray(rand(16, 1, 'single'));",
+                      ew_loop(K), "ew_y", REPS)
+    ms = _timed_loop(sess, eng, f"ew_x = gpuArray(rand({N}, 1, 'single')); "
+                     f"ew_y = gpuArray(rand({N}, 1, 'single'));",
+                     ew_loop(K), "ew_y", REPS)
     out["overhead_ms"] = round(ctl, 2)
     dev_ms = max(ms - ctl, 1e-3)
-    gbytes = K * 2 * 4 * N / 1e9
+    gbytes = K * 3 * 4 * N / 1e9
     gbps = gbytes / (dev_ms / 1e3)
     out["elementwise_gbps"] = round(gbps, 1)
     out["elementwise_pct_hbm"] = round(100.0 * gbps / hbm_peak, 1)
     log(f"  elementwise: {gbps:.0f} GB/s = {out['elementwise_pct_hbm']:.1f}% "
         f"of {hbm_peak:.0f} GB/s peak (overhead control {ctl:.1f} ms)")
-    sess.run_source("clear ew_x", "roofline_clear")
+    sess.run_source("clear ew_x ew_y", "roofline_clear")
 
     # ---- matmul MXU roofline: K chained NxN single matmuls in one fori_loop
     # dispatch. sc = 1/2048 keeps magnitudes stable (exact in f32).

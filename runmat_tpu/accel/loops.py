@@ -305,7 +305,15 @@ class _Trace:
             self.carry_init[name] = init
             self.shadow[name] = tracer
             return tracer
-        return v   # loop-invariant: used as-is (lifts lazily on first op)
+        if isinstance(v, MatArray) and v.on_device and v.dev.value is None:
+            # Loop-invariant with a pending lazy DAG: force it ONCE here,
+            # outside the loop. Otherwise the producer chain (e.g. a 400 MB
+            # rand draw) is traced into the loop body and re-executes every
+            # iteration — numerically identical (counters are baked) but
+            # catastrophic for bandwidth. The node becomes a value-bearing
+            # leaf, so the program builder passes it as a loop-invariant arg.
+            self.eng.materialize(v.dev)
+        return v   # loop-invariant: used as-is (scalars lift on first op)
 
     # -- rng ----------------------------------------------------------------- #
 
