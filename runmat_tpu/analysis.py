@@ -224,5 +224,22 @@ def analyze_source(source: str, name: str = "<input>") -> list[Finding]:
         findings.append(Finding(line, "warning" if ident.endswith(
             ("DimMismatch", "InnerDim")) else "error", ident, msg))
 
+    # MIR dataflow lints (CFG unreachable blocks, maybe-undefined-on-a-path,
+    # dead stores in functions, spawn-capture mutation — ≙ runmat-mir
+    # analysis/{dataflow,spawn_safety}.rs)
+    try:
+        from .vm.compiler import Compiler
+        from .vm import mir
+        compiled = Compiler.compile_program(prog, name)
+        for line, ident, msg in mir.analyze_program(compiled):
+            if (line, ident) in seen:
+                continue
+            seen.add((line, ident))
+            sev = "info" if ident in ("mir/DeadStore",
+                                      "mir/SpawnCaptureMutated") else "warning"
+            findings.append(Finding(line, sev, ident, msg))
+    except MatError:
+        pass   # compile errors surface when the script actually runs
+
     findings.sort(key=lambda f: (f.line, f.identifier, f.message))
     return findings

@@ -250,9 +250,12 @@ def _accel_calibrate(rest: list) -> int:
 
 
 def _check(rest: list) -> int:
-    """Static checks: parse + compile without executing (≙ runmat check)."""
+    """Static checks: parse + compile without executing (≙ runmat check).
+    `--mir` additionally dumps the basic-block CFG with liveness per unit."""
+    dump_mir = "--mir" in rest
+    rest = [r for r in rest if r != "--mir"]
     if not rest:
-        print("usage: runmat-tpu check <script.m>", file=sys.stderr)
+        print("usage: runmat-tpu check [--mir] <script.m>", file=sys.stderr)
         return 2
     from .errors import MatError
     from .frontend.parser import parse
@@ -264,7 +267,12 @@ def _check(rest: list) -> int:
             with open(path) as f:
                 src = f.read()
             prog = parse(src, path)
-            Compiler.compile_program(prog, path)
+            compiled = Compiler.compile_program(prog, path)
+            if dump_mir:
+                from .vm import mir
+                print(mir.format_mir(compiled.main))
+                for fn in compiled.functions.values():
+                    print(mir.format_mir(fn))
         except MatError as e:
             ok = False
             print(f"{path}: error: {e.identifier}: {e.message}")
