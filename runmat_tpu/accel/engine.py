@@ -176,6 +176,10 @@ class JaxEngine:
         # blocking host gather (dispatches finish in order on the stream)
         self.dispatch_seq = 0
         self.gathered_seq = 0
+        # HBM residency ledger + budget/pressure (≙ runmat-gc stats + wgpu
+        # buffer residency pool, backend/wgpu/residency.rs)
+        from .residency import ResidencyPool
+        self.residency = ResidencyPool()
 
     # ------------------------------------------------------------- dtype policy
 

@@ -29,8 +29,8 @@ class LazyNode:
     """One value in the device DAG. kind: 'leaf' (concrete jax.Array),
     'scalar' (traced host scalar parameter), or an op name."""
 
-    __slots__ = ("op", "inputs", "static", "shape", "dtype", "value", "n_ops",
-                 "engine", "pinned", "dispatch_id")
+    __slots__ = ("op", "inputs", "static", "shape", "dtype", "_value",
+                 "n_ops", "engine", "pinned", "dispatch_id", "__weakref__")
 
     def __init__(self, engine, op: str, inputs: list, static: tuple,
                  shape: tuple, dtype, value: Any = None):
@@ -40,11 +40,26 @@ class LazyNode:
         self.static = static
         self.shape = tuple(int(s) for s in shape)
         self.dtype = np.dtype(dtype)
-        self.value = value          # concrete jax.Array for leaves / after force
         self.pinned = False         # workspace-bound: materialize alongside any root
         self.dispatch_id = None     # engine dispatch seq that produced .value
+        self.value = value          # concrete jax.Array for leaves / after force
         self.n_ops = (0 if op in ("leaf", "scalar")
                       else 1 + sum(i.n_ops for i in inputs))
+
+    @property
+    def value(self):
+        return self._value
+
+    @value.setter
+    def value(self, v):
+        """Setting a concrete device buffer enrolls this node in the engine's
+        HBM residency ledger (≙ mark_residency, accelerate-api lib.rs:67);
+        scalar nodes carry host payloads and stay out of the ledger."""
+        self._value = v
+        if v is not None and self.op != "scalar":
+            pool = getattr(self.engine, "residency", None)
+            if pool is not None:
+                pool.track(self)
 
     # --- duck-typed device-handle protocol used by MatArray ----------------- #
 

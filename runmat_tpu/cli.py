@@ -20,7 +20,7 @@ def main(argv=None) -> int:
     # subcommand style: runmat-tpu <cmd> [...]
     if argv and argv[0] in ("repl", "run", "check", "version", "info",
                             "accel-info", "accel-calibrate", "accel-warmup",
-                            "gc-stats",
+                            "gc-stats", "gc-minor", "gc-major", "gc-config",
                             "benchmark", "config", "lsp", "serve"):
         cmd = argv[0]
         rest = argv[1:]
@@ -147,7 +147,48 @@ def _dispatch(cmd: str, rest: list) -> int:
                       f"({mi['devices']} device(s))")
             else:
                 print("device memory: backend does not report usage "
-                      "(jax-CPU)")
+                      "(no memory_stats on this platform)")
+            rs = eng.residency.snapshot()
+            print(f"hbm ledger: {rs['live_bytes']} bytes live in "
+                  f"{rs['n_live']} handle(s), peak {rs['peak_bytes']}, "
+                  f"{rs['allocs']} allocs / {rs['frees']} frees")
+            if rs["budget_bytes"]:
+                print(f"hbm budget: {rs['budget_bytes']} bytes, "
+                      f"{rs['pressure_events']} pressure event(s)")
+        return 0
+
+    if cmd in ("gc-minor", "gc-major"):
+        # ≙ runmat gc minor/major (runmat-gc/src/lib.rs:548,725): drop the
+        # engine's transient device caches; major additionally runs the host
+        # collector to break cycles pinning device handles
+        sess = _make_session()
+        from .accel import active_engine
+        eng = active_engine()
+        if eng is None:
+            print("no accelerator engine")
+            return 0
+        res = eng.residency.collect(eng, full=(cmd == "gc-major"))
+        print(f"{res['kind']} collection: dropped "
+              f"{res['cache_entries_dropped']} cached device args, "
+              f"ledger {res['bytes_before']} -> {res['bytes_after']} bytes")
+        return 0
+
+    if cmd == "gc-config":
+        from .accel import active_engine
+        sess = _make_session()
+        eng = active_engine()
+        if eng is None:
+            print("no accelerator engine")
+            return 0
+        rs = eng.residency.snapshot()
+        print(f"hbm budget: {rs['budget_bytes'] or 'unlimited'} "
+              f"(set RUNMAT_TPU_HBM_BUDGET_MB)")
+        print(f"pressure hooks: {len(eng.residency.pressure_hooks)}")
+        print(f"fuse cap: {eng.fuse_cap} (RUNMAT_TPU_FUSE_CAP)")
+        print(f"offload threshold: {eng.offload_threshold} "
+              f"(RUNMAT_TPU_OFFLOAD_THRESHOLD)")
+        print(f"shard threshold: {eng.shard_threshold} "
+              f"(RUNMAT_TPU_SHARD_THRESHOLD)")
         return 0
 
     if cmd == "benchmark":

@@ -104,6 +104,13 @@ class Session:
             except Exception:
                 if accelerate:
                     raise
+            eng = accel.active_engine()
+            if eng is not None and eng.residency.budget_bytes:
+                # HBM budget set: spill cold workspace arrays to host under
+                # pressure (≙ residency clearing + gather-retry dispatcher)
+                from .accel.residency import make_workspace_spiller
+                eng.residency.pressure_hooks.append(
+                    make_workspace_spiller(self))
 
     # -- output ---------------------------------------------------------------
 

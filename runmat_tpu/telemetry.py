@@ -60,6 +60,7 @@ def snapshot(session=None) -> dict:
         # live HBM accounting + per-category dispatch stats + bounded
         # kernel-launch log (api lib.rs:1337-1376 parity)
         out["memory"] = eng.memory_info()
+        out["residency"] = eng.residency.snapshot()
         out["categories"] = {
             k: {"dispatches": v[0], "enqueue_ms": round(v[1], 3)}
             for k, v in sorted(eng.category_stats.items())}
