@@ -21,7 +21,8 @@ def main(argv=None) -> int:
     if argv and argv[0] in ("repl", "run", "check", "version", "info",
                             "accel-info", "accel-calibrate", "accel-warmup",
                             "gc-stats", "gc-minor", "gc-major", "gc-config",
-                            "benchmark", "config", "lsp", "serve"):
+                            "benchmark", "config", "lsp", "serve",
+                            "remote", "login"):
         cmd = argv[0]
         rest = argv[1:]
         return _dispatch(cmd, rest)
@@ -217,6 +218,22 @@ def _dispatch(cmd: str, rest: list) -> int:
             return serve_tcp(sess, "127.0.0.1", port)
         return serve_stdio(sess)
 
+    if cmd == "login":
+        # runmat-tpu login <url> --token T (≙ runmat login, auth.rs)
+        if not rest:
+            print("usage: runmat-tpu login <url> --token <token>",
+                  file=sys.stderr)
+            return 2
+        url = rest[0]
+        token = rest[rest.index("--token") + 1] if "--token" in rest else ""
+        from .remote import auth as rauth
+        rauth.login(url, token)
+        print(f"stored credentials for {url}")
+        return 0
+
+    if cmd == "remote":
+        return _remote(rest)
+
     if cmd == "accel-calibrate":
         return _accel_calibrate(rest)
 
@@ -287,6 +304,122 @@ def _accel_calibrate(rest: list) -> int:
         json.dump({"platform": eng.platform,
                    "offload_threshold": int(crossover)}, f)
     print(f"calibrated offload threshold: {crossover} (saved to {path})")
+    return 0
+
+
+def _remote(rest: list) -> int:
+    """Remote project API commands (≙ runmat remote/org/project/fs/snapshot,
+    runmat-cli/src/{cli/root.rs:207-333,remote/*} over runmat-server-client).
+
+    remote serve <root> [--port N] [--token T]   self-host a project server
+    remote me
+    remote org list | org create <name>
+    remote project list <orgId> | project create <orgId> <name>
+    remote fs ls <proj> [path] | get <proj> <path> [out] |
+              put <proj> <local> <path> | rm <proj> <path>
+    remote snapshot list <proj> | create <proj> [label] |
+              restore <proj> <snapId> | tag <proj> <snapId> <tag>
+    remote history <proj>
+    Server URL: --url flag or RUNMAT_TPU_API_URL (default
+    http://127.0.0.1:8765)."""
+    if not rest:
+        print(_remote.__doc__, file=sys.stderr)
+        return 2
+    sub = rest[0]
+    args = rest[1:]
+    if sub == "serve":
+        from .remote import ProjectServer
+        root = args[0] if args else "."
+        port = int(args[args.index("--port") + 1]) if "--port" in args \
+            else 8765
+        token = args[args.index("--token") + 1] if "--token" in args else None
+        srv = ProjectServer(root, port=port, token=token)
+        print(f"project server on {srv.base_url} (root {root})")
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
+
+    url = None
+    if "--url" in args:
+        i = args.index("--url")
+        url = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    url = url or os.environ.get("RUNMAT_TPU_API_URL", "http://127.0.0.1:8765")
+    from .errors import MatError
+    from .remote import PublicApiClient
+    c = PublicApiClient(url)
+    try:
+        if sub == "me":
+            print(json.dumps(c.me()))
+        elif sub == "org":
+            if args and args[0] == "create":
+                print(json.dumps(c.create_org(args[1])))
+            else:
+                for o in c.orgs():
+                    print(f"{o['id']}  {o['name']}")
+        elif sub == "project":
+            if args and args[0] == "create":
+                print(json.dumps(c.create_project(args[1], args[2])))
+            else:
+                org = args[1] if len(args) > 1 else args[0]
+                for p in c.projects(org):
+                    print(f"{p['id']}  {p['name']}")
+        elif sub == "fs":
+            op, proj = args[0], args[1]
+            if op == "ls":
+                for e in c.fs_dir(proj, args[2] if len(args) > 2 else ""):
+                    kind = "d" if e["isDir"] else "f"
+                    print(f"{kind} {e['size']:>10}  {e['name']}")
+            elif op == "get":
+                data = c.fs_read(proj, args[2])
+                if len(args) > 3:
+                    with open(args[3], "wb") as f:
+                        f.write(data)
+                    print(f"wrote {args[3]} ({len(data)} bytes)")
+                else:
+                    sys.stdout.write(data.decode("utf-8", "replace"))
+            elif op == "put":
+                with open(args[2], "rb") as f:
+                    data = f.read()
+                print(json.dumps(c.fs_write(proj, args[3], data)))
+            elif op == "rm":
+                c.fs_delete(proj, args[2])
+                print("deleted")
+            else:
+                print(f"unknown fs op: {op}", file=sys.stderr)
+                return 2
+        elif sub == "snapshot":
+            op, proj = args[0], args[1]
+            if op == "list":
+                for s in c.snapshots(proj):
+                    tags = ",".join(s["tags"]) if s["tags"] else "-"
+                    print(f"{s['id']}  files={s['fileCount']} tags={tags} "
+                          f"{s['label']}")
+            elif op == "create":
+                print(json.dumps(c.create_snapshot(
+                    proj, args[2] if len(args) > 2 else "")))
+            elif op == "restore":
+                c.restore_snapshot(proj, args[2])
+                print("restored")
+            elif op == "tag":
+                print(json.dumps(c.tag_snapshot(proj, args[2], args[3])))
+            else:
+                print(f"unknown snapshot op: {op}", file=sys.stderr)
+                return 2
+        elif sub == "history":
+            for e in c.history(args[0]):
+                print(json.dumps(e))
+        else:
+            print(f"unknown remote subcommand: {sub}", file=sys.stderr)
+            return 2
+    except MatError as e:
+        print(f"remote error: {e.identifier}: {e.message}", file=sys.stderr)
+        return 1
+    except IndexError:
+        print(_remote.__doc__, file=sys.stderr)
+        return 2
     return 0
 
 

@@ -233,22 +233,88 @@ class SandboxFsProvider:
 
 
 class RemoteFsProvider:
-    """Remote filesystem over the public API (≙ RemoteFsProvider +
-    runmat-server-client). Network egress is unavailable in this build; the
-    provider exists for API parity and raises on use."""
+    """Remote project filesystem over the public API (≙ RemoteFsProvider,
+    runmat-filesystem/src/remote/native.rs + runmat-server-client). Backed by
+    runmat_tpu.remote.PublicApiClient against any server implementing
+    openapi/runmat-tpu-public.yaml (e.g. the bundled self-hosted
+    ProjectServer on localhost — zero-egress deployments)."""
 
     name = "remote"
 
-    def __init__(self, base_url: str, token: Optional[str] = None):
-        self.base_url = base_url
-        self.token = token
+    def __init__(self, base_url: str, project_id: str,
+                 token: Optional[str] = None):
+        from .remote import PublicApiClient
+        self.client = PublicApiClient(base_url, token)
+        self.project_id = project_id
 
-    def __getattr__(self, name):
-        def _unavailable(*_a, **_kw):
-            raise MatError("RunMat:fs:RemoteUnavailable",
-                           "Remote filesystem access requires network egress, "
-                           "which is disabled in this environment.")
-        return _unavailable
+    def read_bytes(self, path: str) -> bytes:
+        return self.client.fs_read(self.project_id, path)
+
+    def write_bytes(self, path: str, data: bytes,
+                    append: bool = False) -> None:
+        self.client.fs_write(self.project_id, path, data, append=append)
+
+    def exists(self, path: str) -> bool:
+        try:
+            self.client.fs_metadata(self.project_id, path)
+            return True
+        except MatError:
+            return False
+
+    def is_file(self, path: str) -> bool:
+        try:
+            return not self.client.fs_metadata(self.project_id,
+                                               path)["isDir"]
+        except MatError:
+            return False
+
+    def is_dir(self, path: str) -> bool:
+        try:
+            return bool(self.client.fs_metadata(self.project_id,
+                                                path)["isDir"])
+        except MatError:
+            return False
+
+    def listdir(self, path: str) -> list:
+        return [e["name"] for e in self.client.fs_dir(self.project_id, path)]
+
+    def mkdir(self, path: str) -> None:
+        self.client.fs_mkdir(self.project_id, path)
+
+    def remove(self, path: str) -> None:
+        self.client.fs_delete(self.project_id, path)
+
+    def rmdir(self, path: str, recursive: bool = False) -> None:
+        self.client.fs_delete(self.project_id, path)
+
+    def rename(self, src: str, dst: str) -> None:
+        self.client.fs_rename(self.project_id, src, dst)
+
+    def copy(self, src: str, dst: str) -> None:
+        self.write_bytes(dst, self.read_bytes(src))
+
+    def stat(self, path: str) -> dict:
+        md = self.client.fs_metadata(self.project_id, path)
+        return {"size": md["size"], "mtime": md["mtime"],
+                "isdir": md["isDir"], "writable": True}
+
+    def open(self, path: str, mode: str):
+        import io
+        binary = "b" in mode
+        if "r" in mode:
+            data = self.read_bytes(path)
+            return io.BytesIO(data) if binary else \
+                io.StringIO(data.decode("utf-8", "replace"))
+        provider = self
+
+        class _W(io.BytesIO if binary else io.StringIO):
+            def close(_self):
+                buf = _self.getvalue()
+                provider.write_bytes(path,
+                                     buf if binary else buf.encode(),
+                                     append="a" in mode)
+                super(_W, _self).close()
+        return _W()
 
 
 _ACTIVE: list = [NativeFsProvider()]
