@@ -32,6 +32,31 @@ export interface AccelInfo {
   stats?: Record<string, number>;
 }
 
+export interface FusionPlan {
+  kind: string;
+  ops: string[];
+  n_ops: number;
+  n_outputs?: number;
+}
+
+export interface HoverCard extends ValuePreview {
+  name: string;
+  preview?: string;
+  device_bytes?: number;
+}
+
+export interface BuiltinEntry {
+  name: string;
+  category: string;
+}
+
+export interface Finding {
+  line: number;
+  severity: "error" | "warning" | "info";
+  identifier: string;
+  message: string;
+}
+
 interface Pending {
   resolve: (v: any) => void;
   reject: (e: Error) => void;
@@ -97,6 +122,44 @@ export class RunMatSession {
   async accelInfo(): Promise<AccelInfo> {
     const r = await this.request({ op: "accel_info" });
     return r.accel;
+  }
+
+  /**
+   * Cached fused-kernel plans (≙ the reference npm package's fusion-plan
+   * introspection, bindings/ts/src/fusion-plan.ts): op sequence + output
+   * count per compiled executable.
+   */
+  async fusionPlans(): Promise<FusionPlan[]> {
+    const r = await this.request({ op: "fusion_plans" });
+    return r.plans ?? [];
+  }
+
+  /**
+   * Hover card for one workspace variable (≙ workspace-hover.ts):
+   * class/shape/residency, short formatted preview, live HBM bytes.
+   */
+  async hover(varName: string): Promise<HoverCard> {
+    const r = await this.request({ op: "hover", name: varName });
+    if (!r.ok) throw new Error(`${r.error.identifier}: ${r.error.message}`);
+    return r.hover;
+  }
+
+  /** Registered builtin catalog, optionally filtered (≙ builtins.ts). */
+  async builtins(query = ""): Promise<BuiltinEntry[]> {
+    const r = await this.request({ op: "builtins", query });
+    return r.builtins ?? [];
+  }
+
+  /** Static-analysis findings for a source string (editor diagnostics). */
+  async check(source: string, name = "<ts>"): Promise<Finding[]> {
+    const r = await this.request({ op: "check", source, name });
+    return r.findings ?? [];
+  }
+
+  /** Full telemetry snapshot: provider stats, HBM residency, launches. */
+  async telemetry(): Promise<Record<string, unknown>> {
+    const r = await this.request({ op: "telemetry" });
+    return r.telemetry ?? {};
   }
 
   /** Clear the workspace. */

@@ -211,11 +211,15 @@ def _dispatch(cmd: str, rest: list) -> int:
 
     if cmd == "serve":
         # JSON-lines session server (≙ the wasm/TS host + remote API surface)
-        from .server import serve_stdio, serve_tcp
+        # --http serves the in-browser REPL (the wasm-embedding analog)
+        from .server import serve_http, serve_stdio, serve_tcp
         sess = _make_session()
         if rest and rest[0] == "--tcp":
             port = int(rest[1]) if len(rest) > 1 else 0
             return serve_tcp(sess, "127.0.0.1", port)
+        if rest and rest[0] == "--http":
+            port = int(rest[1]) if len(rest) > 1 else 8780
+            return serve_http(sess, "127.0.0.1", port)
         return serve_stdio(sess)
 
     if cmd == "login":

@@ -100,6 +100,51 @@ def handle_request(sess, req: dict) -> dict:
             eng = active_engine()
             return {"id": rid, "ok": True,
                     "plans": eng.fusion_snapshot() if eng is not None else []}
+        if op == "hover":
+            # workspace hover card (≙ bindings/ts/src/workspace-hover.ts):
+            # class/shape/residency + a short value preview + HBM bytes
+            name = req.get("name", "")
+            v = sess.get(name)
+            if v is None:
+                return {"id": rid, "ok": False,
+                        "error": {"identifier": "RunMat:server:NoVariable",
+                                  "message": f"No variable '{name}'."}}
+            card = _preview(v)
+            card["name"] = name
+            from .values import MatArray
+            if isinstance(v, MatArray):
+                if v.on_device and v.dev.value is not None:
+                    card["device_bytes"] = int(
+                        getattr(v.dev.value, "nbytes", 0) or 0)
+                from .utils.display import format_value
+                text = format_value(name, v)
+                lines = text.splitlines()
+                card["preview"] = "\n".join(lines[:8])
+            return {"id": rid, "ok": True, "hover": card}
+        if op == "builtins":
+            # registered builtin catalog (≙ bindings/ts/src/builtins.ts)
+            from .runtime import registry
+            registry.ensure_loaded()
+            q = req.get("query", "")
+            items = [{"name": nm, "category": b.category}
+                     for nm, b in registry.all_builtins().items()
+                     if not q or q.lower() in nm.lower()]
+            items.sort(key=lambda d: d["name"])
+            return {"id": rid, "ok": True, "builtins": items[:500],
+                    "total": len(items)}
+        if op == "check":
+            from .analysis import analyze_source
+            findings = analyze_source(req.get("source", ""),
+                                      req.get("name", "<remote>"))
+            return {"id": rid, "ok": True, "findings": [
+                {"line": f.line, "severity": f.severity,
+                 "identifier": f.identifier, "message": f.message}
+                for f in findings]}
+        if op == "telemetry":
+            from . import telemetry
+            return {"id": rid, "ok": True,
+                    "telemetry": json.loads(json.dumps(
+                        telemetry.snapshot(sess), default=str))}
         if op == "reset":
             sess.clear()
             return {"id": rid, "ok": True}
@@ -134,6 +179,116 @@ def serve_stdio(sess) -> int:
         if resp.get("shutdown"):
             break
     return 0
+
+
+def serve_http(sess, host: str, port: int) -> int:
+    """HTTP bridge + in-browser REPL: the TPU-native answer to the
+    reference's wasm embedding (crates/runmat-wasm + bindings/ts). A browser
+    cannot host a TPU, so instead of compiling the runtime to wasm the
+    session stays server-side (next to the chips) and the browser gets a
+    single-page REPL speaking the same request ABI over POST /api.
+    GET / serves the page; binds localhost."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    lock = threading.Lock()
+    page = _repl_page()
+
+    class H(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def _send(self, status, body, ctype):
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                self._send(200, page, "text/html; charset=utf-8")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/api":
+                return self._send(404, b"not found", "text/plain")
+            n = int(self.headers.get("Content-Length") or 0)
+            try:
+                req = json.loads(self.rfile.read(n))
+            except ValueError:
+                return self._send(400, b'{"ok":false}', "application/json")
+            with lock:   # one session, serialized requests
+                resp = handle_request(sess, req)
+            self._send(200, json.dumps(resp).encode(), "application/json")
+
+    httpd = ThreadingHTTPServer((host, port), H)
+    actual = httpd.server_address[1]
+    print(f"runmat-tpu web REPL on http://{host}:{actual}", file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def _repl_page() -> bytes:
+    """The single-file browser REPL (no build step, no dependencies)."""
+    return ("""<!doctype html>
+<html><head><meta charset="utf-8"><title>runmat-tpu</title><style>
+:root{--bg:#14161a;--fg:#e8e8e3;--dim:#8a8f98;--acc:#5ec8f0;--err:#f07d7d}
+body{background:var(--bg);color:var(--fg);font:14px/1.5 ui-monospace,Menlo,
+monospace;margin:0;display:grid;grid-template-columns:1fr 280px;height:100vh}
+#main{display:flex;flex-direction:column;overflow:hidden}
+#log{flex:1;overflow-y:auto;padding:14px;white-space:pre-wrap}
+#log .in{color:var(--acc)}#log .err{color:var(--err)}#log .out{color:var(--fg)}
+#bar{display:flex;border-top:1px solid #2a2e35}
+#prompt{color:var(--acc);padding:10px 4px 10px 14px}
+#input{flex:1;background:none;border:none;color:var(--fg);font:inherit;
+padding:10px 14px 10px 4px;outline:none}
+#side{border-left:1px solid #2a2e35;padding:14px;overflow-y:auto}
+#side h3{margin:0 0 8px;font-size:12px;color:var(--dim);font-weight:normal;
+text-transform:uppercase;letter-spacing:.08em}
+.var{margin:2px 0}.var b{color:var(--acc);font-weight:normal}
+.var span{color:var(--dim)}.dev{color:#8fdf9f !important}
+</style></head><body>
+<div id="main">
+ <div id="log">runmat-tpu web REPL — session runs server-side next to the TPU.
+Type MATLAB, Enter to run.
+</div>
+ <div id="bar"><span id="prompt">&gt;&gt;</span>
+  <input id="input" autofocus autocomplete="off" spellcheck="false"></div>
+</div>
+<div id="side"><h3>Workspace</h3><div id="vars"></div></div>
+<script>
+const log=document.getElementById('log'),inp=document.getElementById('input'),
+vars=document.getElementById('vars');let id=1;const hist=[];let hi=0;
+async function api(body){const r=await fetch('/api',{method:'POST',
+headers:{'Content-Type':'application/json'},
+body:JSON.stringify({id:id++,...body})});return r.json();}
+function add(cls,text){const d=document.createElement('div');d.className=cls;
+d.textContent=text;log.appendChild(d);log.scrollTop=log.scrollHeight;}
+async function refreshVars(){const r=await api({op:'workspace'});
+vars.innerHTML='';for(const[k,v]of Object.entries(r.workspace||{})){
+const d=document.createElement('div');d.className='var';
+const sz=(v.size||[]).join('x');
+d.innerHTML=`<b${v.on_device?' class="dev"':''}>${k}</b> `+
+`<span>${sz} ${v.class}${v.on_device?' (device)':''}</span>`;
+vars.appendChild(d);}}
+inp.addEventListener('keydown',async e=>{
+if(e.key==='ArrowUp'){if(hi>0)inp.value=hist[--hi];e.preventDefault();return;}
+if(e.key==='ArrowDown'){inp.value=hi<hist.length-1?hist[++hi]:'';return;}
+if(e.key!=='Enter')return;const src=inp.value.trim();if(!src)return;
+hist.push(src);hi=hist.length;inp.value='';add('in','>> '+src);
+const r=await api({op:'execute',source:src});
+if(r.output)add('out',r.output.replace(/\\n$/,''));
+if(!r.ok&&r.error)add('err',r.error.identifier+': '+r.error.message);
+refreshVars();});
+refreshVars();
+</script></body></html>""").encode()
 
 
 def serve_tcp(sess, host: str, port: int) -> int:

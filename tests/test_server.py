@@ -76,3 +76,91 @@ def test_fusion_plans_op():
     assert isinstance(r["plans"], list)
     if r["plans"]:
         assert "ops" in r["plans"][0] and "kind" in r["plans"][0]
+
+
+def test_hover_op():
+    s = _sess()
+    handle_request(s, {"id": 1, "op": "execute",
+                       "source": "M = magic(4); name = 'hi';"})
+    r = handle_request(s, {"id": 2, "op": "hover", "name": "M"})
+    assert r["ok"] and r["hover"]["name"] == "M"
+    assert r["hover"]["size"] == [4, 4]
+    assert "preview" in r["hover"]
+    r2 = handle_request(s, {"id": 3, "op": "hover", "name": "nope"})
+    assert not r2["ok"]
+
+
+def test_builtins_catalog_op():
+    s = _sess()
+    r = handle_request(s, {"id": 1, "op": "builtins", "query": "sin"})
+    assert r["ok"]
+    names = [b["name"] for b in r["builtins"]]
+    assert "sin" in names and "asin" in names
+    r2 = handle_request(s, {"id": 2, "op": "builtins"})
+    assert r2["total"] > 1000
+
+
+def test_check_op_reports_findings():
+    s = _sess()
+    r = handle_request(s, {"id": 1, "op": "check",
+                           "source": "y = undefined_thing_xyz + 1;"})
+    assert r["ok"] and any("undefined_thing_xyz" in f["message"]
+                           for f in r["findings"])
+
+
+def test_telemetry_op():
+    s = Session(accelerate=None)
+    r = handle_request(s, {"id": 1, "op": "telemetry"})
+    assert r["ok"] and "session" in r["telemetry"]
+
+
+def test_http_bridge_serves_repl_and_api(tmp_path):
+    """serve --http: browser REPL page + POST /api request ABI (the
+    wasm-embedding analog: session stays server-side next to the TPU)."""
+    import threading
+    import time
+    import urllib.request
+    from runmat_tpu.server import serve_http
+
+    s = _sess()
+    # pick a free port by binding our own server object
+    import http.server as hs
+    import runmat_tpu.server as srv_mod
+
+    holder = {}
+
+    def run_server():
+        # serve_http blocks; capture the port via monkeypatching print? —
+        # simpler: use a fixed high port with retry
+        serve_http(s, "127.0.0.1", holder["port"])
+
+    import socket
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    holder["port"] = sock.getsockname()[1]
+    sock.close()
+    t = threading.Thread(target=run_server, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{holder['port']}"
+    for _ in range(50):
+        try:
+            page = urllib.request.urlopen(base + "/", timeout=1).read()
+            break
+        except OSError:
+            time.sleep(0.1)
+    else:
+        raise AssertionError("http server did not come up")
+    assert b"runmat-tpu web REPL" in page
+    req = urllib.request.Request(
+        base + "/api",
+        data=json.dumps({"id": 1, "op": "execute",
+                         "source": "z = 6*7; disp(z)"}).encode(),
+        headers={"Content-Type": "application/json"})
+    resp = json.loads(urllib.request.urlopen(req, timeout=5).read())
+    assert resp["ok"] and "42" in resp["output"]
+    req2 = urllib.request.Request(
+        base + "/api",
+        data=json.dumps({"id": 2, "op": "workspace"}).encode(),
+        headers={"Content-Type": "application/json"})
+    resp2 = json.loads(urllib.request.urlopen(req2, timeout=5).read())
+    assert resp2["workspace"]["z"]["value"] == [[42.0]]
