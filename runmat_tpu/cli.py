@@ -17,6 +17,12 @@ import sys
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
 
+    # structured log subscriber with EnvFilter semantics (≙ runmat-logging
+    # bootstrap, runmat-cli/src/app/bootstrap.rs): RUNMAT_TPU_LOG=
+    # "info,runmat_tpu.accel=debug", RUNMAT_TPU_LOG_FORMAT=json
+    from . import telemetry as _tel
+    _tel.init_logging()
+
     # subcommand style: runmat-tpu <cmd> [...]
     if argv and argv[0] in ("repl", "run", "check", "version", "info",
                             "accel-info", "accel-calibrate", "accel-warmup",

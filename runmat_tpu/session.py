@@ -104,6 +104,20 @@ class Session:
             except Exception:
                 if accelerate:
                     raise
+        # consent-gated product telemetry (≙ runmat-telemetry
+        # runtime.run.started/finished; session/mod.rs:97-100 consent gate).
+        # Zero-egress: events sink to local JSONL, never the network.
+        from . import telemetry as _tel
+        _consent = _os.environ.get("RUNMAT_TPU_TELEMETRY") == "1"
+        _tpath = _os.environ.get(
+            "RUNMAT_TPU_TELEMETRY_FILE",
+            _os.path.join(_os.path.expanduser("~"), ".runmat_tpu",
+                          "telemetry.jsonl"))
+        if _consent:
+            _os.makedirs(_os.path.dirname(_tpath), exist_ok=True)
+        self.events = _tel.EventLog(_tpath, _consent)
+        if accelerate is not False:
+            from . import accel
             eng = accel.active_engine()
             if eng is not None and eng.residency.budget_bytes:
                 # HBM budget set: spill cold workspace arrays to host under
@@ -133,6 +147,8 @@ class Session:
         self.stdout = buf
         t0 = time.perf_counter()
         err = None
+        self.events.emit("runtime.run.started", unit=name,
+                         source_bytes=len(source))
         try:
             self.run_source(source, name)
         except MatError as e:
@@ -140,7 +156,16 @@ class Session:
             self.last_error = e
         finally:
             self.stdout = old
-        return ExecutionResult(buf.getvalue(), err, time.perf_counter() - t0)
+        wall = time.perf_counter() - t0
+        if self.events.enabled:
+            from .accel import active_engine
+            eng = active_engine()
+            self.events.emit(
+                "runtime.run.finished", unit=name,
+                wall_ms=round(wall * 1e3, 3), ok=err is None,
+                error=err.identifier if err else None,
+                provider=dict(eng.stats) if eng is not None else None)
+        return ExecutionResult(buf.getvalue(), err, wall)
 
     def run_source(self, source: str, name: str = "<input>") -> None:
         """Execute without capturing (raises MatError)."""
