@@ -462,7 +462,10 @@ def m_fea_load_dispatch(first, *rest, ctx=None):
 
 @builtin("geometry_load", category="geometry", min_in=1, max_in=1)
 def m_geometry_load(path):
-    """Load a geometry description (.json box spec or STL facets)."""
+    """Load a geometry description: .json box spec, or a triangulated
+    surface (.stl ascii/binary, .obj, .ply ascii/binary) with vertex
+    welding into an indexed (vertices, faces) mesh (≙ runmat-geometry-io
+    import + runmat-meshing-cad prep)."""
     from ...fs import fs
     p = text_of(path)
     raw = fs().read_bytes(p)
@@ -472,18 +475,19 @@ def m_geometry_load(path):
             "box": MatArray(np.array([doc.get("box", [1.0, 1.0, 1.0])]),
                             "double"),
             "resolution": MatArray.scalar(float(doc.get("resolution", 4)))})
+    from ...fea import surface as surf
     if p.endswith(".stl"):
-        # binary STL: 80-byte header, u32 count, 50-byte facets
-        import struct
-        n = struct.unpack("<I", raw[80:84])[0]
-        tris = np.frombuffer(raw[84:84 + n * 50], dtype=np.uint8)
-        tris = tris.reshape(n, 50)[:, 12:48].copy().view(np.float32).reshape(n, 3, 3)
-        return StructArray.scalar({
-            "vertices": MatArray(tris.reshape(-1, 3).astype(np.float64),
-                                 "double"),
-            "faces": MatArray(np.arange(1, 3 * n + 1, dtype=np.float64)
-                              .reshape(-1, 3), "double")})
-    raise bad_arg("geometry.load", f"Unsupported geometry format: {p}")
+        v, f = surf.load_stl(raw)
+    elif p.endswith(".obj"):
+        v, f = surf.load_obj(raw.decode("utf-8", "replace"))
+    elif p.endswith(".ply"):
+        v, f = surf.load_ply(raw)
+    else:
+        raise bad_arg("geometry.load", f"Unsupported geometry format: {p}")
+    return StructArray.scalar({
+        "vertices": MatArray(v, "double"),
+        "faces": MatArray(f.astype(np.float64) + 1, "double"),
+        "watertight": MatArray.logical_scalar(surf.is_watertight(f))})
 
 
 @builtin("geometry_inspect", category="geometry", min_in=1, max_in=1)
@@ -513,16 +517,61 @@ def m_geometry_list_regions(g):
 
 @builtin("geometry_meshes", category="geometry", min_in=1, max_in=2)
 def m_geometry_meshes(g, res=None):
+    """Mesh a geometry: box specs go through the structured/Delaunay box
+    pipeline; surface geometries (vertices+faces) go through the
+    surface-bounded mesher (≙ plc -> tetrahedron generate/recover/
+    reconnect/optimize). res is the target edge length h for surfaces."""
+    if isinstance(g, StructArray) and "vertices" in g.fields:
+        from ...fea import surface as surf
+        v = _f(g.get_scalar_field("vertices"))
+        f = _f(g.get_scalar_field("faces")).astype(np.int64) - 1
+        ext = float((v.max(axis=0) - v.min(axis=0)).max())
+        h = _sc(res) if res is not None else ext / 6.0
+        mesh = surf.mesh_surface(v, f, h)
+        return StructArray.scalar({
+            "nodes": MatArray(mesh.nodes, "double"),
+            "elements": MatArray(mesh.tets.astype(np.float64) + 1,
+                                 "double")})
     mesh = _geometry_mesh(g)
     return StructArray.scalar({
         "nodes": MatArray(mesh.nodes, "double"),
         "elements": MatArray(mesh.tets.astype(np.float64) + 1, "double")})
 
 
+@builtin("geometry_save", category="geometry", min_in=2, max_in=2)
+def m_geometry_save(g, path):
+    """Export a surface geometry to binary STL (≙ geometry-io export)."""
+    from ...fea import surface as surf
+    from ...fs import fs
+    if not (isinstance(g, StructArray) and "vertices" in g.fields):
+        raise bad_arg("geometry.save", "Expected a surface geometry struct.")
+    v = _f(g.get_scalar_field("vertices"))
+    f = _f(g.get_scalar_field("faces")).astype(np.int64) - 1
+    fs().write_bytes(text_of(path), surf.save_stl(v, f))
+    return None
+
+
+@builtin("geometry_meshQuality", category="geometry", min_in=1, max_in=1)
+def m_geometry_mesh_quality(m):
+    """Quality report for a mesh struct (radius-ratio stats + volume;
+    ≙ runmat-meshing-core quality contracts)."""
+    from ...fea.delaunay import mesh_quality_report
+    from ...fea.mesh import TetMesh
+    if not (isinstance(m, StructArray) and "nodes" in m.fields):
+        raise bad_arg("geometry.meshQuality", "Expected a mesh struct.")
+    nodes = _f(m.get_scalar_field("nodes"))
+    tets = _f(m.get_scalar_field("elements")).astype(np.int64) - 1
+    rep = mesh_quality_report(TetMesh(nodes, tets, None, None))
+    return StructArray.scalar({k: MatArray.scalar(float(v))
+                               for k, v in rep.items()})
+
+
 @builtin("geometry", category="geometry", max_in=0)
 def m_geometry_namespace():
     names = {"load": "geometry_load", "inspect": "geometry_inspect",
-             "listRegions": "geometry_listRegions", "meshes": "geometry_meshes"}
+             "listRegions": "geometry_listRegions",
+             "meshes": "geometry_meshes", "save": "geometry_save",
+             "meshQuality": "geometry_meshQuality"}
     return StructArray.scalar({
         k: FunctionHandle("named", name=v) for k, v in names.items()})
 
