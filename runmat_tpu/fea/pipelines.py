@@ -151,6 +151,57 @@ def run_nonlinear(mesh: TetMesh, E: float, nu: float,
             "increments": n_increments}
 
 
+def run_thermomechanical(mesh: TetMesh, E: float, nu: float, alpha: float,
+                         k: float, fixed_nodes: np.ndarray,
+                         fixed_temp: dict, T_ref: float = 0.0,
+                         heat: float = 0.0) -> dict:
+    """One-way thermo-mechanical coupling (≙ the reference's coupling
+    physics, runmat-analysis/fea/src/physics/coupling): steady conduction
+    gives the temperature field, element thermal strains
+    eps_th = alpha (T - T_ref) [1 1 1 0 0 0] become consistent nodal
+    loads f = sum_e B' D eps_th vol, and the elasticity solve runs under
+    those loads."""
+    from .assembly import _grads_and_vols, elasticity_D
+
+    th = run_thermal(mesh, k, fixed_temp, heat=heat)
+    T = th["temperature"]
+    grads, vol, _ = _grads_and_vols(mesh)
+    M = mesh.n_tets
+    B = np.zeros((M, 6, 12))
+    for a in range(4):
+        gx, gy, gz = grads[:, a, 0], grads[:, a, 1], grads[:, a, 2]
+        c = 3 * a
+        B[:, 0, c] = gx
+        B[:, 1, c + 1] = gy
+        B[:, 2, c + 2] = gz
+        B[:, 3, c] = gy
+        B[:, 3, c + 1] = gx
+        B[:, 4, c + 1] = gz
+        B[:, 4, c + 2] = gy
+        B[:, 5, c] = gz
+        B[:, 5, c + 2] = gx
+    D = elasticity_D(E, nu)
+    dT = T[mesh.tets].mean(axis=1) - T_ref            # (M,)
+    eps_th = np.zeros((M, 6))
+    eps_th[:, :3] = alpha * dT[:, None]
+    fe = np.einsum("mia,ij,mj,m->ma", B, D, eps_th, vol,
+                   optimize=True)                      # (M, 12)
+    f = np.zeros(3 * mesh.n_nodes)
+    dofs = (3 * mesh.tets[:, :, None] + np.arange(3)[None, None, :]) \
+        .reshape(M, 12)
+    np.add.at(f, dofs.reshape(-1), fe.reshape(-1))
+
+    K, _ = assemble_elasticity(mesh, E, nu)
+    fixed_dofs = (3 * np.asarray(fixed_nodes, np.int64)[:, None]
+                  + np.arange(3)[None, :]).reshape(-1)
+    Kff, ff, free, u_fix = apply_dirichlet(K, f, fixed_dofs)
+    u_free = Kff.solve(ff.reshape(-1, 1)).reshape(-1)
+    u = _expand(u_free, free, u_fix).reshape(-1, 3)
+    return {"temperature": T, "displacement": u,
+            "max_temperature": th["max_temperature"],
+            "max_displacement": float(np.abs(u).max())}
+
+
 def run_electromagnetic(mesh: TetMesh, eps: float, fixed: dict) -> dict:
     """Electrostatics: Laplace solve for potential with fixed electrodes;
     E-field from potential gradients."""

@@ -337,6 +337,16 @@ def m_fea_run(study, opts=None, ctx=None):
     elif physics == "nonlinear":
         r = P.run_nonlinear(mesh, E, nu, fixed_nodes, forces, n_increments=3)
         fields = {"displacement": MatArray(r["displacement"], "double")}
+    elif physics in ("thermomechanical", "thermo_mechanical", "coupled"):
+        hot_end = {int(i): 400.0 for i in free_end}
+        temps = dict(fixed_temp)
+        temps.update(hot_end)
+        r = P.run_thermomechanical(mesh, E, nu, alpha=1.2e-5, k=kth,
+                                   fixed_nodes=fixed_nodes,
+                                   fixed_temp=temps, T_ref=300.0)
+        fields = {"temperature": MatArray(
+            np.asarray(r["temperature"]).reshape(-1, 1), "double"),
+            "displacement": MatArray(r["displacement"], "double")}
     elif physics in ("electromagnetic", "electrostatic"):
         em_fixed = {int(i): 0.0 for i in fixed_nodes}
         em_fixed.update({int(i): 1.0 for i in free_end})

@@ -193,9 +193,28 @@ class SparseMatrix:
             return self._cg_device(b)
         if self.n <= 8192:
             return np.linalg.solve(self.to_dense(), b)
-        raise MatError("MATLAB:sparse:solverTooLarge",
-                       "Sparse unsymmetric solve of this size is not supported "
-                       "yet; use pcg/gmres-style iteration or a smaller system.")
+        # large unsymmetric: Jacobi-preconditioned BiCGSTAB over the scipy
+        # CSR matvec (≙ the reference FEA solve stack's iterative fallback)
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+        ii, jj, vv = self.triplets()
+        S = sp.csr_matrix((vv.astype(np.float64), (ii, jj)),
+                          shape=(self.m, self.n))
+        d = S.diagonal()
+        M = sp.diags(1.0 / np.where(d == 0, 1.0, d))
+        bb = np.asarray(b, dtype=np.float64)
+        one_d = bb.ndim == 1
+        bb = bb.reshape(self.n, -1)
+        out = np.empty_like(bb)
+        for c in range(bb.shape[1]):
+            x, info = spla.bicgstab(S, bb[:, c], M=M, rtol=1e-10,
+                                    maxiter=10 * self.n)
+            if info != 0:
+                raise MatError("MATLAB:sparse:solverFailed",
+                               f"Iterative solve did not converge "
+                               f"(info={info}).")
+            out[:, c] = x
+        return out[:, 0] if one_d else out
 
     def _is_symmetric(self) -> bool:
         t = self.transpose()
