@@ -145,6 +145,20 @@ def handle_request(sess, req: dict) -> dict:
             return {"id": rid, "ok": True,
                     "telemetry": json.loads(json.dumps(
                         telemetry.snapshot(sess), default=str))}
+        if op == "figures":
+            # open figures rendered to SVG (the interactive GUI transport:
+            # the browser host pans/zooms client-side — ≙ runmat-plot's
+            # winit/egui window, re-homed to the web host)
+            from .plot import figure as figmod
+            from .plot.svg import render_svg
+            figs = []
+            for num in sorted(figmod._FIGURES):
+                try:
+                    figs.append({"num": num,
+                                 "svg": render_svg(figmod._FIGURES[num])})
+                except Exception:
+                    pass
+            return {"id": rid, "ok": True, "figures": figs}
         if op == "reset":
             sess.clear()
             return {"id": rid, "ok": True}
@@ -254,18 +268,26 @@ padding:10px 14px 10px 4px;outline:none}
 text-transform:uppercase;letter-spacing:.08em}
 .var{margin:2px 0}.var b{color:var(--acc);font-weight:normal}
 .var span{color:var(--dim)}.dev{color:#8fdf9f !important}
+.fig{margin:10px 0;border:1px solid #2a2e35;border-radius:4px;
+overflow:hidden;background:#fff;cursor:grab}
+.fig .zoombox{transform-origin:0 0}
+.fig svg{display:block;width:100%;height:auto}
+#figs h4{margin:14px 0 4px;font-size:11px;color:var(--dim)}
 </style></head><body>
 <div id="main">
  <div id="log">runmat-tpu web REPL — session runs server-side next to the TPU.
-Type MATLAB, Enter to run.
+Type MATLAB, Enter to run. Figures render below the workspace:
+drag to pan, wheel to zoom, double-click to reset.
 </div>
  <div id="bar"><span id="prompt">&gt;&gt;</span>
   <input id="input" autofocus autocomplete="off" spellcheck="false"></div>
 </div>
-<div id="side"><h3>Workspace</h3><div id="vars"></div></div>
+<div id="side"><h3>Workspace</h3><div id="vars"></div>
+<div id="figs"></div></div>
 <script>
 const log=document.getElementById('log'),inp=document.getElementById('input'),
-vars=document.getElementById('vars');let id=1;const hist=[];let hi=0;
+vars=document.getElementById('vars'),figs=document.getElementById('figs');
+let id=1;const hist=[];let hi=0;const view={};
 async function api(body){const r=await fetch('/api',{method:'POST',
 headers:{'Content-Type':'application/json'},
 body:JSON.stringify({id:id++,...body})});return r.json();}
@@ -286,8 +308,31 @@ hist.push(src);hi=hist.length;inp.value='';add('in','>> '+src);
 const r=await api({op:'execute',source:src});
 if(r.output)add('out',r.output.replace(/\\n$/,''));
 if(!r.ok&&r.error)add('err',r.error.identifier+': '+r.error.message);
-refreshVars();});
-refreshVars();
+refreshVars();refreshFigs();});
+function applyView(num,box){const v=view[num]||(view[num]={x:0,y:0,s:1});
+box.style.transform=`translate(${v.x}px,${v.y}px) scale(${v.s})`;}
+async function refreshFigs(){const r=await api({op:'figures'});
+figs.innerHTML='';for(const f of (r.figures||[])){
+const h=document.createElement('h4');h.textContent='Figure '+f.num;
+const d=document.createElement('div');d.className='fig';
+const box=document.createElement('div');box.className='zoombox';
+box.innerHTML=f.svg;d.appendChild(box);applyView(f.num,box);
+let drag=null;
+d.addEventListener('mousedown',e=>{drag={x:e.clientX,y:e.clientY};
+d.style.cursor='grabbing';e.preventDefault();});
+window.addEventListener('mouseup',()=>{drag=null;d.style.cursor='grab';});
+d.addEventListener('mousemove',e=>{if(!drag)return;const v=view[f.num];
+v.x+=e.clientX-drag.x;v.y+=e.clientY-drag.y;
+drag={x:e.clientX,y:e.clientY};applyView(f.num,box);});
+d.addEventListener('wheel',e=>{e.preventDefault();const v=view[f.num];
+const rect=d.getBoundingClientRect();
+const px=e.clientX-rect.left,py=e.clientY-rect.top;
+const k=e.deltaY<0?1.2:1/1.2;
+v.x=px-(px-v.x)*k;v.y=py-(py-v.y)*k;v.s*=k;applyView(f.num,box);});
+d.addEventListener('dblclick',()=>{view[f.num]={x:0,y:0,s:1};
+applyView(f.num,box);});
+figs.appendChild(h);figs.appendChild(d);}}
+refreshVars();refreshFigs();
 </script></body></html>""").encode()
 
 

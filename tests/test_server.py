@@ -164,3 +164,19 @@ def test_http_bridge_serves_repl_and_api(tmp_path):
         headers={"Content-Type": "application/json"})
     resp2 = json.loads(urllib.request.urlopen(req2, timeout=5).read())
     assert resp2["workspace"]["z"]["value"] == [[42.0]]
+
+
+def test_figures_op_returns_svg():
+    s = _sess()
+    handle_request(s, {"id": 0, "op": "execute", "source": "close all"})
+    handle_request(s, {"id": 1, "op": "execute",
+                       "source": "x = linspace(0, 2*pi, 50); plot(x, sin(x));"
+                                 " title('wave');"})
+    r = handle_request(s, {"id": 2, "op": "figures"})
+    assert r["ok"] and r["figures"]
+    svg = r["figures"][0]["svg"]
+    assert "<svg" in svg
+    assert "wave" in svg
+    handle_request(s, {"id": 3, "op": "execute", "source": "close all"})
+    r2 = handle_request(s, {"id": 4, "op": "figures"})
+    assert r2["figures"] == []
