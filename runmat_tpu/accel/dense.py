@@ -428,6 +428,83 @@ def _b_fft2(eng, opts):
     return f
 
 
+def _b_conv1(eng, opts):
+    """1-D convolution, mode in {'full','same','valid'} (≙ provider conv1d,
+    api lib.rs:2535). jnp.convolve lowers to conv_general_dilated -> MXU."""
+    jnp = eng.jnp
+    (mode,) = opts
+
+    def f(a, b):
+        return jnp.convolve(a.reshape(-1), b.reshape(-1), mode=mode)
+    return f
+
+
+def _b_conv2(eng, opts):
+    """2-D convolution via conv_general_dilated (≙ provider conv2d):
+    true convolution = correlation with the doubly-flipped kernel; padding
+    per MATLAB mode."""
+    jax = eng.jax
+    jnp = eng.jnp
+    (mode,) = opts
+
+    def f(a, b):
+        kh, kw = b.shape
+        rhs = jnp.flip(b, (0, 1))[None, None]
+        if mode == "full":
+            pad = [(kh - 1, kh - 1), (kw - 1, kw - 1)]
+        elif mode == "same":
+            # output aligned with a: MATLAB keeps the centered window
+            r0 = (kh - 1) // 2
+            c0 = (kw - 1) // 2
+            pad = [(kh - 1 - r0, r0), (kw - 1 - c0, c0)]
+        else:   # valid
+            pad = [(0, 0), (0, 0)]
+        out = jax.lax.conv_general_dilated(
+            a[None, None], rhs, window_strides=(1, 1), padding=pad)
+        return out[0, 0]
+    return f
+
+
+def _b_fir(eng, opts):
+    """FIR filter y[i] = sum_k b[k] x[i-k] (filter() with a == [1]): causal
+    convolution keeping the first n samples."""
+    jax = eng.jax
+    jnp = eng.jnp
+
+    def f(x, b):
+        xv = x.reshape(-1)
+        bv = b.reshape(-1)
+        nb = bv.shape[0]
+        out = jax.lax.conv_general_dilated(
+            xv[None, None, :], jnp.flip(bv)[None, None, :],
+            window_strides=(1,), padding=[(nb - 1, 0)])
+        return out[0, 0]
+    return f
+
+
+def _b_iir(eng, opts):
+    """IIR direct-form-II-transposed via lax.scan (≙ provider iir_filter):
+    the state recurrence is sequential in time, so the scan is the right
+    device shape — one fused kernel, no per-sample dispatch."""
+    jax = eng.jax
+    jnp = eng.jnp
+
+    def f(x, b, a, z0):
+        xv = x.reshape(-1)
+        bv = b.reshape(-1)
+        av = a.reshape(-1)
+
+        def step(z, xi):
+            yi = bv[0] * xi + z[0]
+            z_next = bv[1:] * xi + jnp.concatenate(
+                [z[1:], jnp.zeros((1,), z.dtype)]) - av[1:] * yi
+            return z_next, yi
+
+        _, y = jax.lax.scan(step, z0, xv)
+        return y
+    return f
+
+
 _BUILDERS = {
     "solve": _b_solve,
     "lstsq": _b_lstsq,
@@ -450,4 +527,8 @@ _BUILDERS = {
     "rank": _b_rank,
     "fft": _b_fft,
     "fft2": _b_fft2,
+    "conv1": _b_conv1,
+    "conv2": _b_conv2,
+    "fir": _b_fir,
+    "iir": _b_iir,
 }

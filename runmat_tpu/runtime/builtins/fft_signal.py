@@ -109,41 +109,75 @@ def m_ifftshift(x, dim=None):
 
 @builtin("filter", category="math/signal", min_in=3, max_in=4)
 def m_filter(b, a, x, zi=None):
-    """IIR direct-form-II-transposed filter (≙ provider iir_filter hook)."""
+    """Direct-form-II-transposed filter (≙ provider iir_filter hook,
+    api lib.rs:2535-2577). Device path: FIR (a scalar) is a causal
+    conv_general_dilated; IIR runs as one lax.scan kernel. Host path:
+    scipy lfilter."""
     bb = b.host().astype(np.float64).reshape(-1)
     aa = a.host().astype(np.float64).reshape(-1)
     if aa[0] == 0:
         raise bad_arg("filter", "First denominator coefficient must be nonzero.")
     bb = bb / aa[0]
     aa = aa / aa[0]
+    out_class = "single" if x.mclass == "single" else "double"
+    is_col_dev = isinstance(x, MatArray) and x.shape[1] == 1 and \
+        x.shape[0] > 1
+    if isinstance(x, MatArray) and not x.is_complex and zi is None:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(x):
+            if aa.size == 1:
+                out = eng.linalg("fir", [x, MatArray(bb.reshape(1, -1),
+                                                     "double")])
+            else:
+                n = max(len(aa), len(bb))
+                bp = np.pad(bb, (0, n - len(bb)))
+                ap = np.pad(aa, (0, n - len(aa)))
+                out = eng.linalg("iir", [
+                    x, MatArray(bp.reshape(1, -1), "double"),
+                    MatArray(ap.reshape(1, -1), "double"),
+                    MatArray(np.zeros((1, n - 1)), "double")])
+            if out is not None:
+                r = out[0]
+                if not is_col_dev and r.shape[0] > 1:
+                    r = eng.reshape(r, (1, r.size))
+                return r
     h = x.host().astype(np.float64)
     is_col = h.ndim == 2 and h.shape[1] == 1
     v = h.reshape(-1)
     n = max(len(aa), len(bb))
     bb = np.pad(bb, (0, n - len(bb)))
     aa = np.pad(aa, (0, n - len(aa)))
-    z = np.zeros(n - 1)
+    from scipy.signal import lfilter
     if zi is not None:
+        z = np.zeros(n - 1)
         z0 = zi.host().astype(np.float64).reshape(-1)
         z[:len(z0)] = z0
-    y = np.empty_like(v)
-    for i in range(v.size):
-        xi = v[i]
-        yi = bb[0] * xi + (z[0] if n > 1 else 0.0)
-        for k in range(n - 2):
-            z[k] = bb[k + 1] * xi + z[k + 1] - aa[k + 1] * yi
-        if n > 1:
-            z[n - 2] = bb[n - 1] * xi - aa[n - 1] * yi
-        y[i] = yi
+        y, _ = lfilter(bb, aa, v, zi=z)
+    else:
+        y = lfilter(bb, aa, v)
     out = y.reshape(-1, 1) if is_col else y.reshape(1, -1)
-    return MatArray(out, "single" if x.mclass == "single" else "double")
+    return MatArray(out, out_class)
 
 
 @builtin("conv2", category="math/signal", min_in=2, max_in=3)
 def m_conv2(a, b, shape=None):
+    mode = text_of(shape) if shape is not None else "full"
+    if isinstance(a, MatArray) and isinstance(b, MatArray) and \
+            not a.is_complex and not b.is_complex and \
+            mode in ("full", "same", "valid") and \
+            len(a.shape) == 2 and len(b.shape) == 2 and \
+            (mode != "valid" or (a.shape[0] >= b.shape[0]
+                                 and a.shape[1] >= b.shape[1])):
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(a, b):
+            # ≙ provider conv2d: conv_general_dilated on the MXU
+            out = eng.linalg("conv2", [a, b], (mode,))
+            if out is not None:
+                return out[0]
     ha = a.host().astype(np.float64)
     hb = b.host().astype(np.float64)
-    mode = text_of(shape) if shape is not None else "full"
     # direct 2-D convolution via FFT for large kernels, sliding otherwise
     out_full_shape = (ha.shape[0] + hb.shape[0] - 1, ha.shape[1] + hb.shape[1] - 1)
     r = np.fft.irfft2(np.fft.rfft2(ha, out_full_shape) * np.fft.rfft2(hb, out_full_shape),

@@ -588,10 +588,26 @@ def m_poly(r):
 
 @builtin("conv", category="math/signal", min_in=2, max_in=3)
 def m_conv(a, b, shape=None):
+    mode = text_of(shape) if shape is not None else "full"
+    if mode not in ("full", "same", "valid"):
+        raise bad_arg("conv", f"Unknown shape option '{mode}'.")
+    # device path (≙ provider conv1d, api lib.rs:2535): jnp.convolve lowers
+    # onto conv_general_dilated -> MXU; host fallback below
+    if isinstance(a, MatArray) and isinstance(b, MatArray) and \
+            not a.is_complex and not b.is_complex:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(a, b):
+            is_col = a.shape[1] == 1 and a.shape[0] > 1
+            out = eng.linalg("conv1", [a, b], (mode,))
+            if out is not None:
+                r = out[0]
+                if not is_col and r.shape[0] > 1:
+                    r = eng.reshape(r, (1, r.size))
+                return r
     ha = _f(a).reshape(-1)
     hb = _f(b).reshape(-1)
-    mode = text_of(shape) if shape is not None else "full"
-    r = np.convolve(ha, hb, mode={"full": "full", "same": "same", "valid": "valid"}[mode])
+    r = np.convolve(ha, hb, mode=mode)
     is_col = a.host().ndim == 2 and a.host().shape[1] == 1 and a.host().shape[0] > 1
     out = r.reshape(-1, 1) if is_col else r.reshape(1, -1)
     if not np.iscomplexobj(out):
