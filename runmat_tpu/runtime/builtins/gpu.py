@@ -115,13 +115,105 @@ def m_gpudevicecount(kind=None):
     return MatArray.scalar(float(eng.device_info().get("count", 1)))
 
 
+_EW_CALLS = frozenset("""sin cos tan asin acos atan sinh cosh tanh asinh
+acosh atanh exp log log2 log10 log1p expm1 sqrt abs sign floor ceil round
+fix real imag conj angle atan2 hypot power mod rem times plus minus
+rdivide ldivide uminus single double logical erf erfc gamma isnan isinf
+isfinite""".split())
+
+
+def _try_fused_arrayfun(f, arrs, ctx):
+    """Whole-array device execution of arrayfun (beats the reference, which
+    host-executes scalar fns then re-uploads, gpu/arrayfun.rs:1-7).
+
+    arrayfun guarantees f sees SCALARS, so matrix ops inside f (* / ^ ')
+    coincide with their elementwise forms — the anon body's bytecode is
+    rewritten accordingly (MTIMES->times, MPOW->power, scalar transpose
+    drops, ' -> conj) and run ONCE over the full arrays; every op lands in
+    the lazy DAG as one fused kernel. Any opcode outside the elementwise
+    subset (indexing, branches, matrix builds) bails to the per-element
+    path — speculation is never required for correctness."""
+    from ...values import FunctionHandle
+    from ...vm import bytecode as B2
+    eng = _engine(required=False)
+    if eng is None or not arrs:
+        return None
+    if not all(isinstance(a, MatArray) for a in arrs):
+        return None
+    if not (any(a.on_device for a in arrs)
+            or (eng.auto_offload
+                and max(a.size for a in arrs) >= eng.offload_threshold)):
+        return None
+    if not isinstance(f, FunctionHandle):
+        return None
+    if f.kind == "named":
+        if f.name not in _EW_CALLS:
+            return None
+        r = ctx.interp.call_named(f.name, list(arrs), 1, ctx.frame)
+        return r[0] if r else None
+    code = f.body
+    if code is None or len(f.params) != len(arrs):
+        return None
+    for v in f.captures.values():
+        if not (isinstance(v, MatArray) and v.size == 1):
+            return None
+    locals_ = set(f.params) | set(f.captures)
+    new = B2.Code(name=code.name, params=list(code.params),
+                  outs=list(code.outs))
+    new.consts = code.consts
+    new.is_script = False
+    for idx, (op, a, b, c, d) in enumerate(code.instrs):
+        line = code.lines[idx] if idx < len(code.lines) else 0
+        if op in (B2.CONST, B2.LOAD, B2.UNOP, B2.DUP, B2.POP, B2.RET,
+                  B2.CHECK_INTERRUPT):
+            new.emit(op, a, b, c, d, line=line)
+        elif op == B2.BINOP:
+            new.emit(op, a, b, c, d, line=line)
+        elif op == B2.MTIMES:
+            new.emit(B2.BINOP, "mul", line=line)
+        elif op == B2.MRDIV:
+            new.emit(B2.BINOP, "div", line=line)
+        elif op == B2.MLDIV:
+            new.emit(B2.BINOP, "ldiv", line=line)
+        elif op == B2.MPOW:
+            new.emit(B2.BINOP, "pow", line=line)
+        elif op == B2.TRANSPOSE:
+            if a:   # ': complex conjugate on scalars
+                new.emit(B2.RESOLVE_CALL, "conj", 1, 1, line=line)
+            # plain transpose of a scalar is the identity: drop
+        elif op == B2.RESOLVE_CALL:
+            nargs, nout = b, c
+            if a in locals_ or (nout or 1) > 1:
+                return None         # variable indexing / multi-output
+            if a in _EW_CALLS and nargs >= 1:
+                new.emit(op, a, b, c, d, line=line)
+            elif a in ("min", "max") and nargs == 2:
+                new.emit(op, a, b, c, d, line=line)
+            else:
+                return None
+        else:
+            return None             # branches, indexing, matrix builds, ...
+    f2 = FunctionHandle("anon", params=list(f.params), body=new,
+                        captures=dict(f.captures), src=f.src)
+    try:
+        r = ctx.interp.call_value(f2, list(arrs), 1, ctx.frame)
+    except MatError:
+        return None
+    if not r or not isinstance(r[0], MatArray):
+        return None
+    if tuple(r[0].shape) != tuple(arrs[0].shape):
+        return None                 # not elementwise after all: fall back
+    return r[0]
+
+
 @builtin("arrayfun", category="acceleration", min_in=2, pass_ctx=True, pass_nargout=True)
 def m_arrayfun(f, *arrays, ctx=None, nargout=1):
     """arrayfun(f, A, ...) elementwise application.
 
-    Reference note: the reference host-executes scalar fns then re-uploads
-    (builtins/acceleration/gpu/arrayfun.rs:1-7); same here, with a
-    'UniformOutput' option. Device inputs are gathered first."""
+    Device inputs with an elementwise-safe f run as ONE fused device
+    kernel (see _try_fused_arrayfun); everything else takes the reference
+    semantics path (scalar-at-a-time host execution with 'UniformOutput',
+    gpu/arrayfun.rs:1-7)."""
     opts = list(arrays)
     uniform = True
     arrs = []
@@ -137,6 +229,10 @@ def m_arrayfun(f, *arrays, ctx=None, nargout=1):
         i += 1
     if not arrs:
         raise bad_arg("arrayfun", "Need at least one array input.")
+    if uniform and nargout <= 1:
+        fused = _try_fused_arrayfun(f, arrs, ctx)
+        if fused is not None:
+            return fused
     hs = [a.host() for a in arrs]
     shape = hs[0].shape
     for h in hs[1:]:
@@ -170,8 +266,16 @@ def m_arrayfun(f, *arrays, ctx=None, nargout=1):
 
 @builtin("pagefun", category="acceleration", min_in=2, pass_ctx=True, pass_nargout=True)
 def m_pagefun(f, *arrays, ctx=None, nargout=1):
-    """pagefun(f, A, B, ...): apply f per 2-D page of ND inputs."""
+    """pagefun(f, A, B, ...): apply f per 2-D page of ND inputs.
+    pagefun(@mtimes, A, B) rides the batched device matmul (pagemtimes on
+    the MXU) instead of the per-page host loop."""
     arrs = list(arrays)
+    from ...values import FunctionHandle
+    if isinstance(f, FunctionHandle) and f.kind == "named" and \
+            f.name == "mtimes" and len(arrs) == 2:
+        r = ctx.interp.call_named("pagemtimes", arrs, 1, ctx.frame)
+        if r:
+            return r[0]
     hs = [a.host() for a in arrs]
     nd = max(h.ndim for h in hs)
     hs = [h.reshape(h.shape + (1,) * (nd - h.ndim)) for h in hs]
