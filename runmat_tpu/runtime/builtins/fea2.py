@@ -364,10 +364,21 @@ def m_fea_run(study, opts=None, ctx=None):
                  "when": time.time(), "summary": summary,
                  "nodes": int(mesh.nodes.shape[0])})
     _save_runs(runs[-200:])
+    geom = model.get_scalar_field("geometry")
+    spec = {"physics": physics, "E": E, "nu": nu, "rho": rho, "k": kth,
+            "box": [1.0, 1.0, 1.0], "resolution": 4}
+    if isinstance(geom, StructArray) and geom.is_scalar:
+        if "box" in geom.fields:
+            spec["box"] = [float(x) for x in
+                           fortran_ravel(_f(geom.get_scalar_field("box")))]
+        if "resolution" in geom.fields:
+            spec["resolution"] = int(_sc(geom.get_scalar_field(
+                "resolution")))
     out = {"_fea": MatArray.char_from_str("runResult"),
            "runId": MatArray.char_from_str(run_id),
            "physics": MatArray.char_from_str(physics),
            "wallTime": MatArray.scalar(wall),
+           "spec": MatArray.char_from_str(json.dumps(spec)),
            "mesh": StructArray.scalar({
                "nodes": MatArray(mesh.nodes, "double"),
                "elements": MatArray(mesh.tets.astype(np.float64) + 1, "double"),
@@ -440,6 +451,129 @@ def m_fea_trends(n=None):
     return StructArray(fields, (m, 1))
 
 
+# ------------------------------------------------- evidence / governance --- #
+
+def _field_digest(arr: np.ndarray) -> str:
+    """Replay-stable digest: canonicalize to 9 significant digits (absorbs
+    LAPACK/iteration noise across replays on one platform) then sha256
+    (≙ the reference's artifact trust chain, scripts/fea/{governance,
+    thermo_artifacts} + CI artifact-replay stability, ci.yml:326-332)."""
+    import hashlib
+    a = np.asarray(arr, dtype=np.float64).reshape(-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mag = np.where(a == 0, 1.0, np.power(
+            10.0, 8 - np.floor(np.log10(np.abs(np.where(a == 0, 1.0, a))))))
+    canon = np.round(a * mag) / mag
+    canon[~np.isfinite(a)] = 0.0
+    return hashlib.sha256(canon.tobytes()).hexdigest()
+
+
+def _evidence_payload(run) -> dict:
+    spec = json.loads(run.get_scalar_field("spec").to_str())
+    mesh = run.get_scalar_field("mesh")
+    nodes = _f(mesh.get_scalar_field("nodes"))
+    elems = _f(mesh.get_scalar_field("elements"))
+    fields = {}
+    for name in run.fields:
+        if name in ("_fea", "runId", "physics", "wallTime", "spec", "mesh"):
+            continue
+        v = run.get_scalar_field(name)
+        if isinstance(v, MatArray):
+            h = v.host()
+            fields[name] = {"shape": list(h.shape),
+                            "digest": _field_digest(h),
+                            "max_abs": float(np.max(np.abs(h)))
+                            if h.size else 0.0}
+    import platform as plat
+    payload = {
+        "schema": "runmat-tpu.fea.evidence/1",
+        "runId": run.get_scalar_field("runId").to_str(),
+        "physics": run.get_scalar_field("physics").to_str(),
+        "spec": spec,
+        "mesh": {"n_nodes": int(nodes.shape[0]),
+                 "n_tets": int(elems.shape[0]),
+                 "digest": _field_digest(nodes)},
+        "fields": fields,
+        "env": {"python": plat.python_version(), "numpy": np.__version__,
+                "machine": plat.machine()},
+    }
+    return payload
+
+
+@builtin("fea_evidence", category="fea", min_in=2, max_in=2)
+def m_fea_evidence(run, path):
+    """fea.evidence(run, path): write a content-hashed evidence artifact for
+    a run — spec, mesh/field digests, environment manifest, and a hash
+    chained to the previous artifact in the local registry (tamper-evident
+    provenance; ≙ scripts/fea/governance generate_*/validate_* pairs)."""
+    import hashlib
+    from ...fs import fs
+    if _tag_of(run) != "runResult":
+        raise bad_arg("fea.evidence", "Expected a run result.")
+    payload = _evidence_payload(run)
+    chain_path = _run_registry_path().replace("fea_runs.json",
+                                              "fea_evidence_chain.json")
+    try:
+        parent = json.loads(fs().read_bytes(chain_path).decode())["head"]
+    except Exception:
+        parent = None
+    payload["chain"] = {"parent": parent}
+    digest = hashlib.sha256(json.dumps(payload, sort_keys=True)
+                            .encode()).hexdigest()
+    payload["chain"]["hash"] = digest
+    fs().write_bytes(text_of(path), json.dumps(payload, indent=1).encode())
+    import os as _os
+    fs().mkdir(_os.path.dirname(chain_path))
+    fs().write_bytes(chain_path, json.dumps({"head": digest}).encode())
+    return StructArray.scalar({"hash": MatArray.char_from_str(digest),
+                               "path": path})
+
+
+@builtin("fea_verifyEvidence", category="fea", min_in=1, max_in=1,
+         pass_ctx=True)
+def m_fea_verify_evidence(path, ctx=None):
+    """fea.verifyEvidence(path): validate an evidence artifact — recompute
+    the chain hash, re-run the recorded study spec, and compare field
+    digests (replay stability; ≙ governance validate_* + CI
+    artifact-replay job)."""
+    import hashlib
+    from ...fs import fs
+    doc = json.loads(fs().read_bytes(text_of(path)).decode())
+    problems: list = []
+    recorded = doc.get("chain", {}).get("hash")
+    probe = json.loads(json.dumps(doc))
+    probe["chain"].pop("hash", None)
+    recomputed = hashlib.sha256(json.dumps(probe, sort_keys=True)
+                                .encode()).hexdigest()
+    if recorded != recomputed:
+        problems.append("chain hash mismatch (artifact was modified)")
+    spec = doc["spec"]
+    geom = StructArray.scalar({
+        "box": MatArray(np.array([spec["box"]]), "double"),
+        "resolution": MatArray.scalar(float(spec["resolution"]))})
+    model = m_fea_model(geom, m_fea_material())
+    study = m_fea_study(model, MatArray.char_from_str(spec["physics"]))
+    rerun = m_fea_run(study, ctx=ctx)
+    fresh = _evidence_payload(rerun)
+    if fresh["mesh"]["digest"] != doc["mesh"]["digest"]:
+        problems.append("mesh digest mismatch")
+    for name, rec in doc.get("fields", {}).items():
+        got = fresh["fields"].get(name)
+        if got is None:
+            problems.append(f"field '{name}' missing on replay")
+        elif got["digest"] != rec["digest"]:
+            problems.append(f"field '{name}' digest mismatch "
+                            f"(max_abs {rec['max_abs']:.6g} -> "
+                            f"{got['max_abs']:.6g})")
+    ok = not problems
+    cells = np.empty((len(problems), 1), dtype=object)
+    for i, p in enumerate(problems):
+        cells[i, 0] = MatArray.char_from_str(p)
+    return StructArray.scalar({
+        "ok": MatArray.logical_scalar(ok),
+        "problems": CellArray(cells)})
+
+
 @builtin("fea", category="fea", max_in=0)
 def m_fea_namespace():
     """The fea package namespace (same mechanism as containers.Map/data.*)."""
@@ -454,7 +588,9 @@ def m_fea_namespace():
              "sweep": "fea_sweep", "validate": "fea_validate",
              "plan": "fea_plan", "run": "fea_run", "results": "fea_results",
              "field": "fea_field", "plot": "fea_plot",
-             "compare": "fea_compare", "trends": "fea_trends"}
+             "compare": "fea_compare", "trends": "fea_trends",
+             "evidence": "fea_evidence",
+             "verifyEvidence": "fea_verifyEvidence"}
     return StructArray.scalar({
         k: FunctionHandle("named", name=v) for k, v in names.items()})
 
