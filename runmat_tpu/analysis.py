@@ -224,6 +224,19 @@ def analyze_source(source: str, name: str = "<input>") -> list[Finding]:
         findings.append(Finding(line, "warning" if ident.endswith(
             ("DimMismatch", "InnerDim")) else "error", ident, msg))
 
+    # HIR resolution lints (builtin shadowing, dynamic-workspace gates,
+    # never-assigned outputs — ≙ runmat-hir resolution + entrypoint policy)
+    from .frontend import hir
+    try:
+        asm = hir.lower(prog, registry=registry)
+        for line, ident, sev, msg in hir.analyze(asm, registry=registry):
+            if (line, ident) in seen:
+                continue
+            seen.add((line, ident))
+            findings.append(Finding(line, sev, ident, msg))
+    except Exception:
+        pass   # resolution lints are advisory; never block check
+
     # MIR dataflow lints (CFG unreachable blocks, maybe-undefined-on-a-path,
     # dead stores in functions, spawn-capture mutation — ≙ runmat-mir
     # analysis/{dataflow,spawn_safety}.rs)
