@@ -94,10 +94,37 @@ def m_sprand(m, n=None, density=None, ctx=None):
     return SparseMatrix.from_triplets(ii, jj, vv, mm, nn)
 
 
-@builtin("spdiags", category="math/sparse", min_in=1, max_in=4)
-def m_spdiags(B, d=None, m=None, n=None):
-    if d is None:
-        raise bad_arg("spdiags", "Extraction form not supported yet.")
+@builtin("spdiags", category="math/sparse", min_in=1, max_in=4,
+         pass_nargout=True)
+def m_spdiags(B, d=None, m=None, n=None, nargout=1):
+    if m is None:
+        # extraction forms: [Bd, d] = spdiags(A) / Bd = spdiags(A, d)
+        if isinstance(B, SparseMatrix):
+            ha = B.to_dense()
+        else:
+            ha = B.host().astype(np.float64)
+        if ha.ndim != 2:
+            raise bad_arg("spdiags", "Expected a matrix.")
+        mm0, nn0 = ha.shape
+        if d is None:
+            ds = np.array(sorted(
+                dk for dk in range(-(mm0 - 1), nn0)
+                if np.any(np.diagonal(ha, dk))), dtype=np.int64)
+        else:
+            ds = _ints(d)
+        p = min(mm0, nn0)
+        out = np.zeros((p, ds.size))
+        for col, dk in enumerate(ds):
+            j = np.arange(max(0, dk), min(nn0, mm0 + dk), dtype=np.int64)
+            i = j - dk
+            # MATLAB row placement: column index j when m >= n, row index i
+            # when m < n (doc: spdiags extraction alignment)
+            out[(j if mm0 >= nn0 else i), col] = ha[i, j]
+        Bd = MatArray(out, "double")
+        if nargout >= 2:
+            return [Bd, MatArray(ds.astype(np.float64).reshape(-1, 1),
+                                 "double")]
+        return Bd
     hb = B.host().astype(np.float64)
     if hb.ndim == 1:
         hb = hb.reshape(-1, 1)

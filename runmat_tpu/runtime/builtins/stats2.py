@@ -668,19 +668,25 @@ def m_datasample(data, k, ctx=None):
 
 
 @builtin("bootstrp", category="stats/random", min_in=3, pass_ctx=True)
-def m_bootstrp(nboot, f, data, ctx=None):
+def m_bootstrp(nboot, f, data, *more, ctx=None):
+    """bootstrp(nboot, fn, d1, d2, ...): resample rows jointly across all
+    data args (MATLAB passes each resampled arg to fn)."""
     nb = scalar_int(nboot, "nboot")
     h = _f(data)
     flat = fortran_ravel(h)
     n = flat.size
     rows = []
     from ...values import FunctionHandle
+    extra = [fortran_ravel(_f(m)) for m in more]
     for _ in range(nb):
         u = philox.host_rand(ctx.session.rng, n, "double")
         idx = np.minimum((u * n).astype(np.int64), n - 1)
-        samp = MatArray(flat[idx].reshape(-1, 1), "double")
-        r = ctx.interp.call_value(f, [samp], 1, ctx.frame) if isinstance(f, FunctionHandle) \
-            else ctx.interp.call_named(text_of(f), [samp], 1, ctx.frame)
+        samps = [MatArray(flat[idx].reshape(-1, 1), "double")]
+        for ex in extra:
+            samps.append(MatArray(ex[np.minimum(idx, ex.size - 1)]
+                                  .reshape(-1, 1), "double"))
+        r = ctx.interp.call_value(f, samps, 1, ctx.frame) if isinstance(f, FunctionHandle) \
+            else ctx.interp.call_named(text_of(f), samps, 1, ctx.frame)
         rows.append(fortran_ravel(_f(r[0])))
     return MatArray(np.vstack([r.reshape(1, -1) for r in rows]), "double")
 

@@ -168,15 +168,21 @@ def m_convert_strings_to_chars(*args, nargout=1):
     return outs[0] if len(outs) == 1 else outs[:max(1, nargout)]
 
 
-@builtin("convertContainedStringsToChars", category="strings", min_in=1)
-def m_convert_contained(a):
+@builtin("convertContainedStringsToChars", category="strings", min_in=1,
+         pass_nargout=True)
+def m_convert_contained(*args, nargout=1):
+    outs = [_convert_contained_one(a) for a in args]
+    return outs[:max(1, nargout)] if len(args) > 1 else outs[0]
+
+
+def _convert_contained_one(a):
     if isinstance(a, StringArray):
         return m_convert_strings_to_chars(a)
     if isinstance(a, CellArray):
         data = np.empty(a.shape, dtype=object)
         df, sf = data.reshape(-1), a.data.reshape(-1)
         for i in range(sf.size):
-            df[i] = m_convert_contained(sf[i])
+            df[i] = _convert_contained_one(sf[i])
         return CellArray(data)
     return a
 

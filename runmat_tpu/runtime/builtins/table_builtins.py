@@ -61,7 +61,7 @@ def m_width(t):
     return MatArray.scalar(float(t.shape[1] if len(t.shape) > 1 else 1))
 
 
-@builtin("array2table", category="table", max_in=None)
+@builtin("array2table", category="table", min_in=1, max_in=None)
 def m_array2table(a, *kv):
     h = a.host()
     names = None

@@ -203,7 +203,7 @@ def m_timerfind(*args, ctx=None):
     return _timer_cell(sel)
 
 
-@builtin("timerfindall", category="timing", min_in=0)
+@builtin("timerfindall", category="timing", min_in=0, max_in=0)
 def m_timerfindall():
     sel = list(TimerValue._ALL)
     if len(sel) == 1:

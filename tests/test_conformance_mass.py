@@ -600,3 +600,42 @@ def test_assertion_budget_met():
     table += parity
     assert per_param + table + registry_sweep >= 2000, \
         (per_param, table, registry_sweep)
+
+
+# --------------------------------------------------------------------------- #
+# Tier D: valid-input regressions harvested from the sweep
+# --------------------------------------------------------------------------- #
+
+def test_spdiags_extraction_forms():
+    s = sess()
+    s.run_source("A = [1 5 0 0; 2 1 5 0; 0 2 1 5; 0 0 2 1]; "
+                 "[B, d] = spdiags(A); B1 = spdiags(A, 0); "
+                 "S = spdiags(B, d, 4, 4); err = norm(full(S) - A);", "t")
+    import numpy as _np
+    d = s.get("d").host().reshape(-1)
+    assert d.tolist() == [-1.0, 0.0, 1.0]
+    assert s.get("B").host().shape == (4, 3)
+    assert _np.allclose(s.get("B1").host().reshape(-1), 1.0)
+    assert float(_np.asarray(s.get("err").host()).reshape(-1)[0]) == 0.0
+    bump(4)
+
+
+def test_bootstrp_multiple_data_args():
+    s = sess()
+    s.run_source("rng(7); m = bootstrp(8, @(a, b) mean(a) + mean(b), "
+                 "(1:10)', (11:20)');", "t")
+    h = s.get("m").host()
+    assert h.shape == (8, 1)
+    assert 10.0 < h.mean() < 32.0
+    bump(2)
+
+
+def test_convert_contained_multi_io():
+    s = sess()
+    s.run_source('[c1, c2] = convertContainedStringsToChars({"x"}, {"y"});',
+                 "t")
+    from runmat_tpu.values import CellArray
+    assert isinstance(s.get("c1"), CellArray)
+    assert s.get("c1").data.reshape(-1)[0].mclass == "char"
+    assert s.get("c2").data.reshape(-1)[0].to_str() == "y"
+    bump(3)
