@@ -68,6 +68,46 @@ class Ctx:
         return self.interp.session
 
 
+def _map_host_exception(name: str, e: Exception) -> MatError:
+    """Host exception -> MATLAB error (≙ the reference dispatcher mapping
+    builtin failures into MException, runmat-runtime/src/dispatcher.rs).
+    Common failure families get their conventional MATLAB identifiers so
+    try/catch code keyed on them behaves; the rest surface as
+    RunMat:builtin:internalError with the host detail preserved."""
+    text = str(e)
+    kind = type(e).__name__
+    if isinstance(e, ValueError) and (
+            "broadcast" in text or "same shape" in text
+            or "shape mismatch" in text or "dimensions" in text
+            or "must match" in text):
+        return MatError("MATLAB:sizeDimensionsMustMatch",
+                        f"{name}: Arrays have incompatible sizes for "
+                        f"this operation.")
+    if isinstance(e, IndexError):
+        return MatError("MATLAB:badsubscript",
+                        f"{name}: Index exceeds array bounds.")
+    if isinstance(e, FileNotFoundError):
+        return MatError("MATLAB:FileIO:FileNotFound",
+                        f"{name}: No such file or directory: "
+                        f"{getattr(e, 'filename', '') or text}")
+    if isinstance(e, (NotADirectoryError, IsADirectoryError,
+                      PermissionError)):
+        return MatError("MATLAB:FileIO:InvalidPath", f"{name}: {text}")
+    if isinstance(e, (UnicodeDecodeError,)):
+        return MatError("MATLAB:FileIO:InvalidFormat",
+                        f"{name}: File is not valid text "
+                        f"({text.split(':')[0]}).")
+    if isinstance(e, OverflowError):
+        return MatError("MATLAB:overflow", f"{name}: Value out of range.")
+    if isinstance(e, ZeroDivisionError):
+        return MatError("MATLAB:divideByZero", f"{name}: Division by zero.")
+    if isinstance(e, (TypeError, AttributeError)):
+        return MatError("MATLAB:invalidType",
+                        f"{name}: Invalid argument type for this function.")
+    return MatError("RunMat:builtin:internalError",
+                    f"{name}: invalid input ({kind}: {e})")
+
+
 def make_mexception(err: MatError) -> StructArray:
     s = StructArray.scalar({
         "identifier": MatArray.char_from_str(err.identifier),
@@ -164,9 +204,7 @@ class Interp:
             # A builtin must never leak a host-language exception: surface it
             # as a MATLAB error (≙ the reference dispatcher mapping builtin
             # failures into MException, runmat-runtime/src/dispatcher.rs).
-            raise MatError(
-                "RunMat:builtin:internalError",
-                f"{b.name}: invalid input ({type(e).__name__}: {e})")
+            raise _map_host_exception(b.name, e)
         if res is None:
             return []
         if isinstance(res, list):

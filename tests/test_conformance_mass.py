@@ -639,3 +639,25 @@ def test_convert_contained_multi_io():
     assert s.get("c1").data.reshape(-1)[0].mclass == "char"
     assert s.get("c2").data.reshape(-1)[0].to_str() == "y"
     bump(3)
+
+
+def test_host_exception_identifier_mapping():
+    """Host failure families map to conventional MATLAB identifiers
+    (dispatcher MException mapping, runmat-runtime/src/dispatcher.rs)."""
+    s = sess()
+    cases = [
+        ("bitand(magic(4), (1:5))", "MATLAB:sizeDimensionsMustMatch"),
+        ("csvread('no_such_file_xyz.csv')", "MATLAB:FileIO:FileNotFound"),
+        ("adjacency(magic(4))", "MATLAB:invalidType"),
+    ]
+    for src, ident in cases:
+        r = s.execute(f"__t = {src};")
+        assert r.error is not None, src
+        assert r.error.identifier == ident, (src, r.error.identifier)
+        bump()
+    # and try/catch can key on them
+    s.run_source("try, bitand(magic(4), (1:5)); catch e, got = e.identifier; "
+                 "end", "t")
+    from runmat_tpu.values import text_of
+    assert text_of(s.get("got")) == "MATLAB:sizeDimensionsMustMatch"
+    bump()
