@@ -28,7 +28,11 @@ from ..values import MatArray, normalize_shape
 from .lazy import LazyNode
 
 # ops with no TPU lowering at all (jax raises NotImplementedError)
-_KNOWN_UNSUPPORTED = {"tpu": {"eig"}}
+# eig: no TPU lowering for general (non-hermitian) eigendecomposition.
+# interp1lin: jnp.interp lowers through searchsorted, which stalls the
+# remote TPU compile service above ~1k queries in this environment
+# (ismember/histcounts use broadcast-compare forms to avoid it).
+_KNOWN_UNSUPPORTED = {"tpu": {"eig", "interp1lin"}}
 
 
 class DenseOps:
@@ -505,6 +509,80 @@ def _b_iir(eng, opts):
     return f
 
 
+def _b_interp1lin(eng, opts):
+    """Linear interp1 (≙ provider interpolation hook): one fused gather +
+    lerp kernel; out-of-range queries produce NaN (MATLAB default)."""
+    jnp = eng.jnp
+
+    def f(x, v, q):
+        xv = x.reshape(-1)
+        vv = v.reshape(-1)
+        qv = q.reshape(-1)
+        r = jnp.interp(qv, xv, vv)
+        oob = (qv < xv[0]) | (qv > xv[-1])
+        return jnp.where(oob, jnp.nan, r).reshape(q.shape)
+    return f
+
+
+def _b_ismember(eng, opts):
+    """ismember via broadcast-compare + any (static output shape — the
+    membership mask, not the dynamic index list). O(n*m) compares fuse into
+    one reduction kernel; the builtin gates m to a few thousand, which
+    covers the overwhelmingly common small-set case. (searchsorted is
+    avoided deliberately: its lowering stalls this TPU compile service.)"""
+    jnp = eng.jnp
+
+    def f(a, b):
+        bv = b.reshape(-1)
+        return jnp.any(a[..., None] == bv, axis=-1)
+    return f
+
+
+def _b_histcounts(eng, opts):
+    """histcounts with explicit edges: the bin count is static (edge count
+    is baked in the arg shape), so the whole histogram is one fused
+    broadcast-compare + column-sum kernel (no searchsorted; see above).
+    MATLAB closes the last bin on the right."""
+    jnp = eng.jnp
+
+    def f(x, edges):
+        xv = x.reshape(-1)[:, None]
+        e = edges.reshape(-1)
+        hit = (xv >= e[None, :-1]) & (xv < e[None, 1:])
+        hit = hit.at[:, -1].set(hit[:, -1] | (xv[:, 0] == e[-1]))
+        return jnp.sum(hit, axis=0).astype(x.dtype)
+    return f
+
+
+def _b_movwin(eng, opts):
+    """Moving-window statistics via lax.reduce_window (≙ provider
+    moving_window, api lib.rs:2852). MATLAB centering: window
+    [i - floor(k/2), i + ceil(k/2) - 1], shrinking at the edges (mean
+    divides by the valid count)."""
+    jax = eng.jax
+    jnp = eng.jnp
+    kind, w = opts
+    half_lo = w // 2
+    half_hi = (w - 1) // 2
+
+    def f(x):
+        xv = x.reshape(-1)
+        pad = [(half_lo, half_hi)]
+        if kind in ("sum", "mean"):
+            s = jax.lax.reduce_window(xv, 0.0, jax.lax.add, (w,), (1,), pad)
+            if kind == "sum":
+                return s.reshape(x.shape)
+            cnt = jax.lax.reduce_window(jnp.ones_like(xv), 0.0, jax.lax.add,
+                                        (w,), (1,), pad)
+            return (s / cnt).reshape(x.shape)
+        if kind == "max":
+            return jax.lax.reduce_window(xv, -jnp.inf, jax.lax.max, (w,),
+                                         (1,), pad).reshape(x.shape)
+        return jax.lax.reduce_window(xv, jnp.inf, jax.lax.min, (w,),
+                                     (1,), pad).reshape(x.shape)
+    return f
+
+
 _BUILDERS = {
     "solve": _b_solve,
     "lstsq": _b_lstsq,
@@ -531,4 +609,8 @@ _BUILDERS = {
     "conv2": _b_conv2,
     "fir": _b_fir,
     "iir": _b_iir,
+    "interp1lin": _b_interp1lin,
+    "ismember": _b_ismember,
+    "histcounts": _b_histcounts,
+    "movwin": _b_movwin,
 }

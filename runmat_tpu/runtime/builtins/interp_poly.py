@@ -14,6 +14,19 @@ from ..registry import builtin
 
 @builtin("interp1", category="math/interpolation", min_in=2, max_in=5)
 def m_interp1(x, v=None, xq=None, method=None, extrap=None):
+    # device path for the hot case: linear, default NaN extrapolation
+    # (≙ provider interpolation hook) — one fused gather+lerp kernel
+    if v is not None and xq is not None and extrap is None and \
+            (method is None or (is_text(method)
+                                and text_of(method) == "linear")) and \
+            all(isinstance(z, MatArray) and not z.is_complex
+                for z in (x, v, xq)):
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(x, v, xq):
+            out = eng.linalg("interp1lin", [x, v, xq])
+            if out is not None:
+                return out[0]
     hx = x.host().astype(np.float64).reshape(-1)
     if v is None:
         raise bad_arg("interp1", "Not enough inputs.")

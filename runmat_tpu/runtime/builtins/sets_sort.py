@@ -169,6 +169,16 @@ def m_ismember(a, b, nargout=1):
         shape = a.shape if isinstance(a, (CellArray, StringArray)) else (1, 1)
         return MatArray(mask.reshape(shape, order="F") if mask.size == np.prod(shape)
                         else mask.reshape(1, -1), "logical")
+    if nargout <= 1 and isinstance(a, MatArray) and \
+            isinstance(b, MatArray) and not a.is_complex and \
+            not b.is_complex and 0 < b.size <= 4096:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(a, b):
+            # device sort + searchsorted: static-shape membership mask
+            out = eng.linalg("ismember", [a, b], out_class="logical")
+            if out is not None:
+                return out[0]
     ha = a.host()
     hb = fortran_ravel(b.host())
     mask = np.isin(ha, hb)

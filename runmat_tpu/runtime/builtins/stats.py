@@ -68,26 +68,75 @@ def m_histcounts(x, bins=None, nargout=1):
     elif bins.size == 1:
         counts, edges = np.histogram(hx, bins=int(bins.scalar_double()))
     else:
+        if isinstance(x, MatArray) and not x.is_complex:
+            from ...accel import active_engine
+            eng = active_engine()
+            if eng is not None and eng.route_linalg(x):
+                # explicit edges: bin count is static -> one device kernel
+                out = eng.linalg("histcounts", [x, bins])
+                if out is not None:
+                    c = out[0]
+                    if c.shape[0] > 1:
+                        c = eng.reshape(c, (1, c.size))
+                    res = [c, MatArray(_f(bins).reshape(1, -1), "double")]
+                    return res[:max(1, nargout)]
         counts, edges = np.histogram(hx, bins=fortran_ravel(_f(bins)))
     out = [MatArray(counts.astype(np.float64).reshape(1, -1), "double"),
            MatArray(edges.reshape(1, -1), "double")]
     return out[:max(1, nargout)]
 
 
+_MOV_DEVICE = {"movmean": "mean", "movsum": "sum", "movmax": "max",
+               "movmin": "min"}
+_MOV_VEC = {"movmean", "movsum", "movmax", "movmin"}
+
+
 def _movwin(x, k, fn, name):
-    h = _f(x)
     w = scalar_int(k, "window")
+    kind = _MOV_DEVICE.get(name)
+    # device path: one lax.reduce_window kernel (≙ provider moving_window,
+    # api lib.rs:2852); vectors only (the hot case)
+    if kind is not None and isinstance(x, MatArray) and not x.is_complex \
+            and (x.shape[0] == 1 or x.shape[1] == 1):
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(x):
+            out = eng.linalg("movwin", [x], (kind, w))
+            if out is not None:
+                r = out[0]
+                if tuple(r.shape) != tuple(x.shape):
+                    r = eng.reshape(r, tuple(x.shape))
+                return r
+    h = _f(x)
     ax = 0 if h.shape[0] != 1 else 1
     v = np.moveaxis(h, ax, -1)
     n = v.shape[-1]
-    out = np.empty_like(v)
     # even windows center on (current, previous): k/2 back, k/2-1 forward
     half_lo = w // 2
     half_hi = (w - 1) // 2
-    for i in range(n):
-        lo = max(0, i - half_lo)
-        hi = min(n, i + half_hi + 1)
-        out[..., i] = fn(v[..., lo:hi], axis=-1)
+    if name in _MOV_VEC and n:
+        # vectorized: prefix sums for mean/sum, padded sliding windows for
+        # max/min (the old per-index Python loop was O(n) interpreter time)
+        idx = np.arange(n)
+        lo_i = np.maximum(idx - half_lo, 0)
+        hi_i = np.minimum(idx + half_hi + 1, n)
+        if name in ("movmean", "movsum"):
+            c = np.concatenate([np.zeros(v.shape[:-1] + (1,)),
+                                np.cumsum(v, axis=-1)], axis=-1)
+            s = c[..., hi_i] - c[..., lo_i]
+            out = s / (hi_i - lo_i) if name == "movmean" else s
+        else:
+            fill = -np.inf if name == "movmax" else np.inf
+            pad_width = [(0, 0)] * (v.ndim - 1) + [(half_lo, half_hi)]
+            pv = np.pad(v, pad_width, constant_values=fill)
+            win = np.lib.stride_tricks.sliding_window_view(pv, w, axis=-1)
+            out = win.max(-1) if name == "movmax" else win.min(-1)
+    else:
+        out = np.empty_like(v)
+        for i in range(n):
+            lo = max(0, i - half_lo)
+            hi = min(n, i + half_hi + 1)
+            out[..., i] = fn(v[..., lo:hi], axis=-1)
     r = np.moveaxis(out, -1, ax)
     out_class = "single" if x.mclass == "single" else "double"
     from ... import dtypes

@@ -1,0 +1,81 @@
+"""Device searchsorted-family ops: interp1/ismember/histcounts/moving
+windows (≙ provider interpolation/sort-search/moving_window hooks)."""
+
+import numpy as np
+
+from helpers import run
+
+
+def _err(s, name="err"):
+    return float(np.asarray(s.get(name).host()).reshape(-1)[0])
+
+
+def test_interp1_linear_device_parity():
+    s = run("x = (0:100); v = sin(x/10); "
+            "q = gpuArray(rand(1, 5000) * 100); "
+            "r = interp1(x, v, q); ok = existsOnGPU(r); "
+            "rh = gather(r); ref = interp1(x, v, gather(q)); "
+            "err = max(abs(rh - ref));", accelerate=True)
+    assert bool(np.asarray(s.get("ok").host()).reshape(-1)[0])
+    assert _err(s) < 1e-12
+
+
+def test_interp1_device_nan_outside():
+    s = run("x = (1:10); v = (1:10); q = gpuArray([0.5 5 11]); "
+            "r = gather(interp1(x, v, q)); ", accelerate=True)
+    r = s.get("r").host().reshape(-1)
+    assert np.isnan(r[0]) and r[1] == 5.0 and np.isnan(r[2])
+
+
+def test_ismember_device_parity():
+    s = run("a = gpuArray(round(rand(1, 2000) * 100)); "
+            "b = gpuArray([3 7 11 42 99]); "
+            "tf = ismember(a, b); ok = existsOnGPU(tf); "
+            "ref = ismember(gather(a), gather(b)); "
+            "err = sum(abs(double(gather(tf)) - double(ref)));",
+            accelerate=True)
+    assert bool(np.asarray(s.get("ok").host()).reshape(-1)[0])
+    assert _err(s) == 0.0
+
+
+def test_histcounts_device_parity():
+    s = run("x = gpuArray(randn(1, 10000)); edges = -4:0.5:4; "
+            "c = histcounts(x, edges); "
+            "ref = histcounts(gather(x), edges); "
+            "err = sum(abs(gather(c) - ref)); n = sum(gather(c));",
+            accelerate=True)
+    assert _err(s) == 0.0
+    assert _err(s, "n") > 9000
+
+
+def test_movmean_device_and_host_vectorized_parity():
+    s = run("x = gpuArray(sin(0.05 * (1:5000))); "
+            "m = movmean(x, 7); ok = existsOnGPU(m); "
+            "ref = movmean(gather(x), 7); "
+            "err = max(abs(gather(m) - ref));", accelerate=True)
+    assert bool(np.asarray(s.get("ok").host()).reshape(-1)[0])
+    assert _err(s) < 1e-12
+
+
+def test_mov_family_edge_semantics():
+    # shrinking windows at the edges (MATLAB semantics)
+    s = run("a = [1 2 3 4 5]; m3 = movmean(a, 3); s3 = movsum(a, 3); "
+            "mx = movmax(a, 3); mn = movmin(a, 3); m4 = movmean(a, 4);")
+    np.testing.assert_allclose(s.get("m3").host().reshape(-1),
+                               [1.5, 2, 3, 4, 4.5])
+    np.testing.assert_allclose(s.get("s3").host().reshape(-1),
+                               [3, 6, 9, 12, 9])
+    np.testing.assert_allclose(s.get("mx").host().reshape(-1),
+                               [2, 3, 4, 5, 5])
+    np.testing.assert_allclose(s.get("mn").host().reshape(-1),
+                               [1, 1, 2, 3, 4])
+    # even window: k/2 back, k/2-1 forward
+    np.testing.assert_allclose(s.get("m4").host().reshape(-1),
+                               [1.5, 2, 2.5, 3.5, 4])
+
+
+def test_movmax_device_parity():
+    s = run("x = gpuArray(randn(1, 3000)); "
+            "m = movmax(x, 11); ref = movmax(gather(x), 11); "
+            "err = max(abs(gather(m) - ref));", accelerate=True)
+    assert _err(s) < 1e-12
