@@ -120,6 +120,76 @@ def m_gap1d_layer(*opts):
     return _layer("gap1d")
 
 
+def _nv_opt(opts, name, default):
+    """Name/value option scan for layer constructors."""
+    from ...values import is_text
+    vals = list(opts)
+    for i in range(0, len(vals) - 1):
+        if is_text(vals[i]) and text_of(vals[i]).lower() == name.lower():
+            v = vals[i + 1]
+            if is_text(v):
+                return text_of(v)
+            return float(v.host().reshape(-1)[0])
+    return default
+
+
+@builtin("imageInputLayer", category="deep_learning", min_in=1)
+def m_image_input(sz, *opts):
+    """imageInputLayer([h w c]): data flows (H, W, C, N) (MATLAB SSCB)."""
+    dims = [int(v) for v in sz.host().reshape(-1)]
+    while len(dims) < 3:
+        dims.append(1)
+    return _layer("imageInput", InputSize=MatArray(
+        np.array([dims[:3]], dtype=np.float64), "double"))
+
+
+@builtin("convolution2dLayer", category="deep_learning", min_in=2)
+def m_conv2d_layer(k, nf, *opts):
+    ks = [int(v) for v in k.host().reshape(-1)]
+    if len(ks) == 1:
+        ks = [ks[0], ks[0]]
+    pad = _nv_opt(opts, "Padding", 0)
+    stride = _nv_opt(opts, "Stride", 1)
+    return _layer("conv2d",
+                  FilterSize=MatArray(np.array([ks[:2]], np.float64),
+                                      "double"),
+                  NumFilters=scalar_int(nf, "numFilters"),
+                  Padding=(pad if isinstance(pad, str) else float(pad)),
+                  Stride=float(stride) if not isinstance(stride, str)
+                  else 1.0)
+
+
+@builtin("maxPooling2dLayer", category="deep_learning", min_in=1)
+def m_maxpool2d_layer(k, *opts):
+    stride = _nv_opt(opts, "Stride", None)
+    ks = scalar_int(k, "poolSize")
+    return _layer("maxpool2d", PoolSize=float(ks),
+                  Stride=float(stride) if stride is not None else float(ks))
+
+
+@builtin("averagePooling2dLayer", category="deep_learning", min_in=1)
+def m_avgpool2d_layer(k, *opts):
+    stride = _nv_opt(opts, "Stride", None)
+    ks = scalar_int(k, "poolSize")
+    return _layer("avgpool2d", PoolSize=float(ks),
+                  Stride=float(stride) if stride is not None else float(ks))
+
+
+@builtin("globalAveragePooling2dLayer", category="deep_learning", min_in=0)
+def m_gap2d_layer(*opts):
+    return _layer("gap2d")
+
+
+@builtin("batchNormalizationLayer", category="deep_learning", min_in=0)
+def m_batchnorm_layer(*opts):
+    return _layer("batchnorm")
+
+
+@builtin("flattenLayer", category="deep_learning", min_in=0)
+def m_flatten_layer(*opts):
+    return _layer("flatten")
+
+
 @builtin("classificationLayer", category="deep_learning", min_in=0)
 def m_classification_layer(*opts):
     return _layer("classification")
@@ -248,6 +318,45 @@ class DlNetwork:
                 W = jax.random.uniform(k1, (nf, width, k_sz), jnp.float32, -lim, lim)
                 params.append((W, jnp.zeros((nf,), jnp.float32)))
                 width = nf
+            elif t == "imageInput":
+                h, w, c = [int(v) for v in
+                           np.asarray(ly["InputSize"].host()).reshape(-1)]
+                width = (h, w, c)
+                params.append(())
+            elif t == "conv2d":
+                kh, kw = [int(v) for v in
+                          np.asarray(ly["FilterSize"].host()).reshape(-1)]
+                nf = int(ly["NumFilters"])
+                h, w, c = width
+                key, k1 = jax.random.split(key)
+                lim = np.sqrt(6.0 / (kh * kw * c + nf))
+                W = jax.random.uniform(k1, (kh, kw, c, nf), jnp.float32,
+                                       -lim, lim)
+                params.append((W, jnp.zeros((nf,), jnp.float32)))
+                s = int(ly.get("Stride", 1))
+                pad = ly.get("Padding", 0)
+                if pad == "same":
+                    h2, w2 = -(-h // s), -(-w // s)
+                else:
+                    p = int(pad) if not isinstance(pad, str) else 0
+                    h2 = (h + 2 * p - kh) // s + 1
+                    w2 = (w + 2 * p - kw) // s + 1
+                width = (h2, w2, nf)
+            elif t in ("maxpool2d", "avgpool2d"):
+                h, w, c = width
+                k_sz = int(ly["PoolSize"])
+                s = int(ly.get("Stride", k_sz))
+                width = ((h - k_sz) // s + 1, (w - k_sz) // s + 1, c)
+                params.append(())
+            elif t == "batchnorm":
+                c = width[2] if isinstance(width, tuple) else width
+                params.append((jnp.ones((c,), jnp.float32),
+                               jnp.zeros((c,), jnp.float32)))
+            elif t in ("flatten", "gap2d"):
+                if isinstance(width, tuple):
+                    h, w, c = width
+                    width = h * w * c if t == "flatten" else c
+                params.append(())
             elif t == "layernorm":
                 import jax.numpy as jnp2
                 params.append((jnp.ones((width, 1), jnp.float32),
@@ -333,6 +442,52 @@ class DlNetwork:
                     cur = jnp.moveaxis(y, 0, 2)    # (O, T', N)
                 elif t == "gap1d":
                     cur = cur.mean(axis=1)
+                elif t == "conv2d":
+                    W, b = p           # (kh, kw, C, O)
+                    s = int(ly.get("Stride", 1))
+                    pad = ly.get("Padding", 0)
+                    if pad == "same":
+                        padding = "SAME"
+                    else:
+                        pp = int(pad) if not isinstance(pad, str) else 0
+                        padding = [(pp, pp), (pp, pp)]
+                    x4 = jnp.moveaxis(cur, 3, 0)       # (N, H, W, C)
+                    y = jax.lax.conv_general_dilated(
+                        x4, W, window_strides=(s, s), padding=padding,
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    y = y + b[None, None, None, :]
+                    cur = jnp.moveaxis(y, 0, 3)        # (H, W, O, N)
+                elif t in ("maxpool2d", "avgpool2d"):
+                    k_sz = int(ly["PoolSize"])
+                    s = int(ly.get("Stride", k_sz))
+                    x4 = jnp.moveaxis(cur, 3, 0)       # (N, H, W, C)
+                    if t == "maxpool2d":
+                        y = jax.lax.reduce_window(
+                            x4, -jnp.inf, jax.lax.max, (1, k_sz, k_sz, 1),
+                            (1, s, s, 1), "VALID")
+                    else:
+                        y = jax.lax.reduce_window(
+                            x4, 0.0, jax.lax.add, (1, k_sz, k_sz, 1),
+                            (1, s, s, 1), "VALID") / (k_sz * k_sz)
+                    cur = jnp.moveaxis(y, 0, 3)
+                elif t == "batchnorm":
+                    g, b = p
+                    if cur.ndim == 4:   # (H, W, C, N): stats per channel
+                        mu = cur.mean(axis=(0, 1, 3), keepdims=True)
+                        var = cur.var(axis=(0, 1, 3), keepdims=True)
+                        cur = (cur - mu) / jnp.sqrt(var + 1e-5)
+                        cur = cur * g[None, None, :, None] + \
+                            b[None, None, :, None]
+                    else:
+                        mu = cur.mean(axis=-1, keepdims=True)
+                        var = cur.var(axis=-1, keepdims=True)
+                        cur = (cur - mu) / jnp.sqrt(var + 1e-5)
+                        cur = cur * g[:, None] + b[:, None]
+                elif t == "gap2d":
+                    cur = cur.mean(axis=(0, 1))        # (C, N)
+                elif t == "flatten":
+                    n = cur.shape[3]
+                    cur = cur.reshape(-1, n)           # (H*W*C, N)
             return cur
 
         return fwd
@@ -374,6 +529,9 @@ class DlNetwork:
     def _mat_call_method_(self, interp, frame, fname, args, nargout):
         if fname in ("predict", "forward"):
             x = args[0].host().astype(np.float64)
+            if self.layers and self.layers[0]["Type"] == "imageInput" \
+                    and x.ndim == 3:
+                x = x[:, :, None, :]   # squeezed single-channel batch
             return [MatArray(self.predict_np(x).astype(np.float64), "double")]
         return NotImplemented
 
@@ -517,7 +675,14 @@ def m_train_network(X, Y, layers, opts=None):
     """trainNetwork(X, Y, layers, options): X is obs x features (feature
     input), Y is class labels (column) or response matrix."""
     net = DlNetwork(_layers_list(layers))
-    hx = _f(X).T  # -> features x batch
+    hx = _f(X)
+    if net.layers and net.layers[0]["Type"] == "imageInput":
+        # image data stays (H, W, C, N); a squeezed (H, W, N) gets its
+        # singleton channel back
+        if hx.ndim == 3:
+            hx = hx[:, :, None, :]
+    else:
+        hx = hx.T  # obs x features -> features x batch
     hy = _f(Y)
     if net.loss_kind == "classification":
         k = None
