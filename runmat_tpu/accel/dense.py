@@ -469,6 +469,26 @@ def _b_conv2(eng, opts):
     return f
 
 
+def _b_imfilter(eng, opts):
+    """imfilter: same-size CORRELATION (kernel not flipped) with zero or
+    replicate boundary (≙ provider imfilter hook). Pad explicitly so the
+    boundary mode is exact, then VALID conv_general_dilated."""
+    jax = eng.jax
+    jnp = eng.jnp
+    (boundary,) = opts
+
+    def f(x, k):
+        kh, kw = k.shape
+        pr, pc = kh // 2, kw // 2
+        mode = "edge" if boundary == "replicate" else "constant"
+        xp = jnp.pad(x, ((pr, kh - 1 - pr), (pc, kw - 1 - pc)), mode=mode)
+        out = jax.lax.conv_general_dilated(
+            xp[None, None], k[None, None], window_strides=(1, 1),
+            padding="VALID")
+        return out[0, 0]
+    return f
+
+
 def _b_fir(eng, opts):
     """FIR filter y[i] = sum_k b[k] x[i-k] (filter() with a == [1]): causal
     convolution keeping the first n samples."""
@@ -609,6 +629,7 @@ _BUILDERS = {
     "conv2": _b_conv2,
     "fir": _b_fir,
     "iir": _b_iir,
+    "imfilter": _b_imfilter,
     "interp1lin": _b_interp1lin,
     "ismember": _b_ismember,
     "histcounts": _b_histcounts,

@@ -184,6 +184,17 @@ def m_imresize(x, scale_or_size):
 
 @builtin("imfilter", category="image", min_in=2, max_in=3)
 def m_imfilter(x, k, opt=None):
+    boundary = "replicate" if opt is not None and is_text(opt) and \
+        text_of(opt) == "replicate" else "constant"
+    from ...values import MatArray as _MA
+    if isinstance(x, _MA) and not x.is_complex and len(x.shape) == 2:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(x):
+            # device correlation kernel (≙ provider imfilter hook)
+            out = eng.linalg("imfilter", [x, k], (boundary,))
+            if out is not None:
+                return out[0]
     h = _np(x)
     kk = _np(k)
     pad_r, pad_c = kk.shape[0] // 2, kk.shape[1] // 2

@@ -68,3 +68,13 @@ def test_filtfilt_still_consistent():
     s = run("x = sin(0.2*(1:100)) + 0.1*cos(7*(1:100)); "
             "b = ones(1,5)/5; y = filtfilt(b, 1, x); n = numel(y);")
     assert float(np.asarray(s.get("n").host()).reshape(-1)[0]) == 100
+
+
+def test_imfilter_device_parity():
+    for opt in ("", ", 'replicate'"):
+        s = run(f"A = gpuArray(magic(20)); K = fspecial('gaussian', 5, 1.2); "
+                f"r = imfilter(A, K{opt}); rd = gather(r); "
+                f"rh = imfilter(gather(A), K{opt});", accelerate=True)
+        d = s.get("rd").host()
+        h = s.get("rh").host()
+        np.testing.assert_allclose(d, h, rtol=1e-10, atol=1e-10)
