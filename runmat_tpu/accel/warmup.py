@@ -147,17 +147,30 @@ def _sds(shape, dtype):
     return jax.ShapeDtypeStruct(tuple(shape), np.dtype(dtype))
 
 
-def replay(eng, path: Optional[str] = None, log=None) -> int:
-    """AOT-compile every manifest entry; returns the number compiled.
-    Entries that fail to rebuild (stale program format) are skipped."""
+def replay(eng, path: Optional[str] = None, log=None,
+           budget_s: Optional[float] = None) -> int:
+    """AOT-compile manifest entries; returns the number compiled. Entries
+    that fail to rebuild (stale program format) are skipped. `budget_s`
+    bounds wall time — on remote-attached TPUs each FRESH program costs a
+    tunnel compile-service round trip (30-400 s observed), so an unbounded
+    replay of a full manifest can take hours; newest entries replay first
+    (most likely to match upcoming work)."""
+    import time as _time
     import jax
     path = path or manifest_path()
     if not os.path.exists(path):
         return 0
     n = 0
+    t0 = _time.perf_counter()
     with open(path) as f:
         lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    lines.reverse()
     for ln in lines:
+        if budget_s is not None and _time.perf_counter() - t0 > budget_s:
+            if log:
+                log(f"  budget reached ({budget_s:.0f}s); "
+                    f"{len(lines) - n} entries left for next run")
+            break
         try:
             e = json.loads(ln)
             if e["kind"] == "fusion":

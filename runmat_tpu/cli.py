@@ -257,9 +257,15 @@ def _dispatch(cmd: str, rest: list) -> int:
         if eng is None:
             print("no accelerator available", file=sys.stderr)
             return 1
+        budget = 600.0
+        if "--budget" in rest:
+            budget = float(rest[rest.index("--budget") + 1])
+        if "--all" in rest:
+            budget = None
         import time as _t
         t0 = _t.perf_counter()
-        n = wu.replay(eng, log=lambda m: print(m, file=sys.stderr))
+        n = wu.replay(eng, log=lambda m: print(m, file=sys.stderr),
+                      budget_s=budget)
         print(f"warmed {n} programs from {wu.manifest_path()} "
               f"in {(_t.perf_counter() - t0):.1f}s")
         return 0
