@@ -34,6 +34,8 @@ enum Op : int32_t {
     OP_DUP = 23,
     OP_POP = 24,
     OP_HALT = 25,
+    OP_LOADIDX = 26,      // a = array id       pop idx (1-based), push arr[idx]
+    OP_STOREIDX = 27,     // a = array id       pop idx, pop value; arr[idx] = value
 };
 
 enum Fn1 : int32_t {
@@ -94,12 +96,19 @@ static double call2(int32_t f, double a, double b) {
     return NAN;
 }
 
-// returns: 0 ok, 1 stack error, 2 step budget exceeded, 3 bad opcode
+// returns: 0 ok, 1 stack error, 2 step budget exceeded, 3 bad opcode,
+//          4 bad subscript (non-integer or out of bounds -> host fallback
+//          re-runs the loop through the interpreter for the real MATLAB
+//          error/growth semantics)
 // dirty[i] is set to 1 iff slot i was actually written by an executed STORE —
 // the host only materializes dirty slots back into workspace variables, so a
 // STORE inside a never-taken branch cannot conjure a variable into existence.
+// arrays[k] are caller-owned f64 buffers (copies for write targets: the host
+// binds them back only on status 0 with arr_dirty[k] set — COW semantics).
 int32_t turbine_run(const int32_t* ops, const double* opargs, int32_t n_instr,
                     const double* consts, double* slots, uint8_t* dirty,
+                    double** arrays, const int64_t* arr_lens,
+                    uint8_t* arr_dirty, int32_t n_arrays,
                     int64_t max_steps) {
     double stack[256];
     int sp = 0;
@@ -137,6 +146,24 @@ int32_t turbine_run(const int32_t* ops, const double* opargs, int32_t n_instr,
             case OP_DUP: stack[sp] = stack[sp - 1]; sp++; break;
             case OP_POP: sp--; break;
             case OP_HALT: return 0;
+            case OP_LOADIDX: {
+                double di = stack[--sp];
+                int64_t i = (int64_t)di;
+                if ((double)i != di || i < 1 || a >= n_arrays ||
+                    i > arr_lens[a]) return 4;
+                stack[sp++] = arrays[a][i - 1];
+                break;
+            }
+            case OP_STOREIDX: {
+                double di = stack[--sp];
+                double v = stack[--sp];
+                int64_t i = (int64_t)di;
+                if ((double)i != di || i < 1 || a >= n_arrays ||
+                    i > arr_lens[a]) return 4;
+                arrays[a][i - 1] = v;
+                arr_dirty[a] = 1;
+                break;
+            }
             default: return 3;
         }
         if (sp < 0 || sp > 250) return 1;

@@ -20,7 +20,7 @@ from ..values import MatArray
 (T_CONST, T_LOAD, T_STORE, T_ADD, T_SUB, T_MUL, T_DIV, T_POW, T_NEG,
  T_LT, T_LE, T_GT, T_GE, T_EQ, T_NE, T_AND, T_OR, T_NOT,
  T_JMP, T_JMP_IF_FALSE, T_JMP_IF_TRUE, T_CALL1, T_CALL2, T_DUP, T_POP,
- T_HALT) = range(26)
+ T_HALT, T_LOADIDX, T_STOREIDX) = range(28)
 
 _BIN = {"add": T_ADD, "sub": T_SUB, "mul": T_MUL, "div": T_DIV,
         "pow": T_POW, "lt": T_LT, "le": T_LE, "gt": T_GT, "ge": T_GE,
@@ -61,7 +61,7 @@ def try_native_loop(interp, frame, code, for_next_pc: int, iterable):
     lo, hi = for_next_pc + 1, done - 2
 
     try:
-        prog, consts, slot_map, init = _translate(
+        prog, consts, slot_map, init, arr_names, arr_bufs = _translate(
             interp, frame, code, instrs, lo, hi, loopvar, h, done)
     except _Bail:
         return None
@@ -73,6 +73,13 @@ def try_native_loop(interp, frame, code, for_next_pc: int, iterable):
     dirty = np.zeros(len(init), dtype=np.uint8)
     if cons.size == 0:
         cons = np.zeros(1)
+    n_arr = len(arr_bufs)
+    arr_ptrs = (ctypes.POINTER(ctypes.c_double) * max(n_arr, 1))()
+    arr_lens = np.zeros(max(n_arr, 1), dtype=np.int64)
+    for k, buf in enumerate(arr_bufs):
+        arr_ptrs[k] = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        arr_lens[k] = buf.size
+    arr_dirty = np.zeros(max(n_arr, 1), dtype=np.uint8)
     status = lib.turbine_run(
         ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         args.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -80,15 +87,25 @@ def try_native_loop(interp, frame, code, for_next_pc: int, iterable):
         cons.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         slots.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         dirty.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        arr_ptrs,
+        arr_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        arr_dirty.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int32(n_arr),
         np.int64(200_000_000))
     if status != 0:
-        return None    # budget/VM error: fall back, original state untouched
+        return None    # budget/VM/subscript error: fall back untouched —
+        # arr_bufs are private copies, so a partial native run leaves the
+        # workspace exactly as before (COW invariant)
     # only slots a STORE actually executed for come back as variables — a
     # store in a never-taken branch must not create/overwrite anything
     # (the "never required for correctness" invariant)
     for name, k in slot_map.items():
         if dirty[k]:
             frame.vars[name] = MatArray.scalar(float(slots[k]))
+    for k, (name, shape) in enumerate(arr_names):
+        if arr_dirty[k]:
+            frame.vars[name] = MatArray(
+                arr_bufs[k].reshape(shape, order="F"), "double")
     return done + 1
 
 
@@ -157,6 +174,27 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
     def const_idx(v: float) -> int:
         consts.append(float(v))
         return len(consts) - 1
+
+    # array registry: host double arrays accessed by 1-based linear index
+    # (x(k) reads, y(k) = v writes). Every registered array gets a PRIVATE
+    # F-order copy — reads and writes share one buffer per name so in-loop
+    # updates are visible, and a failed native run discards the copies (COW).
+    arr_of: dict[str, int] = {}
+    arr_bufs: list = []
+    arr_names: list = []
+
+    def arr(name: str) -> int:
+        if name in arr_of:
+            return arr_of[name]
+        v = interp._load_name(frame, name)
+        if v is NOVALUE or not isinstance(v, MatArray) or v.on_device or \
+                v.is_complex or v.mclass != "double" or v.size <= 1:
+            raise _Bail()
+        h = v.host()
+        arr_of[name] = len(arr_bufs)
+        arr_bufs.append(np.ravel(h, order="F").astype(np.float64).copy())
+        arr_names.append((name, tuple(h.shape)))
+        return arr_of[name]
 
     # the loop variable is always written by the prologue before any read;
     # register its slot directly (its pre-loop value/class is irrelevant)
@@ -272,18 +310,39 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
             _pop_tag()
         elif op == B.CHECK_INTERRUPT:
             pass
+        elif op == B.STORE_INDEX:
+            # y(k) = v: 1-based linear write into an EXISTING host double
+            # array (growth/OOB must go through the interpreter, and the VM
+            # returns status 4 on any bad subscript -> clean fallback)
+            name, nargs, kind, display = a, b, c, d
+            if nargs != 1 or kind != "paren" or display:
+                raise _Bail()
+            if _pop_tag() != "n":     # index tag
+                raise _Bail()
+            if _pop_tag() != "n":     # value must be numeric (class safety)
+                raise _Bail()
+            prog.append((T_STOREIDX, arr(name)))
         elif op == B.RESOLVE_CALL:
             name, nargs, nargout, mode = a, b, c, d
             if mode != 0 or nargout > 1:
                 raise _Bail()
-            if name in slot_of or interp._load_name(frame, name) is not NOVALUE:
+            existing = interp._load_name(frame, name)
+            if name in slot_of or existing is not NOVALUE:
                 if nargs == 0:
                     if name in undefined_vars and name not in stored_so_far:
                         raise _Bail()   # dynamic read-before-write
                     prog.append((T_LOAD, slot(name)))
                     tags.append("b" if name in logical_vars else "n")
                     continue
-                raise _Bail()        # indexing a scalar? bail
+                if nargs == 1 and name not in slot_of and \
+                        isinstance(existing, MatArray) and existing.size > 1:
+                    # x(k): 1-based linear read from a host double array
+                    if _pop_tag() != "n":
+                        raise _Bail()
+                    prog.append((T_LOADIDX, arr(name)))
+                    tags.append("n")
+                    continue
+                raise _Bail()        # indexing a scalar / matrix subscript
             if nargs == 1 and name in _FN1:
                 prog.append((T_CALL1, _FN1[name]))
                 _pop_tag()
@@ -335,4 +394,4 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
     prog.append((T_HALT, 0))
     for bidx in break_patches:
         prog[bidx] = (prog[bidx][0], done_idx)
-    return prog, consts, dict(slot_of), init
+    return prog, consts, dict(slot_of), init, arr_names, arr_bufs

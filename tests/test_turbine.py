@@ -145,3 +145,63 @@ def test_logical_readonly_var_in_arithmetic_ok():
     vals = both_paths("on = true; s = 0; for k = 1:100, s = s + on * k; end",
                       ["s"])
     assert vals[0] == 5050.0
+
+
+# --------------------------------------------------------------------------- #
+# array element access (OP_LOADIDX / OP_STOREIDX)
+# --------------------------------------------------------------------------- #
+
+def test_turbine_indexed_read_write_parity():
+    import numpy as np
+    s = run("n = 5000; x = (1:n); y = zeros(1, n); s = 0; "
+            "for k = 1:n, v = x(k) * 2 + sin(x(k) * 0.001); y(k) = v; "
+            "s = s + v; end")
+    y = s.get("y").host().reshape(-1)
+    xs = np.arange(1, 5001, dtype=float)
+    ref = xs * 2 + np.sin(xs * 0.001)
+    np.testing.assert_allclose(y, ref, rtol=1e-14)
+    assert abs(float(np.asarray(s.get("s").host()).reshape(-1)[0])
+               - ref.sum()) < 1e-6
+
+
+def test_turbine_indexed_write_growth_falls_back():
+    # OOB write must grow the array through the interpreter (status 4 path)
+    s = run("z = zeros(1, 5); for k = 1:100, z(k) = k; end; q = numel(z);")
+    import numpy as np
+    assert float(np.asarray(s.get("q").host()).reshape(-1)[0]) == 100.0
+    assert float(s.get("z").host().reshape(-1)[-1]) == 100.0
+
+
+def test_turbine_indexed_matrix_linear_read():
+    import numpy as np
+    s = run("A = magic(10); t = 0; for k = 1:100, t = t + A(k); end")
+    ref = float(np.sum([[int(v) for v in row] for row in
+                        s.get("A").host()]))
+    assert float(np.asarray(s.get("t").host()).reshape(-1)[0]) == ref
+
+
+def test_turbine_read_write_same_array_sees_updates():
+    import numpy as np
+    s = run("w = ones(1, 200); "
+            "for k = 2:200, w(k) = w(k - 1) * 1.01; end")
+    w = s.get("w").host().reshape(-1)
+    np.testing.assert_allclose(w, 1.01 ** np.arange(200), rtol=1e-12)
+
+
+def test_turbine_cow_on_shared_array():
+    import numpy as np
+    # b aliases a before the loop; writing a inside the loop must not
+    # mutate b (value semantics / COW)
+    s = run("a = (1:100); b = a; "
+            "for k = 1:100, a(k) = a(k) + 1; end; d = sum(a - b);")
+    assert float(np.asarray(s.get("d").host()).reshape(-1)[0]) == 100.0
+    np.testing.assert_allclose(s.get("b").host().reshape(-1),
+                               np.arange(1, 101))
+
+
+def test_turbine_noninteger_subscript_errors():
+    from runmat_tpu.session import Session
+    s = Session(accelerate=False)
+    r = s.execute("v = (1:64); t = 0; "
+                  "for k = 1:64, t = t + v(k + 0.5); end")
+    assert r.error is not None
