@@ -38,6 +38,88 @@ class _Bail(Exception):
     pass
 
 
+def _cache(code) -> dict:
+    """Per-unit translation cache: loop sites re-entered with the same
+    structure skip re-translation (≙ the reference Turbine's compiled-code
+    cache keyed by bytecode hash, turbine/src/cache.rs). Slot/array STATE
+    is rebuilt fresh each entry and revalidated against the recorded
+    recipe; any class/shape drift drops the entry."""
+    c = getattr(code, "_turbine_cache", None)
+    if c is None:
+        c = {}
+        code._turbine_cache = c
+    return c
+
+
+def _rebuild(interp, frame, ent):
+    """Fresh slot init values + array copies for a cached program; None if
+    the workspace no longer matches the recorded assumptions."""
+    from ..vm.interp import NOVALUE
+    init: list = []
+    for spec in ent["slot_spec"]:
+        kind = spec[0]
+        if kind == "internal":
+            init.append(0.0)
+            continue
+        name = spec[1]
+        v = interp._load_name(frame, name)
+        if kind == "var":
+            if v is NOVALUE or not (isinstance(v, MatArray) and v.size == 1
+                                    and not v.on_device and not v.is_complex
+                                    and v.mclass == spec[2]):
+                return None
+            init.append(float(v.host().reshape(-1)[0]))
+        else:   # "undef": init is unobservable (reads only follow stores)
+            if v is NOVALUE:
+                init.append(0.0)
+            elif isinstance(v, MatArray) and v.size == 1 and \
+                    not v.on_device and not v.is_complex and \
+                    v.mclass == "double":
+                init.append(float(v.host().reshape(-1)[0]))
+            else:
+                return None
+    arr_names: list = []
+    arr_bufs: list = []
+    for name in ent["arr_spec"]:
+        v = interp._load_name(frame, name)
+        if v is NOVALUE or not isinstance(v, MatArray) or v.on_device or \
+                v.is_complex or v.mclass != "double" or v.size <= 1:
+            return None
+        h = v.host()
+        arr_bufs.append(np.ravel(h, order="F").astype(np.float64).copy())
+        arr_names.append((name, tuple(h.shape)))
+    return init, arr_names, arr_bufs
+
+
+def _dispatch_cached(lib, interp, frame, code, ck, translate, resume_pc):
+    cache = _cache(code)
+    ent = cache.get(ck)
+    if ent is not None:
+        state = _rebuild(interp, frame, ent)
+        if state is not None:
+            init, arr_names, arr_bufs = state
+            return _run_native(lib, frame, ent["prog"], ent["consts"],
+                               ent["slot_map"], init, arr_names, arr_bufs,
+                               resume_pc)
+        cache.pop(ck, None)
+    try:
+        (prog, consts, slot_map, init, arr_names, arr_bufs,
+         slot_spec, arr_spec) = translate()
+    except _Bail:
+        return None
+    if len(cache) > 64:
+        cache.clear()
+    cache[ck] = {"prog": prog, "consts": consts, "slot_map": slot_map,
+                 "slot_spec": slot_spec, "arr_spec": arr_spec}
+    # status != 0 -> None: budget/VM/subscript error falls back untouched —
+    # arr_bufs are private copies and only dirty slots/arrays bind back, so
+    # a store in a never-taken branch cannot conjure a variable and a
+    # partial native run leaves the workspace exactly as before (the
+    # "never required for correctness" invariant)
+    return _run_native(lib, frame, prog, consts, slot_map, init,
+                       arr_names, arr_bufs, resume_pc)
+
+
 def try_native_loop(interp, frame, code, for_next_pc: int, iterable):
     """Execute the whole scalar loop natively. Returns resume pc or None."""
     from . import turbine
@@ -60,12 +142,52 @@ def try_native_loop(interp, frame, code, for_next_pc: int, iterable):
         return None
     lo, hi = for_next_pc + 1, done - 2
 
-    try:
-        prog, consts, slot_map, init, arr_names, arr_bufs = _translate(
-            interp, frame, code, instrs, lo, hi, loopvar, h, done)
-    except _Bail:
-        return None
+    # cache key includes the range parameters (baked into the program);
+    # non-uniform iterables never hit the cache (or the translator)
+    it = h.reshape(-1)
+    if it.size >= 2:
+        steps = np.diff(it)
+        if not np.allclose(steps, steps[0], rtol=1e-12, atol=1e-300):
+            return None
+        step = float(steps[0])
+    else:
+        step = 1.0
+    ck = ("for", for_next_pc, float(it[0]), step, int(it.size))
+    return _dispatch_cached(
+        lib, interp, frame, code, ck,
+        lambda: _translate(interp, frame, code, instrs, lo, hi, loopvar,
+                           h, done),
+        done + 1)
 
+
+def try_native_while(interp, frame, code, marker_pc: int, jf_pc: int,
+                     end_pc: int):
+    """Execute a whole scalar `while` loop natively (the tier-2 analog of
+    the device while-gate; ≙ the reference Turbine compiling hot while
+    bodies). Window = condition + body; the loop-back jump is re-emitted as
+    the epilogue and the exit branch resolves to HALT. Returns the resume
+    pc or None (fallback, original state untouched)."""
+    from . import turbine
+    lib = turbine()
+    if lib is None:
+        return None
+    from ..vm import bytecode as B
+    instrs = code.instrs
+    if jf_pc is None or end_pc is None or end_pc > len(instrs):
+        return None
+    lo, hi = marker_pc + 1, end_pc - 1
+    if hi <= lo or instrs[hi][0] != B.JMP or instrs[hi][1] != lo:
+        return None
+    return _dispatch_cached(
+        lib, interp, frame, code, ("while", marker_pc),
+        lambda: _translate(interp, frame, code, instrs, lo, hi, None, None,
+                           end_pc),
+        end_pc)   # resume AT end_pc (the exit-branch target), like the
+                  # device while-gate
+
+
+def _run_native(lib, frame, prog, consts, slot_map, init, arr_names,
+                arr_bufs, resume_pc):
     ops = np.array([p[0] for p in prog], dtype=np.int32)
     args = np.array([float(p[1]) for p in prog], dtype=np.float64)
     cons = np.asarray(consts, dtype=np.float64)
@@ -93,12 +215,7 @@ def try_native_loop(interp, frame, code, for_next_pc: int, iterable):
         np.int32(n_arr),
         np.int64(200_000_000))
     if status != 0:
-        return None    # budget/VM/subscript error: fall back untouched —
-        # arr_bufs are private copies, so a partial native run leaves the
-        # workspace exactly as before (COW invariant)
-    # only slots a STORE actually executed for come back as variables — a
-    # store in a never-taken branch must not create/overwrite anything
-    # (the "never required for correctness" invariant)
+        return None
     for name, k in slot_map.items():
         if dirty[k]:
             frame.vars[name] = MatArray.scalar(float(slots[k]))
@@ -106,11 +223,13 @@ def try_native_loop(interp, frame, code, for_next_pc: int, iterable):
         if arr_dirty[k]:
             frame.vars[name] = MatArray(
                 arr_bufs[k].reshape(shape, order="F"), "double")
-    return done + 1
+    return resume_pc
 
 
 def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
     """Bytecode window -> turbine program implementing the WHOLE loop.
+    `loopvar`/`itvals` None = while mode: no counter prologue/epilogue,
+    the window is condition+body, and the loop-back edge is re-emitted.
 
     Class-safety bails (the tier is never required for correctness): the
     native VM computes in f64 only, so any `single` operand, any store of a
@@ -145,6 +264,7 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
 
     undefined_vars: set[str] = set()   # no pre-loop value; defined by STORE
     stored_so_far: set[str] = set()    # saw an unconditional in-window STORE
+    slot_spec: list = []               # per-slot rebuild recipe (see _rebuild)
 
     def slot(name: str) -> int:
         if name in slot_of:
@@ -157,6 +277,7 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
                 raise _Bail()
             undefined_vars.add(name)
             val = 0.0
+            slot_spec.append(("undef", name))
         else:
             if not (isinstance(v, MatArray) and v.size == 1
                     and not v.on_device and not v.is_complex
@@ -167,6 +288,7 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
                     raise _Bail()        # writeback would coerce to double
                 logical_vars.add(name)
             val = float(v.host().reshape(-1)[0])
+            slot_spec.append(("var", name, v.mclass))
         slot_of[name] = len(init)
         init.append(val)
         return slot_of[name]
@@ -196,33 +318,35 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
         arr_names.append((name, tuple(h.shape)))
         return arr_of[name]
 
-    # the loop variable is always written by the prologue before any read;
-    # register its slot directly (its pre-loop value/class is irrelevant)
-    slot_of[loopvar] = len(init)
-    init.append(0.0)
-    lv_slot = slot_of[loopvar]
-
-    # iterable handling: uniform-step ranges run natively; other vectors bail
-    it = itvals.reshape(-1)
-    if it.size >= 2:
-        steps = np.diff(it)
-        if not np.allclose(steps, steps[0], rtol=1e-12, atol=1e-300):
-            raise _Bail()
-        step = float(steps[0])
-    else:
-        step = 1.0
-    start, count = float(it[0]), int(it.size)
-
     prog: list = []
     jump_map: dict[int, int] = {}     # bytecode pc -> turbine index
     patches: list = []                # (turbine idx, bytecode target)
 
-    # prologue: lv = start; counter in a dedicated slot
-    cnt_slot = len(init)
-    init.append(0.0)
-    prog.append((T_CONST, const_idx(start)))
-    prog.append((T_STORE, lv_slot))
-    loop_top = len(prog)
+    if loopvar is not None:
+        # the loop variable is always written by the prologue before any
+        # read; register its slot directly (pre-loop value irrelevant)
+        slot_of[loopvar] = len(init)
+        init.append(0.0)
+        slot_spec.append(("internal",))
+        lv_slot = slot_of[loopvar]
+
+        # iterable: uniform-step ranges run natively; other vectors bail
+        it = itvals.reshape(-1)
+        if it.size >= 2:
+            steps = np.diff(it)
+            if not np.allclose(steps, steps[0], rtol=1e-12, atol=1e-300):
+                raise _Bail()
+            step = float(steps[0])
+        else:
+            step = 1.0
+        start, count = float(it[0]), int(it.size)
+
+        # prologue: lv = start; counter in a dedicated slot
+        cnt_slot = len(init)
+        init.append(0.0)
+        slot_spec.append(("internal",))
+        prog.append((T_CONST, const_idx(start)))
+        prog.append((T_STORE, lv_slot))
 
     # abstract class-tag stack mirroring the value stack: "n" numeric,
     # "b" logical, "u" unknown (control-flow merge). Storing anything but a
@@ -280,12 +404,15 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
                 prog.append((t, 0))
             _pop_tag()
             tags.append("b" if a == "logical_not" else "n")
-        elif op in (B.MTIMES, B.MPOW):
-            prog.append((T_MUL if op == B.MTIMES else T_POW, 0))
+        elif op in (B.MTIMES, B.MPOW, B.MRDIV):
+            # scalar operands: matrix ops coincide with their elementwise
+            # forms (a/b for MRDIV; tags guarantee scalar doubles)
+            t = {B.MTIMES: T_MUL, B.MPOW: T_POW, B.MRDIV: T_DIV}[op]
+            prog.append((t, 0))
             _pop_tag(); _pop_tag()
             tags.append("n")
-        elif op == B.MLDIV or op == B.MRDIV:
-            raise _Bail()
+        elif op == B.MLDIV:
+            raise _Bail()   # operand order swap not in the ISA (rare form)
         elif op == B.JMP:
             idx = len(prog)
             prog.append((T_JMP, 0))
@@ -371,27 +498,34 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
             raise _Bail()               # jump out of the window
         prog[idx] = (prog[idx][0], t)
 
-    # epilogue: counter++, lv += step, loop while counter < count
-    prog.append((T_LOAD, cnt_slot))
-    prog.append((T_CONST, const_idx(1.0)))
-    prog.append((T_ADD, 0))
-    prog.append((T_DUP, 0))
-    prog.append((T_STORE, cnt_slot))
-    prog.append((T_CONST, const_idx(float(count))))
-    prog.append((T_GE, 0))
-    idx = len(prog)
-    prog.append((T_JMP_IF_TRUE, 0))   # done
-    # lv = start + counter*step (no drift accumulation)
-    prog.append((T_LOAD, cnt_slot))
-    prog.append((T_CONST, const_idx(step)))
-    prog.append((T_MUL, 0))
-    prog.append((T_CONST, const_idx(start)))
-    prog.append((T_ADD, 0))
-    prog.append((T_STORE, lv_slot))
-    prog.append((T_JMP, body_base))
-    done_idx = len(prog)
-    prog[idx] = (T_JMP_IF_TRUE, done_idx)
-    prog.append((T_HALT, 0))
+    if loopvar is not None:
+        # epilogue: counter++, lv += step, loop while counter < count
+        prog.append((T_LOAD, cnt_slot))
+        prog.append((T_CONST, const_idx(1.0)))
+        prog.append((T_ADD, 0))
+        prog.append((T_DUP, 0))
+        prog.append((T_STORE, cnt_slot))
+        prog.append((T_CONST, const_idx(float(count))))
+        prog.append((T_GE, 0))
+        idx = len(prog)
+        prog.append((T_JMP_IF_TRUE, 0))   # done
+        # lv = start + counter*step (no drift accumulation)
+        prog.append((T_LOAD, cnt_slot))
+        prog.append((T_CONST, const_idx(step)))
+        prog.append((T_MUL, 0))
+        prog.append((T_CONST, const_idx(start)))
+        prog.append((T_ADD, 0))
+        prog.append((T_STORE, lv_slot))
+        prog.append((T_JMP, body_base))
+        done_idx = len(prog)
+        prog[idx] = (T_JMP_IF_TRUE, done_idx)
+        prog.append((T_HALT, 0))
+    else:
+        # while mode: loop back to the condition; exit branch -> HALT
+        prog.append((T_JMP, jump_map[lo]))
+        done_idx = len(prog)
+        prog.append((T_HALT, 0))
     for bidx in break_patches:
         prog[bidx] = (prog[bidx][0], done_idx)
-    return prog, consts, dict(slot_of), init, arr_names, arr_bufs
+    return (prog, consts, dict(slot_of), init, arr_names, arr_bufs,
+            slot_spec, [n for n, _ in arr_names])

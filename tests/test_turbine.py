@@ -205,3 +205,57 @@ def test_turbine_noninteger_subscript_errors():
     r = s.execute("v = (1:64); t = 0; "
                   "for k = 1:64, t = t + v(k + 0.5); end")
     assert r.error is not None
+
+
+# --------------------------------------------------------------------------- #
+# native while loops + translation cache
+# --------------------------------------------------------------------------- #
+
+def test_turbine_while_newton():
+    import numpy as np
+    s = run("x = 100; it = 0; "
+            "while abs(x*x - 2) > 1e-12, x = 0.5*(x + 2/x); it = it + 1; end")
+    assert abs(float(np.asarray(s.get("x").host()).reshape(-1)[0])
+               - 2 ** 0.5) < 1e-12
+    assert float(np.asarray(s.get("it").host()).reshape(-1)[0]) > 5
+
+
+def test_turbine_while_zero_trip():
+    import numpy as np
+    s = run("z = 5; w = 1; while z < 0, z = z - 1; w = 99; end")
+    assert float(np.asarray(s.get("z").host()).reshape(-1)[0]) == 5.0
+    assert float(np.asarray(s.get("w").host()).reshape(-1)[0]) == 1.0
+
+
+def test_turbine_while_with_branches_collatz():
+    import numpy as np
+    s = run("cur = 27; c = 0; "
+            "while cur > 1, if mod(cur, 2) == 0, cur = cur / 2; "
+            "else, cur = 3*cur + 1; end, c = c + 1; end")
+    assert float(np.asarray(s.get("c").host()).reshape(-1)[0]) == 111.0
+
+
+def test_turbine_while_array_fill():
+    import numpy as np
+    s = run("buf = zeros(1, 500); i = 1; "
+            "while i <= 500, buf(i) = i * i; i = i + 1; end")
+    np.testing.assert_allclose(s.get("buf").host().reshape(-1),
+                               np.arange(1, 501.0) ** 2)
+
+
+def test_turbine_cache_reuse_across_entries():
+    import numpy as np
+    # the same while site re-entered 50 times with different state must
+    # give per-entry-correct results (translation cache + state rebuild)
+    s = run("out = zeros(1, 50); "
+            "for j = 1:64, if j <= 50, cur = j; c = 0; "
+            "while cur > 1, cur = cur - 1; c = c + 1; end, "
+            "out(j) = c; end, end")
+    np.testing.assert_allclose(s.get("out").host().reshape(-1),
+                               np.arange(0, 50.0))
+
+
+def test_turbine_while_nonscalar_condition_falls_back():
+    import numpy as np
+    s = run("v = (1:3); n = 0; while n < numel(v), n = n + 1; end")
+    assert float(np.asarray(s.get("n").host()).reshape(-1)[0]) == 3.0
