@@ -24,6 +24,13 @@ _DEFAULTS: dict[str, dict[str, Any]] = {
     "execution": {
         "seed": 0,
     },
+    "language": {
+        # "extended" (default): RunMat extensions (spawn/await, accelInfo,
+        # ...) are available. "strict": pure MATLAB surface — extension
+        # builtins resolve as undefined (≙ ParserOptions CompatMode,
+        # runmat-parser/src/options.rs). Env: RUNMAT_TPU_COMPAT.
+        "compat": "extended",
+    },
     "logging": {
         "level": "warning",
         "trace": False,
@@ -70,6 +77,7 @@ _ENV_MAP = {
                                 lambda v: v == "1"),
     "RUNMAT_TPU_OFFLOAD_THRESHOLD": ("accelerate", "offload_threshold", int),
     "RUNMAT_TPU_FUSE_CAP": ("accelerate", "fuse_cap", int),
+    "RUNMAT_TPU_COMPAT": ("language", "compat", str),
     "RUNMAT_TPU_COMPILE_CACHE": ("accelerate", "compile_cache", str),
     "RUNMAT_TPU_LOG": ("logging", "level", str),
     "RUNMAT_TPU_TRACE": ("logging", "trace", lambda v: v == "1"),

@@ -28,22 +28,34 @@ class Builtin:
     is_sink: bool = False           # output must be gathered (e.g. disp)
     pass_nargout: bool = False
     pass_ctx: bool = False
+    extension: bool = False         # RunMat extension, absent in MATLAB
+    #                                 (gated off in strict compat mode)
 
 
 _REGISTRY: dict[str, Builtin] = {}
+
+# extension surface (≙ ParserOptions CompatMode, runmat-parser/src/
+# options.rs + the HIR SPAWN/AWAIT extension gates): names that do not
+# exist in MATLAB and disappear under `[language] compat = "strict"`
+EXTENSION_BUILTINS = frozenset("""
+spawn await accelInfo fea_authorStudy fibonacci
+""".split())
 
 
 def builtin(name: str, *, category: str = "", summary: str = "", min_in: int = 0,
             max_in: Optional[int] = None, max_out: int = 1,
             accel_op: Optional[str] = None, is_sink: bool = False,
-            pass_nargout: bool = False, pass_ctx: bool = False):
+            pass_nargout: bool = False, pass_ctx: bool = False,
+            extension: bool = False):
     """Register a builtin. The wrapped function receives positional Values;
     set pass_nargout / pass_ctx to receive keyword nargout / the interpreter
     context."""
 
     def deco(fn):
         _REGISTRY[name] = Builtin(name, fn, category, summary, min_in, max_in,
-                                  max_out, accel_op, is_sink, pass_nargout, pass_ctx)
+                                  max_out, accel_op, is_sink, pass_nargout,
+                                  pass_ctx,
+                                  extension or name in EXTENSION_BUILTINS)
         return fn
 
     return deco

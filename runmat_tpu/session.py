@@ -90,6 +90,9 @@ class Session:
         self.search_path: list = [_os.getcwd()]   # ≙ addpath semantics
         from .config import load as _load_config
         self.config = _load_config()
+        # strict-MATLAB vs extensions compat (≙ ParserOptions CompatMode):
+        # strict hides extension builtins from name resolution
+        self.compat = self.config.get("language", "compat") or "extended"
         if accelerate is None and self.config.get("accelerate", "provider") == "none":
             accelerate = False
         if accelerate is not False:

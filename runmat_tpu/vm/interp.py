@@ -136,6 +136,10 @@ class Interp:
             return ("user", f)
         b = registry.lookup(name)
         if b is not None:
+            if b.extension and getattr(self.session, "compat",
+                                       "extended") == "strict":
+                return None   # strict MATLAB mode: extensions don't exist
+                # (≙ ParserOptions CompatMode + HIR extension gates)
             return ("builtin", b)
         return None
 
