@@ -196,6 +196,13 @@ class Return(Node):
 
 
 @dataclass
+class Import(Node):
+    """import pkg.fn / import pkg.* (one or more space-separated paths)."""
+    paths: list           # dotted strings; trailing segment may be '*'
+    line: int = 0
+
+
+@dataclass
 class Global(Node):
     names: list
     line: int = 0

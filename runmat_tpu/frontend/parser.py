@@ -149,6 +149,28 @@ class Parser:
                 raise self._err(t, "function definitions must appear at top level or be nested in a function")
             raise self._err(t, f"unexpected keyword '{kw}'")
 
+        if t.kind == "IDENT" and t.text == "import" and \
+                self.peek(1).kind == "IDENT" and self.peek(1).ws_before:
+            # import pkg.fn pkg2.*  (statement form; functional import('...')
+            # parses as a normal call)
+            self.next()
+            paths = []
+            while self.peek().kind == "IDENT":
+                parts = [self.next().text]
+                while True:
+                    if self.peek().is_op("."):
+                        self.next()
+                        parts.append(self.next().text)
+                    elif self.peek().is_op(".*"):
+                        self.next()
+                        parts.append("*")
+                        break
+                    else:
+                        break
+                paths.append(".".join(parts))
+            self._consume_terminator()
+            return A.Import(paths, line)
+
         if t.kind == "IDENT" and self._looks_like_command():
             return self.parse_command()
 

@@ -673,3 +673,24 @@ def m_empty(*dims):
         raise MatError("MATLAB:class:emptyMustBeEmpty",
                        "At least one dimension must be zero.")
     return MatArray(np.zeros(tuple(ds)), "double")
+
+
+@builtin("import", category="language", min_in=0, max_in=None,
+         pass_ctx=True, pass_nargout=True)
+def m_import(*paths, ctx=None, nargout=1):
+    """import pkg.fn / import pkg.* — extend unqualified-name resolution
+    (≙ HIR import handling; statement form lowers to this builtin). With
+    no inputs returns the current import list."""
+    sess = ctx.session
+    if not hasattr(sess, "imports"):
+        sess.imports = []
+    if not paths:
+        data = np.empty((len(sess.imports), 1), dtype=object)
+        for i, p in enumerate(sess.imports):
+            data[i, 0] = MatArray.char_from_str(p)
+        return CellArray(data)
+    for p in paths:
+        s = text_of(p)
+        if s not in sess.imports:
+            sess.imports.insert(0, s)   # most recent import wins
+    return None

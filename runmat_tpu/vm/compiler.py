@@ -176,6 +176,14 @@ class Compiler:
             self.loop_stack[-1][2].append(idx)
         elif isinstance(s, A.Return):
             self.code.emit(B.RET, line=line)
+        elif isinstance(s, A.Import):
+            # lower to the functional form: import('pkg.fn', ...)
+            for p in s.paths:
+                self.code.emit(B.CONST, self.code.const(_char_const(p)),
+                               line=line)
+            self.code.emit(B.RESOLVE_CALL, "import", len(s.paths), 0, 0,
+                           line=line)
+            self.code.emit(B.ANS_STMT, False, line=line)
         elif isinstance(s, A.Global):
             self.code.emit(B.GLOBAL_DECL, tuple(s.names), line=line)
         elif isinstance(s, A.Persistent):

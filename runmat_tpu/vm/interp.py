@@ -134,6 +134,15 @@ class Interp:
         f = self.session.functions.get(name)
         if f is not None:
             return ("user", f)
+        # imported package members (import pkg.fn / pkg.*) shadow builtins
+        # and path functions, per MATLAB import precedence
+        if getattr(self.session, "imports", None):
+            from ..packages import resolve_import
+            hit = resolve_import(self.session, name)
+            if hit is not None:
+                if hit[0] == "class":
+                    return ("class", hit[1])
+                return ("user", hit[1])
         b = registry.lookup(name)
         if b is not None:
             if b.extension and getattr(self.session, "compat",
@@ -151,6 +160,12 @@ class Interp:
                 return self.call_user(f.code.nested[name], args, nargout,
                                       parent=f)
             f = f.parent
+        # file-private local functions of package members (code.siblings;
+        # separate scopes, unlike workspace-sharing nested functions)
+        if frame.code is not None:
+            sibs = getattr(frame.code, "siblings", None)
+            if sibs and name in sibs:
+                return self.call_user(sibs[name], args, nargout)
         # method dispatch on the dominant (object) argument takes precedence
         # over path functions (MATLAB resolution order; ≙ vm/object/resolve.rs)
         from .. import oop
@@ -166,11 +181,11 @@ class Interp:
         r = self.resolve_function(name)
         if r is None:
             r = self.session.resolve_path_function(name)
-            if r is not None and r[0] == "class":
-                return [oop.construct(self, frame, r[1], args)]
         if r is None:
             raise undefined(name)
         kind, f = r
+        if kind == "class":
+            return [oop.construct(self, frame, f, args)]
         if kind == "user":
             return self.call_user(f, args, nargout)
         return self.call_builtin(f, args, nargout, frame)
@@ -401,7 +416,12 @@ class Interp:
                             from ..oop import ClassRef
                             stack.append(ClassRef(cls))
                         else:
-                            stack.append(self._call_or_undef(a, frame))
+                            from ..packages import find_package
+                            pkg = find_package(session, a)
+                            if pkg is not None:
+                                stack.append(pkg)
+                            else:
+                                stack.append(self._call_or_undef(a, frame))
                     else:
                         if isinstance(v, MatArray):
                             v.shared = True
@@ -639,6 +659,9 @@ class Interp:
         if r is None:
             raise undefined(name)
         kind, f = r
+        if kind == "class":
+            from .. import oop
+            return oop.construct(self, frame, f, [])
         res = (self.call_user(f, [], 1) if kind == "user"
                else self.call_builtin(f, [], 1, frame))
         return res[0] if res else NOVALUE
