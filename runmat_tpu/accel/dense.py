@@ -517,6 +517,7 @@ def _b_iir(eng, opts):
         xv = x.reshape(-1)
         bv = b.reshape(-1)
         av = a.reshape(-1)
+        z0 = z0.reshape(-1)   # (1, n-1) MATLAB row -> 1-D carry
 
         def step(z, xi):
             yi = bv[0] * xi + z[0]

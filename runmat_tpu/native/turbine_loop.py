@@ -152,11 +152,12 @@ def try_native_loop(interp, frame, code, for_next_pc: int, iterable):
         step = float(steps[0])
     else:
         step = 1.0
-    ck = ("for", for_next_pc, float(it[0]), step, int(it.size))
+    rng = (float(it[0]), step, int(it.size))
+    ck = ("for", for_next_pc) + rng
     return _dispatch_cached(
         lib, interp, frame, code, ck,
         lambda: _translate(interp, frame, code, instrs, lo, hi, loopvar,
-                           h, done),
+                           rng, done),
         done + 1)
 
 
@@ -226,10 +227,13 @@ def _run_native(lib, frame, prog, consts, slot_map, init, arr_names,
     return resume_pc
 
 
-def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
+def _translate(interp, frame, code, instrs, lo, hi, loopvar, range_params,
+               done):
     """Bytecode window -> turbine program implementing the WHOLE loop.
-    `loopvar`/`itvals` None = while mode: no counter prologue/epilogue,
-    the window is condition+body, and the loop-back edge is re-emitted.
+    `loopvar`/`range_params` None = while mode: no counter prologue/
+    epilogue, the window is condition+body, and the loop-back edge is
+    re-emitted. range_params = (start, step, count), validated uniform by
+    the caller (also the cache key, so key and baked constants agree).
 
     Class-safety bails (the tier is never required for correctness): the
     native VM computes in f64 only, so any `single` operand, any store of a
@@ -330,16 +334,7 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, itvals, done):
         slot_spec.append(("internal",))
         lv_slot = slot_of[loopvar]
 
-        # iterable: uniform-step ranges run natively; other vectors bail
-        it = itvals.reshape(-1)
-        if it.size >= 2:
-            steps = np.diff(it)
-            if not np.allclose(steps, steps[0], rtol=1e-12, atol=1e-300):
-                raise _Bail()
-            step = float(steps[0])
-        else:
-            step = 1.0
-        start, count = float(it[0]), int(it.size)
+        start, step, count = range_params
 
         # prologue: lv = start; counter in a dedicated slot
         cnt_slot = len(init)

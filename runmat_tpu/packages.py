@@ -65,12 +65,27 @@ class PackageRef:
 
 
 def find_package(session, name: str):
-    """`name` -> PackageRef if any search-path dir contains +<name>."""
-    for d in session.search_path:
+    """`name` -> PackageRef if any search-path dir contains +<name>.
+    Cached per (name, search path): LOADC probes this for every
+    non-variable identifier, and an uncached lookup would put stat()
+    syscalls on the interpreter hot path."""
+    cache = getattr(session, "_pkg_find_cache", None)
+    if cache is None:
+        cache = session._pkg_find_cache = {}
+    sp = tuple(session.search_path)
+    ent = cache.get(name)
+    if ent is not None and ent[0] == sp:
+        return ent[1]
+    result = None
+    for d in sp:
         p = os.path.join(d, "+" + name)
         if os.path.isdir(p):
-            return PackageRef(name, p)
-    return None
+            result = PackageRef(name, p)
+            break
+    if len(cache) > 512:
+        cache.clear()
+    cache[name] = (sp, result)
+    return result
 
 
 def member(session, pkg: PackageRef, fname: str):

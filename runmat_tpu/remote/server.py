@@ -315,6 +315,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _route(self, method: str) -> None:
         store: _Store = self.server.store
+        # drain the request body FIRST: an early 401/404 on a keep-alive
+        # connection must not leave unread body bytes to be parsed as the
+        # client's next request
+        self._raw_body = self._body()
         try:
             self._auth()
             url = urlparse(self.path)
@@ -333,7 +337,7 @@ class _Handler(BaseHTTPRequestHandler):
                                        "message": str(e)}})
 
     def _dispatch(self, method, parts, q, store: _Store) -> None:
-        body = self._body()
+        body = self._raw_body
         payload = {}
         if body:
             try:

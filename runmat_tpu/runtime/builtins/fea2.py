@@ -551,7 +551,14 @@ def m_fea_verify_evidence(path, ctx=None):
     geom = StructArray.scalar({
         "box": MatArray(np.array([spec["box"]]), "double"),
         "resolution": MatArray.scalar(float(spec["resolution"]))})
-    model = m_fea_model(geom, m_fea_material())
+    # replay with the RECORDED material, not defaults — a non-default E/nu
+    # run must verify against itself
+    mat_args = []
+    for key in ("E", "nu", "rho", "k"):
+        if key in spec:
+            mat_args += [MatArray.char_from_str(key),
+                         MatArray.scalar(float(spec[key]))]
+    model = m_fea_model(geom, m_fea_material(*mat_args))
     study = m_fea_study(model, MatArray.char_from_str(spec["physics"]))
     rerun = m_fea_run(study, ctx=ctx)
     fresh = _evidence_payload(rerun)

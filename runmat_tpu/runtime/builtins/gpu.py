@@ -229,16 +229,16 @@ def m_arrayfun(f, *arrays, ctx=None, nargout=1):
         i += 1
     if not arrs:
         raise bad_arg("arrayfun", "Need at least one array input.")
+    for a in arrs[1:]:
+        if getattr(a, "shape", None) != getattr(arrs[0], "shape", None):
+            raise MatError("MATLAB:arrayfun:ShapeMismatch",
+                           "All input arrays must have the same size.")
     if uniform and nargout <= 1:
         fused = _try_fused_arrayfun(f, arrs, ctx)
         if fused is not None:
             return fused
     hs = [a.host() for a in arrs]
     shape = hs[0].shape
-    for h in hs[1:]:
-        if h.shape != shape:
-            raise MatError("MATLAB:arrayfun:ShapeMismatch",
-                           "All input arrays must have the same size.")
     n = hs[0].size
     out_flat: list = []
     flats = [h.reshape(-1, order="F") for h in hs]

@@ -678,13 +678,17 @@ def m_bootstrp(nboot, f, data, *more, ctx=None):
     rows = []
     from ...values import FunctionHandle
     extra = [fortran_ravel(_f(m)) for m in more]
+    for ex in extra:
+        if ex.size != n:
+            raise bad_arg("bootstrp",
+                          "Nonscalar data inputs must have the same "
+                          "number of rows.")
     for _ in range(nb):
         u = philox.host_rand(ctx.session.rng, n, "double")
         idx = np.minimum((u * n).astype(np.int64), n - 1)
         samps = [MatArray(flat[idx].reshape(-1, 1), "double")]
         for ex in extra:
-            samps.append(MatArray(ex[np.minimum(idx, ex.size - 1)]
-                                  .reshape(-1, 1), "double"))
+            samps.append(MatArray(ex[idx].reshape(-1, 1), "double"))
         r = ctx.interp.call_value(f, samps, 1, ctx.frame) if isinstance(f, FunctionHandle) \
             else ctx.interp.call_named(text_of(f), samps, 1, ctx.frame)
         rows.append(fortran_ravel(_f(r[0])))

@@ -102,8 +102,11 @@ def _map_host_exception(name: str, e: Exception) -> MatError:
     if isinstance(e, ZeroDivisionError):
         return MatError("MATLAB:divideByZero", f"{name}: Division by zero.")
     if isinstance(e, (TypeError, AttributeError)):
+        # keep the host detail: an internal builtin bug must stay
+        # diagnosable from the error text
         return MatError("MATLAB:invalidType",
-                        f"{name}: Invalid argument type for this function.")
+                        f"{name}: Invalid argument type for this function "
+                        f"({kind}: {e}).")
     return MatError("RunMat:builtin:internalError",
                     f"{name}: invalid input ({kind}: {e})")
 

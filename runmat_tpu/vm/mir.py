@@ -301,6 +301,10 @@ def analyze_code(code: B.Code, extra_entry_defs=()) -> list:
             defined = set(must[blk.index])
             for pc in range(blk.start, blk.end):
                 d, u = defs_uses(instrs[pc], code.consts)
+                if instrs[pc][0] in (B.STORE_INDEX, B.STORE_PATH):
+                    # indexed assignment auto-grows from undefined (legal
+                    # MATLAB first assignment) — a def, not a risky use
+                    u = []
                 for name in u:
                     if name in defined or name in reported:
                         continue

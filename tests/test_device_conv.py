@@ -78,3 +78,15 @@ def test_imfilter_device_parity():
         d = s.get("rd").host()
         h = s.get("rh").host()
         np.testing.assert_allclose(d, h, rtol=1e-10, atol=1e-10)
+
+
+def test_filter_iir_actually_on_device():
+    # regression: a 2-D z0 silently killed the lax.scan IIR trace and
+    # memoized a permanent host fallback
+    from runmat_tpu.accel import active_engine
+    s = run("x = gpuArray(sin(0.1*(1:400))); "
+            "r = filter([1 0.5], [1 -0.8 0.2], x); ok = existsOnGPU(r);",
+            accelerate=True)
+    assert bool(np.asarray(s.get("ok").host()).reshape(-1)[0])
+    eng = active_engine()
+    assert not any(k[0] == "iir" for k in eng.dense._bad)

@@ -51,3 +51,15 @@ def test_evidence_chain_links(tmp_path):
     d1 = json.loads(e1.read_text())
     d2 = json.loads(e2.read_text())
     assert d2["chain"]["parent"] == d1["chain"]["hash"]
+
+
+def test_evidence_verifies_nondefault_material(tmp_path):
+    ev = tmp_path / "alu.evidence.json"
+    s = run("g = struct('box', [1 1 1], 'resolution', 3); "
+            "mat = fea.material('E', 70e9, 'nu', 0.33); "
+            "m = fea.model(g, mat); st = fea.study(m, 'static'); "
+            "r = fea.run(st); "
+            f"fea.evidence(r, '{ev}'); v = fea.verifyEvidence('{ev}'); "
+            "ok = v.ok;")
+    assert bool(np.asarray(s.get("ok").host()).reshape(-1)[0]), \
+        "non-default material must verify against its own evidence"

@@ -75,3 +75,11 @@ def test_pagefun_mtimes_rides_pagemtimes():
             "ref = pagemtimes(Ah, Bh); "
             "err = max(abs(Ch(:) - ref(:)));", accelerate=True)
     assert float(np.asarray(s.get("err").host()).reshape(-1)[0]) < 1e-10
+
+
+def test_arrayfun_shape_mismatch_errors_before_fusing():
+    from runmat_tpu.session import Session
+    s = Session(accelerate=True)
+    r = s.execute("arrayfun(@plus, gpuArray(ones(2,2)), gpuArray(ones(1,2)));")
+    assert r.error is not None
+    assert "same size" in r.error.message

@@ -173,3 +173,15 @@ def test_try_catch_edge():
           if any(code.instrs[pc][0] == B.TRY_PUSH
                  for pc in range(b.start, b.end))]
     assert tp and len(tp[0].succs) == 2
+
+
+def test_indexed_first_assignment_not_flagged():
+    # y(3) = 5 on an undefined y is legal MATLAB (auto-grow)
+    src = ("function y = f(n)\n"
+           "for k = 1:n\n"
+           "  y(k) = k * 2;\n"
+           "end\n"
+           "end\n")
+    prog = _compile(src)
+    findings = mir.analyze_code(prog.functions["f"])
+    assert not any(ident == "mir/MaybeUndefined" for _, ident, _ in findings)
