@@ -575,6 +575,22 @@ def _b_histcounts(eng, opts):
     return f
 
 
+def _b_topk(eng, opts):
+    """maxk/mink via lax.top_k over the reduction axis (vector inputs; the
+    common selection case). NaNs sort to the tail per MATLAB."""
+    jax = eng.jax
+    jnp = eng.jnp
+    k, largest = opts
+
+    def f(x):
+        v = x.reshape(-1)
+        key = v if largest else -v
+        key = jnp.where(jnp.isnan(key), -jnp.inf, key)
+        _, idx = jax.lax.top_k(key, k)
+        return jnp.take(v, idx)
+    return f
+
+
 def _b_movwin(eng, opts):
     """Moving-window statistics via lax.reduce_window (≙ provider
     moving_window, api lib.rs:2852). MATLAB centering: window
@@ -635,4 +651,5 @@ _BUILDERS = {
     "ismember": _b_ismember,
     "histcounts": _b_histcounts,
     "movwin": _b_movwin,
+    "topk": _b_topk,
 }

@@ -269,6 +269,20 @@ def m_movmad(x, k):
 # --------------------------------------------------------------- maxk / bounds #
 
 def _topk(x, k, dim, largest: bool, nargout: int):
+    # device selection for resident vectors, values-only form (lax.top_k)
+    if nargout <= 1 and dim is None and isinstance(x, MatArray) and \
+            not x.is_complex and (x.shape[0] == 1 or x.shape[1] == 1) and \
+            x.size > 1:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(x):
+            kk = min(scalar_int(k, "k"), x.size)
+            out = eng.linalg("topk", [x], (kk, largest))
+            if out is not None:
+                r = out[0]
+                if x.shape[0] == 1 and r.shape[0] > 1:
+                    r = eng.reshape(r, (1, r.size))
+                return r
     h = x.host().astype(np.float64)
     kk = scalar_int(k, "k")
     ax = (scalar_int(dim, "dim") - 1) if dim is not None else (0 if h.shape[0] != 1 else 1)

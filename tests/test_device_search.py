@@ -79,3 +79,20 @@ def test_movmax_device_parity():
             "m = movmax(x, 11); ref = movmax(gather(x), 11); "
             "err = max(abs(gather(m) - ref));", accelerate=True)
     assert _err(s) < 1e-12
+
+
+def test_maxk_mink_device_parity():
+    s = run("x = gpuArray(randn(1, 5000)); "
+            "mx = maxk(x, 7); ok = existsOnGPU(mx); "
+            "mn = mink(x, 5); "
+            "rx = maxk(gather(x), 7); rn = mink(gather(x), 5); "
+            "ex = max(abs(gather(mx) - rx)); en = max(abs(gather(mn) - rn));",
+            accelerate=True)
+    assert bool(np.asarray(s.get("ok").host()).reshape(-1)[0])
+    assert _err(s, "ex") == 0.0 and _err(s, "en") == 0.0
+
+
+def test_maxk_with_nans_device():
+    s = run("x = gpuArray([3 nan 7 1 nan 9]); "
+            "r = gather(maxk(x, 3));", accelerate=True)
+    np.testing.assert_allclose(s.get("r").host().reshape(-1), [9, 7, 3])
