@@ -97,10 +97,16 @@ def m_isgpuarray(x):
 def m_gpudevice(idx=None):
     eng = _engine()
     info = eng.device_info()
+    mem = eng.memory_info()
+    total = float(mem["bytes_limit"] or info.get("memory", 0))
+    in_use = float(mem["bytes_in_use"]) if mem["available"] else \
+        float(eng.residency.live_bytes)   # ledger fallback (jax-CPU)
     return StructArray.scalar({
         "Name": MatArray.char_from_str(info["name"]),
         "Index": MatArray.scalar(1.0),
-        "TotalMemory": MatArray.scalar(float(info.get("memory", 0))),
+        "TotalMemory": MatArray.scalar(total),
+        "AvailableMemory": MatArray.scalar(max(total - in_use, 0.0)),
+        "MemoryInUse": MatArray.scalar(in_use),
         "DeviceAvailable": MatArray.logical_scalar(True),
         "Platform": MatArray.char_from_str(info["platform"]),
         "DeviceCount": MatArray.scalar(float(info.get("count", 1))),

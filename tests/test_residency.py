@@ -118,3 +118,16 @@ def test_gc_cli_commands(capsys):
         assert "hbm budget" in capsys.readouterr().out
     finally:
         set_engine(prev)
+
+
+def test_gpudevice_memory_fields():
+    prev, eng = _fresh_engine()
+    try:
+        s = Session(accelerate=True)
+        s.run_source("x = gpuArray(ones(10000, 1)); y = gather(sum(x)); "
+                     "d = gpuDevice(); t = d.TotalMemory; "
+                     "u = d.MemoryInUse; a = d.AvailableMemory;", "t")
+        u = float(np.asarray(s.get("u").host()).reshape(-1)[0])
+        assert u >= 80000   # the 80 KB array is in the ledger
+    finally:
+        set_engine(prev)
