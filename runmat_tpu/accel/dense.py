@@ -56,7 +56,8 @@ class DenseOps:
             # override for experiments via RUNMAT_TPU_ALLOW_C128=1)
             import os
             eff = dt
-            if kind in ("fft", "fft2") and np.dtype(dt).kind == "f":
+            if kind in ("fft", "fft2", "hilbert", "spectrogram") and \
+                    np.dtype(dt).kind == "f":
                 eff = np.dtype(np.complex64 if dt == np.float32
                                else np.complex128)
             if np.dtype(eff) == np.complex128 and \
@@ -575,6 +576,40 @@ def _b_histcounts(eng, opts):
     return f
 
 
+def _b_hilbert(eng, opts):
+    """Analytic signal: one-sided FFT weighting in a single kernel
+    (≙ provider hilbert/envelope hooks, api lib.rs:2535-2577)."""
+    jnp = eng.jnp
+    npts, envelope = opts
+    w = np.zeros(npts)
+    if npts % 2 == 0:
+        w[0] = w[npts // 2] = 1
+        w[1:npts // 2] = 2
+    else:
+        w[0] = 1
+        w[1:(npts + 1) // 2] = 2
+
+    def f(x):
+        sp = jnp.fft.fft(x.reshape(-1), npts)
+        analytic = jnp.fft.ifft(sp * w)
+        return jnp.abs(analytic) if envelope else analytic
+    return f
+
+
+def _b_spectrogram(eng, opts):
+    """STFT as ONE kernel: strided frame gather + window + batched FFT +
+    bin slice (≙ provider spectral hook + staged FFT dispatch)."""
+    jnp = eng.jnp
+    nseg, hop, nf, nwin, nbins = opts
+
+    def f(x, w):
+        idx = np.arange(nwin)[:, None] * hop + np.arange(nseg)[None, :]
+        segs = jnp.take(x.reshape(-1), idx) * w.reshape(-1)[None, :]
+        S = jnp.fft.fft(segs, nf, axis=1)[:, :nbins]
+        return S.T
+    return f
+
+
 def _b_topk(eng, opts):
     """maxk/mink via lax.top_k over the reduction axis (vector inputs; the
     common selection case). NaNs sort to the tail per MATLAB."""
@@ -652,4 +687,6 @@ _BUILDERS = {
     "histcounts": _b_histcounts,
     "movwin": _b_movwin,
     "topk": _b_topk,
+    "hilbert": _b_hilbert,
+    "spectrogram": _b_spectrogram,
 }

@@ -255,7 +255,20 @@ def m_sinc(x):
 
 @builtin("hilbert", category="math/signal", min_in=1, max_in=2)
 def m_hilbert(x, n=None):
-    """Analytic signal via the one-sided FFT method."""
+    """Analytic signal via the one-sided FFT method (device path: one
+    fused fft/weight/ifft kernel — ≙ provider hilbert hook)."""
+    npts_req = int(n.host().reshape(-1)[0]) if n is not None else x.size
+    if isinstance(x, MatArray) and not x.is_complex and \
+            npts_req == x.size:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(x):
+            out = eng.linalg("hilbert", [x], (npts_req, False))
+            if out is not None:
+                r = out[0]
+                if x.shape[0] == 1 and r.shape[0] > 1:
+                    r = eng.reshape(r, (1, r.size))
+                return r
     h = x.host().astype(np.float64)
     vec = h.reshape(-1)
     npts = int(n.host().reshape(-1)[0]) if n is not None else vec.size
@@ -274,6 +287,16 @@ def m_hilbert(x, n=None):
 
 @builtin("envelope", category="math/signal", min_in=1, max_in=1)
 def m_envelope(x):
+    if isinstance(x, MatArray) and not x.is_complex:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(x):
+            out = eng.linalg("hilbert", [x], (int(x.size), True))
+            if out is not None:
+                r = out[0]
+                if tuple(r.shape) != tuple(x.shape):
+                    r = eng.reshape(r, tuple(x.shape))
+                return r
     h = x.host().astype(np.float64).reshape(-1)
     sp = np.fft.fft(h)
     w = np.zeros(h.size)
@@ -292,9 +315,9 @@ def m_envelope(x):
 @builtin("spectrogram", category="math/signal", min_in=1, max_in=4, max_out=4,
          pass_nargout=True)
 def m_spectrogram(x, window=None, noverlap=None, nfft=None, nargout=1):
-    h = x.host().astype(np.float64).reshape(-1)
+    n_in = int(x.size)     # sizes from metadata: no gather on the device path
     if window is None:
-        nseg = max(8, h.size // 8)
+        nseg = max(8, n_in // 8)
         w = _window_vec(nseg, "hamming")
     elif window.size == 1:
         nseg = int(window.host().reshape(-1)[0])
@@ -305,12 +328,27 @@ def m_spectrogram(x, window=None, noverlap=None, nfft=None, nargout=1):
     nov = int(noverlap.host().reshape(-1)[0]) if noverlap is not None else nseg // 2
     nf = int(nfft.host().reshape(-1)[0]) if nfft is not None else max(256, nseg)
     hop = nseg - nov
-    nwin = max(0, (h.size - nov) // hop)
+    nwin = max(0, (n_in - nov) // hop)
     nbins = nf // 2 + 1
-    S = np.empty((nbins, nwin), dtype=complex)
-    for i in range(nwin):
-        seg = h[i * hop: i * hop + nseg] * w
-        S[:, i] = np.fft.fft(seg, nf)[:nbins]
+    S = None
+    if isinstance(x, MatArray) and not x.is_complex and nwin > 0:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(x):
+            # whole STFT as one device kernel (frame gather + window +
+            # batched FFT); gather to host for the return shape/F/T math
+            out = eng.dense.call(
+                "spectrogram",
+                [x, MatArray(w.reshape(1, -1), "double")],
+                (nseg, hop, nf, nwin, nbins))
+            if out is not None:
+                S = np.asarray(out[0])
+    if S is None:
+        h = x.host().astype(np.float64).reshape(-1)
+        S = np.empty((nbins, nwin), dtype=complex)
+        for i in range(nwin):
+            seg = h[i * hop: i * hop + nseg] * w
+            S[:, i] = np.fft.fft(seg, nf)[:nbins]
     if nargout <= 1:
         return MatArray(S, "double")
     F = np.arange(nbins, dtype=np.float64).reshape(-1, 1) / nf

@@ -96,3 +96,24 @@ def test_maxk_with_nans_device():
     s = run("x = gpuArray([3 nan 7 1 nan 9]); "
             "r = gather(maxk(x, 3));", accelerate=True)
     np.testing.assert_allclose(s.get("r").host().reshape(-1), [9, 7, 3])
+
+
+def test_hilbert_envelope_device_parity():
+    s = run("x = gpuArray(sin(0.02*(1:4096)) + 0.3*cos(0.11*(1:4096))); "
+            "hgpu = gather(hilbert(x)); href = hilbert(gather(x)); "
+            "eh = max(abs(hgpu - href)); "
+            "egpu = gather(envelope(x)); eref = envelope(gather(x)); "
+            "ee = max(abs(egpu - eref));", accelerate=True)
+    assert _err(s, "eh") < 1e-9
+    assert _err(s, "ee") < 1e-9
+
+
+def test_spectrogram_device_parity():
+    s = run("x = gpuArray(chirpish(1:8192)); "
+            .replace("chirpish(1:8192)", "sin(0.001*(1:8192).^1.5)") +
+            "[Sg, Fg, Tg] = spectrogram(x, 256, 128, 256); "
+            "[Sr, Fr, Tr] = spectrogram(gather(x), 256, 128, 256); "
+            "es = max(max(abs(Sg - Sr))); ef = max(abs(Fg - Fr)); "
+            "et = max(abs(Tg - Tr));", accelerate=True)
+    assert _err(s, "es") < 1e-8
+    assert _err(s, "ef") == 0.0 and _err(s, "et") == 0.0
