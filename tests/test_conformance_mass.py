@@ -661,3 +661,107 @@ def test_host_exception_identifier_mapping():
     from runmat_tpu.values import text_of
     assert text_of(s.get("got")) == "MATLAB:sizeDimensionsMustMatch"
     bump()
+
+
+# --------------------------------------------------------------------------- #
+# Tier E: edge-semantics battery (saturation / empties / NaN modes / 'like')
+# --------------------------------------------------------------------------- #
+
+def test_integer_saturation_edges():
+    cases = [
+        ("int8(127) + int8(1)", 127.0),
+        ("int8(-128) - int8(1)", -128.0),
+        ("uint8(0) - uint8(5)", 0.0),
+        ("int16(32767) * int16(2)", 32767.0),
+        ("uint16(70000)", 65535.0),
+        ("int32(2^31)", 2.0 ** 31 - 1),
+        ("uint32(-5)", 0.0),
+        ("int8(3.5)", 4.0),          # round-half-away
+        ("int8(-3.5)", -4.0),
+        ("idivide(int32(7), int32(2))", 3.0),   # fix toward zero default
+    ]
+    for src, want in cases:
+        got = float(np.asarray(ev_num(src)).reshape(-1)[0])
+        assert got == want, (src, got, want)
+        bump()
+
+
+def test_empty_reduction_semantics():
+    assert float(np.asarray(ev_num("sum([])")).reshape(-1)[0]) == 0.0
+    assert float(np.asarray(ev_num("prod([])")).reshape(-1)[0]) == 1.0
+    assert ev_num("max([])").size == 0
+    assert ev_num("min([])").size == 0
+    assert np.isnan(float(np.asarray(ev_num("mean([])")).reshape(-1)[0]))
+    assert float(np.asarray(ev_num("any([])")).reshape(-1)[0]) == 0.0
+    assert float(np.asarray(ev_num("all([])")).reshape(-1)[0]) == 1.0
+    assert float(np.asarray(ev_num("numel(zeros(0, 3))")).reshape(-1)[0]) == 0.0
+    bump(8)
+
+
+def test_nan_mode_semantics():
+    cases = [
+        ("max([1 nan 3])", 3.0),          # max/min skip NaN
+        ("min([nan 2])", 2.0),
+        ("sum([1 nan])", float("nan")),   # sum propagates
+        ("mean([1 nan 3], 'omitnan')", 2.0),
+        ("sum([1 nan 3], 'omitnan')", 4.0),
+        ("median([1 nan 3], 'omitnan')", 2.0),
+        ("std([2 nan 4], 'omitnan')", np.std([2.0, 4], ddof=1)),
+    ]
+    for src, want in cases:
+        got = float(np.asarray(ev_num(src)).reshape(-1)[0])
+        if np.isnan(want):
+            assert np.isnan(got), src
+        else:
+            assert abs(got - want) < 1e-12, (src, got, want)
+        bump()
+
+
+def test_like_residency_and_class():
+    s = sess()
+    s.run_source("g = gpuArray(single(ones(4))); "
+                 "z = zeros(3, 'like', g); "
+                 "zc = class(z); zg = existsOnGPU(z); "
+                 "o = ones(2, 'like', 5); oc = class(o);", "t")
+    from runmat_tpu.values import text_of
+    assert text_of(s.get("zc")) == "single"
+    assert bool(np.asarray(s.get("zg").host()).reshape(-1)[0])
+    assert text_of(s.get("oc")) == "double"
+    bump(3)
+
+
+def test_complex_edge_semantics():
+    assert abs(complex(np.asarray(ev_num("sqrt(-4)")).reshape(-1)[0]) - 2j) \
+        < 1e-12
+    assert abs(float(np.asarray(ev_num("abs(3 + 4i)")).reshape(-1)[0]) - 5) \
+        < 1e-12
+    # complex comparison uses real part only
+    assert float(np.asarray(ev_num("(1+5i) < (2+0i)")).reshape(-1)[0]) == 1.0
+    # max on complex: by magnitude
+    got = complex(np.asarray(ev_num("max([1+1i, 2])")).reshape(-1)[0])
+    assert abs(got - 2) < 1e-12
+    bump(4)
+
+
+def test_colon_and_end_edges():
+    assert ev_num("(5:1)").size == 0                     # empty range
+    assert float(np.asarray(ev_num("numel(1:0.1:2)")).reshape(-1)[0]) == 11.0
+    s = sess()
+    s.run_source("v = (10:10:50); a = v(end); b = v(end-1); "
+                 "c = v(2:end); n = numel(c);", "t")
+    assert float(np.asarray(s.get("a").host()).reshape(-1)[0]) == 50.0
+    assert float(np.asarray(s.get("b").host()).reshape(-1)[0]) == 40.0
+    assert float(np.asarray(s.get("n").host()).reshape(-1)[0]) == 4.0
+    bump(5)
+
+
+def test_deletion_and_growth_edges():
+    s = sess()
+    s.run_source("q = 1:6; q([2 4]) = []; nq = numel(q); "
+                 "w = []; w(3) = 9; sw = size(w); "
+                 "M = magic(3); M(:, 2) = []; sm = size(M);", "t")
+    assert float(np.asarray(s.get("nq").host()).reshape(-1)[0]) == 4.0
+    np.testing.assert_allclose(s.get("sw").host().reshape(-1), [1, 3])
+    np.testing.assert_allclose(s.get("sm").host().reshape(-1), [3, 2])
+    assert s.get("w").host().reshape(-1)[2] == 9.0
+    bump(4)
