@@ -388,14 +388,28 @@ def m_pwelch(x, window=None, noverlap=None, nfft=None, nargout=1):
     hop = nseg - nov
     nwin = max(1, (h.size - nov) // hop)
     nbins = nf // 2 + 1
-    acc = np.zeros(nbins)
     U = np.sum(w ** 2)
-    for i in range(nwin):
-        seg = h[i * hop: i * hop + nseg]
-        if seg.size < nseg:
-            seg = np.pad(seg, (0, nseg - seg.size))
-        sp = np.fft.fft(seg * w, nf)[:nbins]
-        acc += (np.abs(sp) ** 2) / U
+    acc = None
+    if isinstance(x, MatArray) and not x.is_complex and \
+            (h.size - nov) // hop >= 1:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None and eng.route_linalg(x):
+            # Welch periodograms ride the one-kernel device STFT
+            out = eng.dense.call(
+                "spectrogram", [x, MatArray(w.reshape(1, -1), "double")],
+                (nseg, hop, nf, nwin, nbins))
+            if out is not None:
+                S = np.asarray(out[0])
+                acc = (np.abs(S) ** 2 / U).sum(axis=1)
+    if acc is None:
+        acc = np.zeros(nbins)
+        for i in range(nwin):
+            seg = h[i * hop: i * hop + nseg]
+            if seg.size < nseg:
+                seg = np.pad(seg, (0, nseg - seg.size))
+            sp = np.fft.fft(seg * w, nf)[:nbins]
+            acc += (np.abs(sp) ** 2) / U
     pxx = acc / nwin / (2 * np.pi)
     pxx[1:-1] *= 2
     if nargout <= 1:

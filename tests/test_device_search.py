@@ -117,3 +117,13 @@ def test_spectrogram_device_parity():
             "et = max(abs(Tg - Tr));", accelerate=True)
     assert _err(s, "es") < 1e-8
     assert _err(s, "ef") == 0.0 and _err(s, "et") == 0.0
+
+
+def test_pwelch_device_parity():
+    s = run("x = gpuArray(sin(0.05*(1:8192)) + 0.1*sin(0.4*(1:8192))); "
+            "[pg, wg] = pwelch(x, 256, 128, 512); "
+            "[pr, wr] = pwelch(gather(x), 256, 128, 512); "
+            "ep = max(abs(pg - pr)); ew = max(abs(wg - wr));",
+            accelerate=True)
+    assert _err(s, "ep") < 1e-10
+    assert _err(s, "ew") == 0.0
