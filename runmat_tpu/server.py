@@ -195,18 +195,42 @@ def serve_stdio(sess) -> int:
     return 0
 
 
-def serve_http(sess, host: str, port: int) -> int:
+def serve_http(sess, host: str, port: int, token: str = None) -> int:
     """HTTP bridge + in-browser REPL: the TPU-native answer to the
     reference's wasm embedding (crates/runmat-wasm + bindings/ts). A browser
     cannot host a TPU, so instead of compiling the runtime to wasm the
     session stays server-side (next to the chips) and the browser gets a
     single-page REPL speaking the same request ABI over POST /api.
-    GET / serves the page; binds localhost."""
+    GET / serves the page; binds localhost.
+
+    Security: 'execute' can run arbitrary code (incl. the system() builtin),
+    so the bridge is locked down against drive-by requests from web pages:
+    a per-session random token is required on every request (query param on
+    GET /, X-Runmat-Token header on /api), the Host header must be local
+    (defeats DNS rebinding), cross-site Origin headers are rejected, and
+    /api requires Content-Type: application/json (forces a CORS preflight,
+    which we never answer)."""
+    import secrets
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     lock = threading.Lock()
+    if token is None:
+        token = secrets.token_urlsafe(24)
     page = _repl_page()
+
+    def _host_ok(hdr):
+        h = (hdr or "").rsplit(":", 1)[0].strip("[]").lower()
+        return h in ("localhost", "127.0.0.1", "::1", host.lower())
+
+    def _origin_ok(hdr):
+        if not hdr:          # same-origin fetches and curl omit Origin
+            return True
+        try:
+            from urllib.parse import urlsplit
+            return _host_ok(urlsplit(hdr).netloc)
+        except ValueError:
+            return False
 
     class H(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -221,8 +245,25 @@ def serve_http(sess, host: str, port: int) -> int:
             self.end_headers()
             self.wfile.write(body)
 
+        def _guard(self, supplied_token):
+            if not _host_ok(self.headers.get("Host")):
+                self._send(403, b"forbidden: bad host", "text/plain")
+                return False
+            if not _origin_ok(self.headers.get("Origin")):
+                self._send(403, b"forbidden: bad origin", "text/plain")
+                return False
+            if not (supplied_token and secrets.compare_digest(supplied_token, token)):
+                self._send(403, b"forbidden: bad token", "text/plain")
+                return False
+            return True
+
         def do_GET(self):
-            if self.path in ("/", "/index.html"):
+            from urllib.parse import parse_qs, urlsplit
+            parts = urlsplit(self.path)
+            if parts.path in ("/", "/index.html"):
+                q = parse_qs(parts.query).get("token", [""])[0]
+                if not self._guard(q):
+                    return
                 self._send(200, page, "text/html; charset=utf-8")
             else:
                 self._send(404, b"not found", "text/plain")
@@ -230,6 +271,11 @@ def serve_http(sess, host: str, port: int) -> int:
         def do_POST(self):
             if self.path != "/api":
                 return self._send(404, b"not found", "text/plain")
+            if not self._guard(self.headers.get("X-Runmat-Token")):
+                return
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+            if ctype != "application/json":
+                return self._send(415, b'{"ok":false}', "application/json")
             n = int(self.headers.get("Content-Length") or 0)
             try:
                 req = json.loads(self.rfile.read(n))
@@ -241,7 +287,8 @@ def serve_http(sess, host: str, port: int) -> int:
 
     httpd = ThreadingHTTPServer((host, port), H)
     actual = httpd.server_address[1]
-    print(f"runmat-tpu web REPL on http://{host}:{actual}", file=sys.stderr)
+    print(f"runmat-tpu web REPL on http://{host}:{actual}/?token={token}",
+          file=sys.stderr)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
@@ -288,8 +335,9 @@ drag to pan, wheel to zoom, double-click to reset.
 const log=document.getElementById('log'),inp=document.getElementById('input'),
 vars=document.getElementById('vars'),figs=document.getElementById('figs');
 let id=1;const hist=[];let hi=0;const view={};
+const TOKEN=new URLSearchParams(location.search).get('token')||'';
 async function api(body){const r=await fetch('/api',{method:'POST',
-headers:{'Content-Type':'application/json'},
+headers:{'Content-Type':'application/json','X-Runmat-Token':TOKEN},
 body:JSON.stringify({id:id++,...body})});return r.json();}
 function add(cls,text){const d=document.createElement('div');d.className=cls;
 d.textContent=text;log.appendChild(d);log.scrollTop=log.scrollHeight;}

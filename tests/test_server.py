@@ -129,10 +129,12 @@ def test_http_bridge_serves_repl_and_api(tmp_path):
 
     holder = {}
 
+    TOKEN = "test-token-abc123"
+
     def run_server():
         # serve_http blocks; capture the port via monkeypatching print? —
         # simpler: use a fixed high port with retry
-        serve_http(s, "127.0.0.1", holder["port"])
+        serve_http(s, "127.0.0.1", holder["port"], token=TOKEN)
 
     import socket
     sock = socket.socket()
@@ -144,26 +146,71 @@ def test_http_bridge_serves_repl_and_api(tmp_path):
     base = f"http://127.0.0.1:{holder['port']}"
     for _ in range(50):
         try:
-            page = urllib.request.urlopen(base + "/", timeout=1).read()
+            page = urllib.request.urlopen(
+                base + "/?token=" + TOKEN, timeout=1).read()
             break
+        except urllib.error.HTTPError:
+            raise
         except OSError:
             time.sleep(0.1)
     else:
         raise AssertionError("http server did not come up")
     assert b"runmat-tpu web REPL" in page
+    hdrs = {"Content-Type": "application/json", "X-Runmat-Token": TOKEN}
     req = urllib.request.Request(
         base + "/api",
         data=json.dumps({"id": 1, "op": "execute",
                          "source": "z = 6*7; disp(z)"}).encode(),
-        headers={"Content-Type": "application/json"})
+        headers=hdrs)
     resp = json.loads(urllib.request.urlopen(req, timeout=5).read())
     assert resp["ok"] and "42" in resp["output"]
     req2 = urllib.request.Request(
         base + "/api",
         data=json.dumps({"id": 2, "op": "workspace"}).encode(),
-        headers={"Content-Type": "application/json"})
+        headers=hdrs)
     resp2 = json.loads(urllib.request.urlopen(req2, timeout=5).read())
     assert resp2["workspace"]["z"]["value"] == [[42.0]]
+
+    # --- security guard battery (ADVICE r2 high: drive-by RCE hardening) ---
+    import urllib.error
+
+    def status_of(url, data=None, headers=None):
+        try:
+            r = urllib.request.urlopen(
+                urllib.request.Request(url, data=data, headers=headers or {}),
+                timeout=5)
+            return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    body = json.dumps({"id": 9, "op": "execute", "source": "1+1"}).encode()
+    # no token → 403 on both surfaces
+    assert status_of(base + "/") == 403
+    assert status_of(base + "/api", body,
+                     {"Content-Type": "application/json"}) == 403
+    # wrong token → 403
+    assert status_of(base + "/api", body,
+                     {"Content-Type": "application/json",
+                      "X-Runmat-Token": "nope"}) == 403
+    # cross-site Origin → 403 even with the right token
+    assert status_of(base + "/api", body,
+                     {"Content-Type": "application/json",
+                      "X-Runmat-Token": TOKEN,
+                      "Origin": "http://evil.example.com"}) == 403
+    # DNS-rebinding Host header → 403
+    assert status_of(base + "/api", body,
+                     {"Content-Type": "application/json",
+                      "X-Runmat-Token": TOKEN,
+                      "Host": "evil.example.com"}) == 403
+    # text/plain body (no-preflight CSRF shape) → 415
+    assert status_of(base + "/api", body,
+                     {"Content-Type": "text/plain",
+                      "X-Runmat-Token": TOKEN}) == 415
+    # localhost Origin with the right token still works
+    assert status_of(base + "/api", body,
+                     {"Content-Type": "application/json",
+                      "X-Runmat-Token": TOKEN,
+                      "Origin": f"http://127.0.0.1:{holder['port']}"}) == 200
 
 
 def test_figures_op_returns_svg():
