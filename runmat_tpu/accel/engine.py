@@ -1172,6 +1172,16 @@ class JaxEngine:
                                 "n_ops": len(ops), "enqueue_ms": round(ms, 3),
                                 "out_bytes": out_bytes})
 
+    def note_fallback(self, kind: str, reason: str) -> None:
+        """Make silent host fallbacks observable (VERDICT r2: gated ops must
+        not fail silent-slow): counts per-op in stats and lands in the
+        launch log surfaced by accel-info --json."""
+        self.stats["host_fallbacks"] = self.stats.get("host_fallbacks", 0) + 1
+        ent = self.category_stats.setdefault("host_fallback", [0, 0.0])
+        ent[0] += 1
+        self.launch_log.append({"cat": "host_fallback", "ops": [kind],
+                                "n_ops": 1, "reason": reason[:160]})
+
     def memory_info(self) -> dict:
         """Live device memory (HBM) accounting where the backend exposes it
         (TPU: per-device memory_stats; jax-CPU: unavailable -> zeros)."""

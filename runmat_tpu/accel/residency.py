@@ -137,7 +137,13 @@ def make_workspace_spiller(session, keep_fraction: float = 0.7):
 
     def spill(pool: ResidencyPool) -> None:
         target = int(pool.budget_bytes * keep_fraction)
+        # Base workspace plus every live interpreter frame: device arrays
+        # held by in-flight function calls are spill candidates too.
         frames = [session.base_frame]
+        interp = getattr(session, "interp", None)
+        for fr in getattr(interp, "active_frames", ()):
+            if fr is not session.base_frame:
+                frames.append(fr)
         candidates = []
         for frame in frames:
             for name, v in list(frame.vars.items()):

@@ -65,19 +65,17 @@ def m_sort(x, *rest, nargout=1):
         key = np.abs(h)  # MATLAB sorts complex by magnitude (then angle)
     else:
         key = h
-    idx = np.argsort(key, axis=ax, kind="stable")
     if direction == "descend":
-        if key.dtype.kind == "f":
-            # keep NaNs last even when descending
-            nan_mask = np.isnan(np.take_along_axis(key, idx, axis=ax))
-            rev = np.flip(idx, axis=ax)
-            rev_nan = np.flip(nan_mask, axis=ax)
-            # stable partition: non-nan (reversed order) then nan
-            idx = np.concatenate(
-                [np.take_along_axis(rev, np.argsort(rev_nan, axis=ax, kind="stable"), axis=ax)],
-                axis=ax)
-        else:
-            idx = np.flip(idx, axis=ax)
+        # Stable descending with MATLAB's NaN-FIRST rule (reference
+        # comparator: sorting_sets/sort.rs compare_real_values): stable
+        # ascending argsort of the axis-reversed key, mapped back. NaN sorts
+        # last ascending, hence first descending; equal elements keep their
+        # original order in both directions.
+        n = key.shape[ax]
+        ia = np.argsort(np.flip(key, axis=ax), axis=ax, kind="stable")
+        idx = np.flip((n - 1) - ia, axis=ax)
+    else:
+        idx = np.argsort(key, axis=ax, kind="stable")
     vals = np.take_along_axis(h, idx, axis=ax)
     out = MatArray(vals, x.mclass)
     if nargout <= 1:

@@ -125,6 +125,7 @@ class Interp:
         self.session = session
         self._dloop_failed: set = set()   # (code id, pc) of failed device-loop gates
         self._nwhile_failed: set = set()  # (code id, pc) of failed native-while gates
+        self.active_frames: list = []     # live frame stack (spill candidates)
         registry.ensure_loaded()
 
     # ------------------------------------------------------------------ calls
@@ -348,6 +349,16 @@ class Interp:
     # -------------------------------------------------------------- main loop
 
     def run(self, code: B.Code, frame: Frame, keep_stack: bool = False):
+        # Register the frame so HBM-pressure spillers can see function-local
+        # workspaces, not just the base workspace (ADVICE r2: a long-running
+        # function allocating past budget must participate in spilling).
+        self.active_frames.append(frame)
+        try:
+            return self._run_impl(code, frame, keep_stack)
+        finally:
+            self.active_frames.pop()
+
+    def _run_impl(self, code: B.Code, frame: Frame, keep_stack: bool = False):
         instrs = code.instrs
         consts = code.consts
         n = len(instrs)

@@ -67,13 +67,25 @@ def test_sort_device_indices():
     np.testing.assert_allclose(s.get("i").host(), [[2, 3, 1]])
 
 
-def test_sort_device_nan_last_both_directions():
+def test_sort_device_nan_placement_both_directions():
+    # MATLAB rule: NaN last ascending, NaN FIRST descending (NaN acts as
+    # the largest value; ref sorting_sets/sort.rs compare_real_values).
     s = run("a = sort(gpuArray([3 NaN 1]), 'descend'); "
             "b = sort(gpuArray([3 NaN 1]));", accelerate=True)
-    np.testing.assert_allclose(s.get("a").host(), [[3, 1, np.nan]],
+    np.testing.assert_allclose(s.get("a").host(), [[np.nan, 3, 1]],
                                equal_nan=True)
     np.testing.assert_allclose(s.get("b").host(), [[1, 3, np.nan]],
                                equal_nan=True)
+
+
+def test_sort_descend_nan_before_inf_and_stable_ties():
+    # NaN sorts before Inf on descend; duplicate values keep original order
+    # (stable) in both directions — indices prove it.
+    s = run("[v, i] = sort(gpuArray([2 Inf NaN 2 5]), 'descend');",
+            accelerate=True)
+    np.testing.assert_allclose(s.get("v").host(), [[np.nan, np.inf, 5, 2, 2]],
+                               equal_nan=True)
+    np.testing.assert_allclose(s.get("i").host(), [[3, 2, 5, 1, 4]])
 
 
 def test_median_nnz_device():

@@ -127,6 +127,18 @@ def test_chol_not_posdef_device():
     assert bool(s2.get("ok").host())
 
 
+def test_chol_semidefinite_flagged_device():
+    """ADVICE r2: PSD-singular inputs (zero pivot, no NaN in the factor)
+    must still report not-positive-definite like MATLAB/the reference."""
+    s = run("[R, p] = chol(gpuArray([1 0; 0 0]));", accelerate=True)
+    assert float(s.get("p").host().ravel()[0]) == 1.0
+    assert s.get("R").size == 0
+    s2 = run("ok = false; try, chol(gpuArray(diag([2 1 0]))); catch e, "
+             "ok = strcmp(e.identifier, 'MATLAB:posdef'); end",
+             accelerate=True)
+    assert bool(s2.get("ok").host())
+
+
 def test_qr_device():
     s = run("A = gpuArray(magic(6)); [Q, R] = qr(A); "
             "e = norm(Q*R - A, 'fro'); o = norm(Q'*Q - eye(6), 'fro'); "

@@ -131,3 +131,33 @@ def test_gpudevice_memory_fields():
         assert u >= 80000   # the 80 KB array is in the ledger
     finally:
         set_engine(prev)
+
+
+def test_pressure_spills_function_local_frames():
+    """ADVICE r2: device arrays held in ACTIVE function frames participate
+    in spilling, not just base-workspace variables."""
+    prev, eng = _fresh_engine()
+    try:
+        eng.residency.budget_bytes = 200_000
+        s = Session(accelerate=True)
+        from runmat_tpu.accel.residency import make_workspace_spiller
+        eng.residency.pressure_hooks.append(make_workspace_spiller(s))
+        # The function allocates three device arrays locally (240 KB total,
+        # over the 200 KB budget) while the base workspace holds none; the
+        # pressure hook must find them through the live frame stack and the
+        # function must still compute the right answer on spilled values.
+        src = (
+            "function r = burst()\n"
+            "  u = gpuArray(ones(10000,1)); us = gather(sum(u));\n"
+            "  v = gpuArray(2*ones(10000,1)); vs = gather(sum(v));\n"
+            "  w = gpuArray(3*ones(10000,1)); ws = gather(sum(w));\n"
+            "  r = gather(sum(u + v + w));\n"
+            "end\n")
+        s.run_source(src, "burst.m")
+        s.run_source("out = burst();", "t")
+        assert eng.residency.pressure_events >= 1
+        assert s._spill_count >= 1
+        assert abs(float(np.asarray(s.get("out").host()).reshape(-1)[0])
+                   - 6.0 * 10000) < 1e-9
+    finally:
+        set_engine(prev)
