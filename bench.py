@@ -164,6 +164,11 @@ def run_roofline(sess) -> dict:
 
     # ---- matmul MXU roofline: K chained NxN single matmuls in one fori_loop
     # dispatch. sc = 1/2048 keeps magnitudes stable (exact in f32).
+    # Measured in BOTH precision modes (VERDICT r2 #1): the parity default
+    # ('highest' = true-f32 multi-pass products, denominator = the f32 peak)
+    # and the opt-in 'bf16' downcast (denominator = the bf16 MXU peak). The
+    # headline matmul_pct_mxu is the PARITY mode — the number a MATLAB
+    # `single` workload actually gets by default.
     Nm = int(os.environ.get("BENCH_MM_N", 8192))
     Km = int(os.environ.get("BENCH_MM_K", 16))
     log(f"  matmul roofline: N={Nm}, K={Km}")
@@ -172,22 +177,67 @@ def run_roofline(sess) -> dict:
         return (f"for bench_k = 1:{k}, "
                 f"mm_C = mm_C * mm_B .* single(1/2048); end")
 
-    ctl = _timed_loop(
-        sess, eng, "mm_B = gpuArray(rand(16, 16, 'single')); "
-        "mm_C = gpuArray(rand(16, 16, 'single'));", mm_loop(Km), "mm_C", REPS)
-    ms = _timed_loop(
-        sess, eng, f"mm_B = gpuArray(rand({Nm}, {Nm}, 'single')); "
-        f"mm_C = gpuArray(rand({Nm}, {Nm}, 'single'));", mm_loop(Km), "mm_C",
-        REPS)
-    dev_ms = max(ms - ctl, 1e-3)
-    flops = Km * 2.0 * (Nm ** 3)
-    tflops = flops / (dev_ms / 1e3) / 1e12
+    def measure_mm() -> float:
+        ctl = _timed_loop(
+            sess, eng, "mm_B = gpuArray(rand(16, 16, 'single')); "
+            "mm_C = gpuArray(rand(16, 16, 'single'));", mm_loop(Km), "mm_C",
+            REPS)
+        ms = _timed_loop(
+            sess, eng, f"mm_B = gpuArray(rand({Nm}, {Nm}, 'single')); "
+            f"mm_C = gpuArray(rand({Nm}, {Nm}, 'single'));", mm_loop(Km),
+            "mm_C", REPS)
+        dev_ms = max(ms - ctl, 1e-3)
+        flops = Km * 2.0 * (Nm ** 3)
+        return flops / (dev_ms / 1e3) / 1e12
+
+    # f32-equivalent product peak: HIGHEST lowers to 6 bf16 passes on the
+    # MXU (HIGH would be 3); the achievable f32 ceiling is peak/6.
+    policy = eng.matmul_precision
+    f32_div = {"highest": 6.0, "high": 3.0}.get(policy, 1.0)
+    f32_peak = mxu_peak / f32_div
+    tflops = measure_mm()
+    out["matmul_precision"] = policy
     out["matmul_tflops"] = round(tflops, 1)
-    out["matmul_pct_mxu"] = round(100.0 * tflops / mxu_peak, 1)
-    log(f"  matmul: {tflops:.1f} TFLOP/s = {out['matmul_pct_mxu']:.1f}% of "
-        f"{mxu_peak:.0f} TFLOP/s MXU peak (overhead control {ctl:.1f} ms)")
+    out["matmul_pct_mxu"] = round(100.0 * tflops / f32_peak, 1)
+    log(f"  matmul[{policy}]: {tflops:.1f} TFLOP/s = "
+        f"{out['matmul_pct_mxu']:.1f}% of {f32_peak:.0f} TFLOP/s "
+        f"f32-equivalent peak (bf16 peak {mxu_peak:.0f} / {f32_div:.0f})")
+
+    if os.environ.get("BENCH_SKIP_BF16") != "1" and policy != "bf16":
+        prev_policy = eng.matmul_precision
+        try:
+            eng.matmul_precision = "bf16"
+            tflops_bf16 = measure_mm()
+            out["matmul_tflops_bf16"] = round(tflops_bf16, 1)
+            out["matmul_pct_mxu_bf16"] = round(
+                100.0 * tflops_bf16 / mxu_peak, 1)
+            log(f"  matmul[bf16 opt-in]: {tflops_bf16:.1f} TFLOP/s = "
+                f"{out['matmul_pct_mxu_bf16']:.1f}% of {mxu_peak:.0f} "
+                f"TFLOP/s bf16 MXU peak")
+        finally:
+            eng.matmul_precision = prev_policy
     sess.run_source("clear mm_B mm_C", "roofline_clear")
     return out
+
+
+def gemm_parity_check(sess) -> dict:
+    """Pin the precision policy on the real chip: device `single` GEMM under
+    the parity default must match a host numpy f32 GEMM to f32 rounding
+    (maxrel ~1e-6); the bf16 downcast path would show ~1e-3 and fail."""
+    import numpy as np
+    sess.run_source(
+        "rng(42); pp_A = single(rand(512)); pp_B = single(rand(512)); "
+        "pp_C = gather(gpuArray(pp_A) * gpuArray(pp_B));", "gemm_parity")
+    A = np.asarray(sess.get("pp_A").host(), dtype=np.float32)
+    B = np.asarray(sess.get("pp_B").host(), dtype=np.float32)
+    C = np.asarray(sess.get("pp_C").host(), dtype=np.float64)
+    ref = (A @ B).astype(np.float64)
+    maxrel = float(np.max(np.abs(C - ref)) / np.max(np.abs(ref)))
+    ok = maxrel < 1e-4
+    log(f"  gemm parity (single, default policy): maxrel {maxrel:.2e} "
+        f"{'OK' if ok else 'FAIL — bf16-class truncation detected'}")
+    sess.run_source("clear pp_A pp_B pp_C", "gemm_parity_clear")
+    return {"gemm_parity_maxrel": maxrel, "gemm_parity_ok": ok}
 
 
 def main() -> int:
@@ -224,6 +274,10 @@ def main() -> int:
             roofline = run_roofline(sess)
         except Exception as e:  # roofline must never sink the suite result
             log(f"  roofline failed: {type(e).__name__}: {e}")
+        try:
+            roofline.update(gemm_parity_check(sess))
+        except Exception as e:
+            log(f"  gemm parity check failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "benchmark_suite_geomean_speedup_vs_runmat",

@@ -361,7 +361,8 @@ def _b_pagemtimes(eng, opts):
         if pb.shape[0] == 1 and pa.shape[0] > 1:
             pb = jnp.broadcast_to(pb, (pa.shape[0],) + pb.shape[1:])
         pe = np.dtype(np.float32) if pa.dtype == np.float16 else pa.dtype
-        r = jnp.matmul(pa, pb, preferred_element_type=pe)
+        r = jnp.matmul(pa, pb, preferred_element_type=pe,
+                       precision=eng.mm_precision())
         if r.shape[0] == 1:
             return r[0]
         out = jnp.moveaxis(r, 0, -1)

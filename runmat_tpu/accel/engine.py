@@ -84,7 +84,8 @@ class JaxEngine:
     def __init__(self, platform: Optional[str] = None, required: bool = False,
                  auto_offload: Optional[bool] = None,
                  offload_threshold: Optional[int] = None,
-                 mesh_devices: Optional[int] = None):
+                 mesh_devices: Optional[int] = None,
+                 matmul_precision: Optional[str] = None):
         import jax
         jax.config.update("jax_enable_x64", True)
         # Persistent executable cache (≙ the reference's on-disk pipeline
@@ -160,6 +161,18 @@ class JaxEngine:
                 from jax.sharding import Mesh
                 self.mesh = Mesh(np.array(devices[:n]), ("data",))
         self.fuse_cap = int(os.environ.get("RUNMAT_TPU_FUSE_CAP", str(DEFAULT_FUSE_CAP)))
+        # ---- matmul precision policy (≙ the reference's opt-in downcast
+        # guard, runmat-accelerate/src/precision.rs:31-60). JAX's TPU default
+        # multiplies f32 operands at bf16 (~13 mantissa bits lost) — MATLAB
+        # `single` parity requires true-f32 products, so the default is
+        # 'highest' (f32-equivalent multi-pass on the MXU). Users opt into
+        # the fast path explicitly: RUNMAT_TPU_MATMUL_PRECISION=bf16|high|
+        # highest, or RUNMAT_TPU_ALLOW_PRECISION_DOWNCAST=1 (bf16).
+        mm = os.environ.get("RUNMAT_TPU_MATMUL_PRECISION") or matmul_precision
+        if mm is None and \
+                os.environ.get("RUNMAT_TPU_ALLOW_PRECISION_DOWNCAST") == "1":
+            mm = "bf16"
+        self.matmul_precision = (mm or "highest").lower()
         from .dense import DenseOps
         self.dense = DenseOps(self)
         self._jit_cache: dict = {}
@@ -182,6 +195,17 @@ class JaxEngine:
         self.residency = ResidencyPool()
 
     # ------------------------------------------------------------- dtype policy
+
+    def mm_precision(self):
+        """The jax.lax.Precision for MXU contractions under the session
+        policy. Only consequential for f32 operands on TPU (f64 is emulated
+        exactly; bf16/f16 inputs are already reduced-precision)."""
+        from jax import lax
+        return {"highest": lax.Precision.HIGHEST,
+                "high": lax.Precision.HIGH,
+                "bf16": lax.Precision.DEFAULT,
+                "default": lax.Precision.DEFAULT,
+                }.get(self.matmul_precision, lax.Precision.HIGHEST)
 
     def dtype_for(self, mclass: str, is_complex: bool = False):
         """MATLAB class -> device dtype (≙ precision guard, accelerate/src/
@@ -337,7 +361,9 @@ class JaxEngine:
             raise MatError("MATLAB:innerdim",
                            "Incorrect dimensions for matrix multiplication.")
         shape = (na.shape[0], nb.shape[1])
-        node = self._op("matmul", [na, nb], (str(dt),), shape, dt)
+        # policy in the op key: executables are specialized per precision
+        node = self._op("matmul", [na, nb], (str(dt), self.matmul_precision),
+                        shape, dt)
         out = MatArray.from_device(node, out_class)
         out.dl = getattr(a, "dl", False) or getattr(b, "dl", False)
         return out
@@ -867,7 +893,8 @@ class JaxEngine:
             a = args[0].astype(dt).reshape(la)
             b = args[1].astype(dt).reshape(lb)
             pe = np.dtype(np.float32) if dt == np.float16 else dt
-            r = jnp.matmul(a, b, preferred_element_type=pe)
+            r = jnp.matmul(a, b, preferred_element_type=pe,
+                           precision=self.mm_precision())
             return self._to_phys(r, out_shape)
         if op == "transpose":
             conj = static[0]

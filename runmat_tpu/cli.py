@@ -126,6 +126,7 @@ def _dispatch(cmd: str, rest: list) -> int:
             info = eng.device_info()
             print(f"accelerator: {info['platform']} ({info['name']}), "
                   f"{info['count']} device(s)")
+            print(f"  matmul_precision: {eng.matmul_precision}")
             for k, v in eng.stats.items():
                 print(f"  {k}: {v}")
         if "--fusion" in rest and eng is not None:

@@ -20,6 +20,11 @@ _DEFAULTS: dict[str, dict[str, Any]] = {
         "offload_threshold": 32768,
         "fuse_cap": None,
         "compile_cache": None,       # dir | "0" to disable
+        # MXU contraction precision for f32 operands: "highest" (true-f32
+        # multi-pass, MATLAB single parity — default), "high" (3-pass),
+        # "bf16" (fast, opt-in downcast ≙ RUNMAT_ALLOW_PRECISION_DOWNCAST,
+        # reference precision.rs:31-60)
+        "matmul_precision": "highest",
     },
     "execution": {
         "seed": 0,
@@ -79,6 +84,7 @@ _ENV_MAP = {
     "RUNMAT_TPU_FUSE_CAP": ("accelerate", "fuse_cap", int),
     "RUNMAT_TPU_COMPAT": ("language", "compat", str),
     "RUNMAT_TPU_COMPILE_CACHE": ("accelerate", "compile_cache", str),
+    "RUNMAT_TPU_MATMUL_PRECISION": ("accelerate", "matmul_precision", str),
     "RUNMAT_TPU_LOG": ("logging", "level", str),
     "RUNMAT_TPU_TRACE": ("logging", "trace", lambda v: v == "1"),
 }

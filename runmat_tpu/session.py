@@ -103,7 +103,9 @@ class Session:
                     platform=self.config.get("accelerate", "platform"),
                     auto_offload=self.config.get("accelerate", "auto_offload"),
                     offload_threshold=self.config.get("accelerate",
-                                                      "offload_threshold"))
+                                                      "offload_threshold"),
+                    matmul_precision=self.config.get("accelerate",
+                                                     "matmul_precision"))
             except Exception:
                 if accelerate:
                     raise
