@@ -251,6 +251,24 @@ def main() -> int:
     info = eng.device_info() if eng else {"platform": "host", "name": "numpy"}
     log(f"bench on {info['platform']} ({info['name']})")
 
+    # Warmup-manifest replay FIRST (VERDICT r2 #2): AOT-compile the committed
+    # bench manifest + the user manifest into the persistent XLA cache so the
+    # per-workload warmups below are cache hits. With a hot disk cache this
+    # is seconds; on a genuinely cold cache it pays the tunnel compiles here,
+    # attributed to warmup_replay_s, under a wall budget.
+    warmup_replay_s = 0.0
+    if eng is not None and os.environ.get("BENCH_SKIP_WARMUP") != "1":
+        from runmat_tpu.accel import warmup as _wu
+        budget = float(os.environ.get("BENCH_WARMUP_BUDGET", "600"))
+        t0 = time.perf_counter()
+        try:
+            n = _wu.replay_all(eng, budget_s=budget)
+        except Exception as e:
+            n = 0
+            log(f"  warmup replay failed: {type(e).__name__}: {e}")
+        warmup_replay_s = time.perf_counter() - t0
+        log(f"warmup replay: {n} programs in {warmup_replay_s:.1f}s")
+
     results = {}
     results["elementwise_math"] = run_case(sess, "elementwise_math", ["y2"])
     results["monte_carlo"] = run_case(sess, "monte_carlo", ["S"])
@@ -286,6 +304,7 @@ def main() -> int:
                 "monte-carlo 1M/T256, 4k-image B=16)",
         "vs_baseline": round(geo, 4),
         "detail_ms": {k: round(v, 2) for k, v in results.items()},
+        "warmup_replay_s": round(warmup_replay_s, 1),
         "roofline": roofline,
     }))
     return 0

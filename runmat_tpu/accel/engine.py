@@ -893,8 +893,14 @@ class JaxEngine:
             a = args[0].astype(dt).reshape(la)
             b = args[1].astype(dt).reshape(lb)
             pe = np.dtype(np.float32) if dt == np.float16 else dt
-            r = jnp.matmul(a, b, preferred_element_type=pe,
-                           precision=self.mm_precision())
+            # precision rides the op's static (stamped at graph-build time)
+            # so warmup replay reproduces the exact HLO of the original
+            # trace even if the session policy has changed since
+            from jax import lax
+            pol = static[1] if len(static) > 1 else self.matmul_precision
+            prec = {"highest": lax.Precision.HIGHEST,
+                    "high": lax.Precision.HIGH}.get(pol, lax.Precision.DEFAULT)
+            r = jnp.matmul(a, b, preferred_element_type=pe, precision=prec)
             return self._to_phys(r, out_shape)
         if op == "transpose":
             conj = static[0]

@@ -265,9 +265,12 @@ def _dispatch(cmd: str, rest: list) -> int:
             budget = None
         import time as _t
         t0 = _t.perf_counter()
-        n = wu.replay(eng, log=lambda m: print(m, file=sys.stderr),
-                      budget_s=budget)
-        print(f"warmed {n} programs from {wu.manifest_path()} "
+        n = wu.replay_all(eng, log=lambda m: print(m, file=sys.stderr),
+                          budget_s=budget)
+        srcs = wu.manifest_path()
+        if wu.bundled_manifest_path():
+            srcs += " + " + wu.bundled_manifest_path()
+        print(f"warmed {n} programs from {srcs} "
               f"in {(_t.perf_counter() - t0):.1f}s")
         return 0
 

@@ -25,6 +25,12 @@ _DEFAULTS: dict[str, dict[str, Any]] = {
         # "bf16" (fast, opt-in downcast ≙ RUNMAT_ALLOW_PRECISION_DOWNCAST,
         # reference precision.rs:31-60)
         "matmul_precision": "highest",
+        # Wall-budget (seconds) for replaying the warmup manifest at session
+        # init via AOT lower().compile() — pre-populates the persistent XLA
+        # cache before the first user program (≙ pipeline warmup from disk,
+        # wgpu/warmup.rs:10). 0 disables (the default: remote-TPU compiles
+        # can cost minutes; bench/batch flows opt in explicitly).
+        "warmup_init_budget_s": 0,
     },
     "execution": {
         "seed": 0,
@@ -85,6 +91,8 @@ _ENV_MAP = {
     "RUNMAT_TPU_COMPAT": ("language", "compat", str),
     "RUNMAT_TPU_COMPILE_CACHE": ("accelerate", "compile_cache", str),
     "RUNMAT_TPU_MATMUL_PRECISION": ("accelerate", "matmul_precision", str),
+    "RUNMAT_TPU_WARMUP_INIT_BUDGET": ("accelerate", "warmup_init_budget_s",
+                                      float),
     "RUNMAT_TPU_LOG": ("logging", "level", str),
     "RUNMAT_TPU_TRACE": ("logging", "trace", lambda v: v == "1"),
 }

@@ -109,6 +109,28 @@ class Session:
             except Exception:
                 if accelerate:
                     raise
+            else:
+                # Budgeted warmup-manifest replay at init: AOT-compiles
+                # recorded programs into the persistent XLA cache before the
+                # first user program (VERDICT r2 #2; ≙ wgpu warmup.rs:10).
+                # Off by default — opt in via RUNMAT_TPU_WARMUP_INIT_BUDGET
+                # or the accelerate.warmup_init_budget_s config knob.
+                try:
+                    budget = float(_os.environ.get(
+                        "RUNMAT_TPU_WARMUP_INIT_BUDGET",
+                        self.config.get("accelerate",
+                                        "warmup_init_budget_s") or 0))
+                except (TypeError, ValueError):
+                    budget = 0.0
+                if budget > 0:
+                    from .accel import active_engine as _ae
+                    from .accel import warmup as _wu
+                    _eng = _ae()
+                    if _eng is not None:
+                        try:
+                            _wu.replay_all(_eng, budget_s=budget)
+                        except Exception:
+                            pass   # warmup is never required for correctness
         # consent-gated product telemetry (≙ runmat-telemetry
         # runtime.run.started/finished; session/mod.rs:97-100 consent gate).
         # Zero-egress: events sink to local JSONL, never the network.
