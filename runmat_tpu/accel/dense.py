@@ -28,11 +28,12 @@ from ..values import MatArray, normalize_shape
 from .lazy import LazyNode
 
 # ops with no TPU lowering at all (jax raises NotImplementedError)
-# eig: no TPU lowering for general (non-hermitian) eigendecomposition.
-# interp1lin: jnp.interp lowers through searchsorted, which stalls the
-# remote TPU compile service above ~1k queries in this environment
-# (ismember/histcounts use broadcast-compare forms to avoid it).
-_KNOWN_UNSUPPORTED = {"tpu": {"eig", "interp1lin"}}
+# eig: no TPU lowering for general (non-hermitian) eigendecomposition —
+# the host fallback is instrumented (launch log + one-time warning).
+# interp1lin formerly sat here (jnp.interp lowers through searchsorted,
+# which stalls the remote TPU compile service above ~1k queries); it now
+# uses the same broadcast-compare form as ismember/histcounts.
+_KNOWN_UNSUPPORTED = {"tpu": {"eig"}}
 
 
 class DenseOps:
@@ -584,17 +585,115 @@ def _b_iir(eng, opts):
 
 
 def _b_interp1lin(eng, opts):
-    """Linear interp1 (≙ provider interpolation hook): one fused gather +
-    lerp kernel; out-of-range queries produce NaN (MATLAB default)."""
+    """Linear interp1 (≙ provider interpolation hook): one fused
+    broadcast-compare + gather + lerp kernel; out-of-range queries produce
+    NaN (MATLAB default). The interval search is a broadcast count
+    (sum of q >= knots) rather than searchsorted, whose lowering stalls
+    this TPU compile service (same avoidance as ismember/histcounts);
+    the builtin gates the knot count so the O(Nq*Nk) compare stays cheap."""
     jnp = eng.jnp
 
     def f(x, v, q):
         xv = x.reshape(-1)
         vv = v.reshape(-1)
         qv = q.reshape(-1)
-        r = jnp.interp(qv, xv, vv)
+        n = xv.shape[0]
+        cnt = jnp.sum(qv[:, None] >= xv[None, :], axis=1)
+        idx = jnp.clip(cnt - 1, 0, n - 2)
+        x0 = xv[idx]
+        x1 = xv[idx + 1]
+        t = (qv - x0) / (x1 - x0)
+        r = vv[idx] + (vv[idx + 1] - vv[idx]) * t
         oob = (qv < xv[0]) | (qv > xv[-1])
         return jnp.where(oob, jnp.nan, r).reshape(q.shape)
+    return f
+
+
+def _unique_core(jnp, v):
+    """Static-shape unique over a flat vector (VERDICT r2 #5): stable sort +
+    adjacent-compare mask + scatter compaction into an N-padded buffer.
+    Returns (u_pad, ia_pad, ic, n): unique values in u_pad[:n] (sorted
+    ascending, NaNs last and each NaN distinct — NaN != NaN makes the
+    adjacent compare true), ia_pad[:n] = 0-based first-occurrence index in
+    the original vector, ic = 0-based group index per original element
+    (A == U[ic]), n = unique count. Everything is one fused device program;
+    only the scalar n crosses to the host (≙ provider sort/unique hooks,
+    runmat-accelerate-api/src/lib.rs:2422-2750)."""
+    N = v.shape[0]
+    si = jnp.argsort(v, stable=True)
+    sv = v[si]
+    first = jnp.ones((1,), bool) if N else jnp.zeros((0,), bool)
+    m = jnp.concatenate([first, sv[1:] != sv[:-1]])
+    g = jnp.cumsum(m) - 1                       # group id per sorted element
+    n = jnp.sum(m)
+    u = jnp.zeros(N, v.dtype).at[g].set(sv)
+    ia = jnp.full(N, N, dtype=jnp.int32).at[g].min(si.astype(jnp.int32))
+    ic = jnp.zeros(N, jnp.int32).at[si].set(g.astype(jnp.int32))
+    return u, ia, ic, n
+
+
+def _stable_order(jnp, u, ia, ic, n):
+    """Reorder groups by first appearance ('stable'): sorted-by-ia group
+    permutation + inverse rank remap of ic. Padded tail (ia = N sentinel)
+    stays at the end."""
+    N = ia.shape[0]
+    ord_ = jnp.argsort(ia, stable=True)
+    rank = jnp.zeros(N, jnp.int32).at[ord_].set(
+        jnp.arange(N, dtype=jnp.int32))
+    return u[ord_], ia[ord_], rank[ic], n
+
+
+def _b_unique(eng, opts):
+    (stable,) = opts
+    jnp = eng.jnp
+
+    def f(a):
+        v = jnp.reshape(a, -1, order="F") if a.ndim > 1 else a.reshape(-1)
+        u, ia, ic, n = _unique_core(jnp, v)
+        if stable:
+            u, ia, ic, n = _stable_order(jnp, u, ia, ic, n)
+        return (u, (ia + 1).astype(jnp.float64),
+                (ic + 1).astype(jnp.float64), n)
+    return f
+
+
+def _b_setop(eng, opts):
+    """union/intersect/setdiff via two unique passes + broadcast membership
+    (static shapes; padded outputs + count). opts: (op, stable)."""
+    op, stable = opts
+    jnp = eng.jnp
+
+    def f(a, b):
+        va = jnp.reshape(a, -1, order="F") if a.ndim > 1 else a.reshape(-1)
+        vb = jnp.reshape(b, -1, order="F") if b.ndim > 1 else b.reshape(-1)
+        if op == "union":
+            v = jnp.concatenate([va, vb])
+            u, ia, ic, n = _unique_core(jnp, v)
+            if stable:
+                u, ia, ic, n = _stable_order(jnp, u, ia, ic, n)
+            return u, n
+        ua, ia, ic_, na = _unique_core(jnp, va)
+        if stable:
+            ua, ia, ic_, na = _stable_order(jnp, ua, ia, ic_, na)
+        Na = ua.shape[0]
+        valid = jnp.arange(Na) < na
+        member = jnp.any(ua[:, None] == vb[None, :], axis=1) if vb.shape[0] \
+            else jnp.zeros(Na, bool)
+        keep = valid & (member if op == "intersect" else ~member)
+        # compact kept entries to the front: stable scatter by cumsum rank.
+        # Non-kept rows all write slot Na-1 which is >= k whenever any row
+        # was dropped, so the tail mask erases them; when nothing is
+        # dropped there are no such writers.
+        k = jnp.sum(keep)
+        pos = jnp.cumsum(keep) - 1
+        dest = jnp.where(keep, pos, Na - 1)
+        tail = jnp.arange(Na) < k
+        out = jnp.zeros(Na, ua.dtype).at[dest].set(jnp.where(keep, ua, 0))
+        out = jnp.where(tail, out, 0)
+        iout = jnp.zeros(Na, jnp.float64).at[dest].set(
+            jnp.where(keep, (ia + 1).astype(jnp.float64), 0))
+        iout = jnp.where(tail, iout, 0)
+        return out, iout, k
     return f
 
 
@@ -737,6 +836,8 @@ _BUILDERS = {
     "interp1lin": _b_interp1lin,
     "ismember": _b_ismember,
     "histcounts": _b_histcounts,
+    "unique": _b_unique,
+    "setop": _b_setop,
     "movwin": _b_movwin,
     "topk": _b_topk,
     "hilbert": _b_hilbert,

@@ -420,8 +420,8 @@ class JaxEngine:
 
     def sort(self, x: MatArray, axis: int, descend: bool, want_idx: bool
              ) -> Optional[list]:
-        """Device sort (values [+ 1-based double indices]). NaNs sort last in
-        both directions (MATLAB rule), via argsort keys."""
+        """Device sort (values [+ 1-based double indices]). MATLAB NaN rule:
+        NaN last ascending, NaN first descending; stable in both."""
         if x.is_complex or x.mclass not in ("double", "single"):
             return None
         opts = (int(axis), bool(descend), bool(want_idx))
@@ -431,6 +431,59 @@ class JaxEngine:
         res = [self.dense._leaf(out[0], x.mclass)]
         if want_idx:
             res.append(self.dense._leaf(out[1], "double"))
+        return res
+
+    def _trim_leaf(self, arr, n: int, mclass: str, row: bool) -> MatArray:
+        """Wrap a padded device buffer as a MatArray trimmed to its first n
+        entries via a lazy slice1 node. The compaction kernel is one cached
+        program per input shape; only this tiny trim specializes per n."""
+        leaf = self.dense._leaf(arr, mclass)
+        shape = (1, n) if row else (n, 1)
+        node = self._op("slice1", [leaf.dev], ((0, n),), shape,
+                        np.dtype(arr.dtype))
+        return MatArray.from_device(node, mclass)
+
+    def unique(self, x: MatArray, stable: bool, want_idx: bool
+               ) -> Optional[list]:
+        """Device unique (VERDICT r2 #5): one sort+mask+compact program; the
+        unique count is the only host round trip (8 bytes). Returns
+        [U, ia, ic] device arrays or None -> host path."""
+        if x.is_complex or x.mclass not in ("double", "single"):
+            return None
+        out = self.dense.call("unique", [x], (bool(stable),))
+        if out is None:
+            return None
+        u_pad, ia_pad, ic, n = out
+        n = int(np.asarray(n))
+        row = (len(x.shape) == 2 and x.shape[0] == 1 and x.shape[1] > 1)
+        res = [self._trim_leaf(u_pad, n, x.mclass, row)]
+        if want_idx:
+            res.append(self._trim_leaf(ia_pad, n, "double", False))
+            N = int(np.asarray(ic).shape[0])
+            res.append(self._trim_leaf(ic, N, "double", False))
+        return res
+
+    def setop(self, op: str, a: MatArray, b: MatArray, stable: bool = False,
+              want_idx: bool = False) -> Optional[list]:
+        """Device union/intersect/setdiff: unique passes + broadcast
+        membership + stable compaction, padded-static on device."""
+        for x in (a, b):
+            if x.is_complex or x.mclass not in ("double", "single"):
+                return None
+        out = self.dense.call("setop", [a, b], (op, bool(stable)))
+        if out is None:
+            return None
+        mclass = a.mclass if a.mclass == b.mclass else "double"
+        ha = a.shape
+        row = not (len(ha) == 2 and ha[1] == 1 and ha[0] > 1)
+        if op == "union":
+            u_pad, n = out
+            return [self._trim_leaf(u_pad, int(np.asarray(n)), mclass, row)]
+        u_pad, ia_pad, n = out
+        n = int(np.asarray(n))
+        res = [self._trim_leaf(u_pad, n, mclass, row)]
+        if want_idx:
+            res.append(self._trim_leaf(ia_pad, n, "double", False))
         return res
 
     def random(self, kind: str, state: philox.PhiloxState, dims: tuple,

@@ -116,6 +116,14 @@ def m_unique(x, *rest, nargout=1):
         for i, s in enumerate(uniq):
             data[i, 0] = MatArray.char_from_str(s)
         return CellArray(data)
+    if isinstance(x, MatArray) and x.on_device and nargout <= 3:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None:
+            # device sort+mask+compact; only the count gathers (8 bytes)
+            out = eng.unique(x, stable, nargout >= 2)
+            if out is not None:
+                return out[0] if nargout <= 1 else out[:nargout]
     h = x.host()
     flat = fortran_ravel(h)
     is_row = h.ndim == 2 and h.shape[0] == 1 and h.shape[1] > 1
@@ -194,6 +202,14 @@ def m_ismember(a, b, nargout=1):
 
 
 def _setop(a, b, op):
+    if isinstance(a, MatArray) and isinstance(b, MatArray) and \
+            (a.on_device or b.on_device):
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None:
+            out = eng.setop(op, a, b)
+            if out is not None:
+                return out[0]
     fa = fortran_ravel(a.host())
     fb = fortran_ravel(b.host())
     if op == "union":

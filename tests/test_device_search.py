@@ -127,3 +127,66 @@ def test_pwelch_device_parity():
             accelerate=True)
     assert _err(s, "ep") < 1e-10
     assert _err(s, "ew") == 0.0
+
+
+# ------------------------------------------------------- device set ops
+
+def test_unique_device_sorted_and_stable():
+    s = run("A = gpuArray([3 1 2 3 1 5]); u = unique(A); "
+            "us = unique(A, 'stable'); "
+            "du = existsOnGPU(u); gu = gather(u); gs = gather(us);",
+            accelerate=True)
+    assert bool(np.asarray(s.get("du").host()).ravel()[0])
+    np.testing.assert_allclose(s.get("gu").host().ravel(), [1, 2, 3, 5])
+    np.testing.assert_allclose(s.get("gs").host().ravel(), [3, 1, 2, 5])
+
+
+def test_unique_device_three_outputs():
+    s = run("A = gpuArray([4 2 4 9 2]); [u, ia, ic] = unique(A); "
+            "gu = gather(u); gia = gather(ia); gic = gather(ic);",
+            accelerate=True)
+    u = s.get("gu").host().ravel()
+    ia = s.get("gia").host().ravel()
+    ic = s.get("gic").host().ravel()
+    np.testing.assert_allclose(u, [2, 4, 9])
+    # C = A(ia), A = C(ic)
+    A = np.array([4, 2, 4, 9, 2], float)
+    np.testing.assert_allclose(A[(ia - 1).astype(int)], u)
+    np.testing.assert_allclose(u[(ic - 1).astype(int)], A)
+
+
+def test_unique_device_each_nan_distinct():
+    s = run("A = gpuArray([1 NaN 2 NaN 1]); u = gather(unique(A));",
+            accelerate=True)
+    got = s.get("u").host().ravel()
+    np.testing.assert_allclose(got, [1, 2, np.nan, np.nan], equal_nan=True)
+
+
+def test_unique_device_orientation():
+    s = run("r = gather(unique(gpuArray([3 1 2]))); "
+            "c = gather(unique(gpuArray([3; 1; 2])));", accelerate=True)
+    assert s.get("r").host().shape == (1, 3)
+    assert s.get("c").host().shape == (3, 1)
+
+
+def test_setdiff_union_intersect_device():
+    s = run("A = gpuArray([5 1 3 3 7]); B = gpuArray([3 8 5]); "
+            "d = gather(setdiff(A, B)); u = gather(union(A, B)); "
+            "i = gather(intersect(A, B)); "
+            "dd = existsOnGPU(setdiff(A, B));", accelerate=True)
+    np.testing.assert_allclose(s.get("d").host().ravel(), [1, 7])
+    np.testing.assert_allclose(s.get("u").host().ravel(), [1, 3, 5, 7, 8])
+    np.testing.assert_allclose(s.get("i").host().ravel(), [3, 5])
+    assert bool(np.asarray(s.get("dd").host()).ravel()[0])
+
+
+def test_unique_device_no_data_roundtrip():
+    """The device path must not gather the payload — only the 8-byte count
+    (VERDICT r2 #5: gpuArray unique never round-trips)."""
+    from runmat_tpu.accel import active_engine
+    s = run("A = gpuArray(rand(1, 50000)); u = unique(A); "
+            "ok = existsOnGPU(u);", accelerate=True)
+    eng = active_engine()
+    assert bool(np.asarray(s.get("ok").host()).ravel()[0])
+    # payload gather would move 400 KB; the count sync moves a few bytes
+    assert eng.stats["gather_bytes"] < 4096
