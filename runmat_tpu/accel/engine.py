@@ -143,23 +143,37 @@ class JaxEngine:
                     pass
         self.offload_threshold = offload_threshold or 32768
         # ---- multi-chip mesh (SURVEY §2.3 TPU-native extension): a 1-D
-        # 'data' mesh over the visible chips. Large leaves (uploads,
-        # creations, RNG carriers) are sharded over it; everything else is
-        # replicated; XLA GSPMD propagates shardings through every lazy op
-        # and inserts the ICI collectives (psum for reductions etc.).
-        # Off by default; enable with RUNMAT_TPU_MESH=auto|<n> or the
-        # mesh_devices ctor arg (tests / dryrun).
+        # 'data' mesh or a 2-D ('data','model') mesh over the visible chips.
+        # Large leaves (uploads, creations, RNG carriers) are sharded over
+        # it; everything else is replicated; XLA GSPMD propagates shardings
+        # through every lazy op and inserts the ICI collectives (psum for
+        # reductions, all-gather/reduce-scatter around sharded GEMMs).
+        # Off by default; enable with RUNMAT_TPU_MESH=auto|<n>|<dp>x<tp> or
+        # the mesh_devices ctor arg (int, "<dp>x<tp>", or (dp, tp)).
         self.mesh = None
         self.shard_threshold = int(os.environ.get(
             "RUNMAT_TPU_SHARD_THRESHOLD", str(1 << 20)))
         mesh_req = mesh_devices if mesh_devices is not None else \
             os.environ.get("RUNMAT_TPU_MESH")
         if mesh_req and str(mesh_req) != "0":
-            n = len(devices) if str(mesh_req) == "auto" else \
-                min(int(mesh_req), len(devices))
-            if n > 1:
-                from jax.sharding import Mesh
-                self.mesh = Mesh(np.array(devices[:n]), ("data",))
+            from jax.sharding import Mesh
+            dp = tp = 0
+            if isinstance(mesh_req, (tuple, list)) and len(mesh_req) == 2:
+                dp, tp = int(mesh_req[0]), int(mesh_req[1])
+            elif "x" in str(mesh_req):
+                dp, tp = (int(v) for v in str(mesh_req).lower().split("x"))
+            if dp and tp:
+                if dp * tp > len(devices):
+                    raise MatError("parallel:gpu:device:MeshTooLarge",
+                                   f"mesh {dp}x{tp} needs {dp * tp} devices, "
+                                   f"have {len(devices)}")
+                grid = np.array(devices[:dp * tp]).reshape(dp, tp)
+                self.mesh = Mesh(grid, ("data", "model"))
+            else:
+                n = len(devices) if str(mesh_req) == "auto" else \
+                    min(int(mesh_req), len(devices))
+                if n > 1:
+                    self.mesh = Mesh(np.array(devices[:n]), ("data",))
         self.fuse_cap = int(os.environ.get("RUNMAT_TPU_FUSE_CAP", str(DEFAULT_FUSE_CAP)))
         # ---- matmul precision policy (≙ the reference's opt-in downcast
         # guard, runmat-accelerate/src/precision.rs:31-60). JAX's TPU default
@@ -216,17 +230,38 @@ class JaxEngine:
     # ------------------------------------------------------------ residency ops
 
     def placement(self, pshape: tuple):
-        """Placement for a physical shape: shard the largest mesh-divisible
-        axis of big arrays over 'data', replicate everything else. With no
-        mesh: the single device (≙ GpuTensorHandle.device_id placement)."""
+        """Placement for a physical shape. 1-D mesh: shard the largest
+        mesh-divisible axis of big arrays over 'data'. 2-D ('data','model')
+        mesh: block-shard big matrices rows x cols over (data, model) — a
+        GEMM over two such operands becomes a 2-D sharded matmul with XLA
+        inserting the ICI collectives (SURVEY §2.3 TPU-native mapping);
+        non-matrix shapes shard their largest dp-divisible axis over 'data'.
+        Everything small is replicated. With no mesh: the single device
+        (≙ GpuTensorHandle.device_id placement)."""
         if self.mesh is None:
             return self.device
         from jax.sharding import NamedSharding, PartitionSpec as P
-        ndev = self.mesh.devices.size
         n = 1
         for s in pshape:
             n *= s
         if n >= self.shard_threshold:
+            if len(self.mesh.axis_names) == 2:
+                dp, tp = self.mesh.devices.shape
+                if len(pshape) == 2 and pshape[0] % dp == 0 and \
+                        pshape[0] >= dp and pshape[1] % tp == 0 and \
+                        pshape[1] >= tp:
+                    return NamedSharding(self.mesh, P("data", "model"))
+                best = None
+                for i, s in enumerate(pshape):
+                    if s >= dp and s % dp == 0 and \
+                            (best is None or s > pshape[best]):
+                        best = i
+                if best is not None:
+                    spec = [None] * len(pshape)
+                    spec[best] = "data"
+                    return NamedSharding(self.mesh, P(*spec))
+                return NamedSharding(self.mesh, P())
+            ndev = self.mesh.devices.size
             best = None
             for i, s in enumerate(pshape):
                 if s >= ndev and s % ndev == 0 and \
@@ -245,16 +280,25 @@ class JaxEngine:
         if force_shard and self.mesh is not None:
             # distributed(X): shard even below the auto-shard threshold
             from jax.sharding import NamedSharding, PartitionSpec as P
-            ndev = self.mesh.devices.size
-            best = None
-            for i, s in enumerate(ps):
-                if s >= ndev and s % ndev == 0 and \
-                        (best is None or s > ps[best]):
-                    best = i
-            if best is not None:
-                spec = [None] * len(ps)
-                spec[best] = "data"
-                place = NamedSharding(self.mesh, P(*spec))
+            two_d = len(self.mesh.axis_names) == 2
+            dp = self.mesh.devices.shape[0] if two_d else \
+                self.mesh.devices.size
+            if two_d:
+                tp = self.mesh.devices.shape[1]
+                if len(ps) == 2 and ps[0] % dp == 0 and ps[0] >= dp and \
+                        ps[1] % tp == 0 and ps[1] >= tp:
+                    place = NamedSharding(self.mesh, P("data", "model"))
+                    dp = None   # handled
+            if dp is not None:
+                best = None
+                for i, s in enumerate(ps):
+                    if s >= dp and s % dp == 0 and \
+                            (best is None or s > ps[best]):
+                        best = i
+                if best is not None:
+                    spec = [None] * len(ps)
+                    spec[best] = "data"
+                    place = NamedSharding(self.mesh, P(*spec))
         arr = self.jax.device_put(h.reshape(ps), place)
         self.stats["uploads"] += 1
         self.stats["upload_bytes"] += h.nbytes

@@ -145,3 +145,66 @@ def test_mesh_device_loop_sharded_carry():
         np.testing.assert_allclose(s2.get("S").host(), v1, rtol=0, atol=0)
     finally:
         set_engine(prev)
+
+
+@needs8
+def test_engine_2d_mesh_sharded_gemm_parity():
+    """VERDICT r2 #7: a MATLAB A*B over the 2-D ('data','model') engine mesh
+    block-shards both operands, GSPMD inserts the collectives, and the
+    result matches the host product exactly."""
+    from runmat_tpu.accel import active_engine, init_engine, reset_engine, set_engine
+    from runmat_tpu.session import Session
+    from runmat_tpu.values import MatArray
+    prev = active_engine()
+    try:
+        reset_engine()
+        eng = init_engine(platform="cpu", mesh_devices="2x4",
+                          auto_offload=True, offload_threshold=64)
+        assert eng.mesh.devices.shape == (2, 4)
+        assert eng.mesh.axis_names == ("data", "model")
+        eng.shard_threshold = 64
+        s = Session(accelerate=True)
+        rng = np.random.default_rng(5)
+        A = rng.standard_normal((16, 8))
+        B = rng.standard_normal((8, 12))
+        s.set("A", MatArray(A, "double"))
+        s.set("B", MatArray(B, "double"))
+        s.run_source("Ad = distributed(A); Bd = distributed(B); "
+                     "Cd = Ad * Bd; C = gather(Cd); "
+                     "sharded = isdistributed(Ad);", "gemm2d")
+        assert bool(s.get("sharded").host())
+        # operand really carries the 2-D block sharding
+        arrA = eng.materialize(s.get("Ad").dev)
+        assert tuple(arrA.sharding.spec) == ("data", "model")
+        np.testing.assert_allclose(s.get("C").host(), A @ B, rtol=1e-12)
+        # psum-backed reduction over the sharded product
+        s.run_source("t = gather(sum(Cd(:)));", "gemm2d_sum")
+        np.testing.assert_allclose(s.get("t").host().ravel()[0],
+                                   (A @ B).sum(), rtol=1e-10)
+    finally:
+        set_engine(prev)
+
+
+@needs8
+def test_engine_2d_mesh_pagemtimes_parity():
+    from runmat_tpu.accel import active_engine, init_engine, reset_engine, set_engine
+    from runmat_tpu.session import Session
+    from runmat_tpu.values import MatArray
+    prev = active_engine()
+    try:
+        reset_engine()
+        eng = init_engine(platform="cpu", mesh_devices="2x4",
+                          auto_offload=True, offload_threshold=64)
+        eng.shard_threshold = 64
+        s = Session(accelerate=True)
+        rng = np.random.default_rng(6)
+        X = rng.standard_normal((8, 4, 6))
+        Y = rng.standard_normal((4, 12, 6))
+        s.set("X", MatArray(X, "double"))
+        s.set("Y", MatArray(Y, "double"))
+        s.run_source("Z = gather(pagemtimes(gpuArray(X), gpuArray(Y)));",
+                     "pmt2d")
+        ref = np.einsum("ikp,kjp->ijp", X, Y)
+        np.testing.assert_allclose(s.get("Z").host(), ref, rtol=1e-12)
+    finally:
+        set_engine(prev)
