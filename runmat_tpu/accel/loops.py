@@ -88,6 +88,13 @@ def try_device_loop(interp, frame, code, for_next_pc: int, iterable) -> Optional
     hint = code.loop_hints.get(for_next_pc)
     if hint == "never":
         return None
+    # compile-time fact stamp (facts.loop_class_facts): a loop whose body
+    # reads a host-only class (cell/struct/char/string) is provably
+    # trace-ineligible — skip without the first trial trace
+    fact = code.loop_facts.get(for_next_pc)
+    if fact is not None and fact.get("never"):
+        code.loop_hints[for_next_pc] = "never"
+        return None
     fn_op, loopvar, done, _, _ = instrs[for_next_pc]
     if fn_op != B.FOR_NEXT or done is None:
         return None
@@ -106,6 +113,8 @@ def try_device_loop(interp, frame, code, for_next_pc: int, iterable) -> Optional
     old_cap = eng.fuse_cap
     eng.fuse_cap = 1 << 60
     try:
+        eng.stats["loop_trace_attempts"] = \
+            eng.stats.get("loop_trace_attempts", 0) + 1
         tr = _Trace(interp, frame, eng, registry, state, loopvar, written,
                     iterable)
         tr.run(instrs, code.consts, lo_pc, hi_pc)

@@ -95,6 +95,11 @@ class Code:
     # MIR fact pass, runmat-mir/src/analysis/facts.rs): for_next_pc ->
     # "never" (statically ineligible / gave up) or dynamic bail count
     loop_hints: dict = field(default_factory=dict)
+    # compile-time fact stamps per loop window: for_next_pc ->
+    # {"never": reason | None, "classes": {name: cls}} — from the fact
+    # lattice (facts.loop_class_facts); "never" skips the gate's trial
+    # trace entirely
+    loop_facts: dict = field(default_factory=dict)
     # arguments-block entries: (name, field|None, dims|None, cls|None,
     #                           validators, default_code|None)
 

@@ -85,17 +85,29 @@ class Compiler:
         self.loop_stack: list[tuple[str, list, list]] = []  # (kind, break_patches, continue_targets)
         self.end_ctx_depth = 0
         self._tmp = 0
+        self._loop_facts: dict = {}   # id(For stmt) -> fact record
 
     # ------------------------------------------------------------------ public
 
     @staticmethod
     def compile_program(prog: A.Program, name: str = "<script>") -> B.CompiledProgram:
         c = Compiler(name, is_script=True)
+        c._stamp_loop_facts(prog.body)
         for st in prog.body:
             c.stmt(st)
         c.code.emit(B.RET)
         functions = {fname: Compiler.compile_function(fd) for fname, fd in prog.functions.items()}
         return B.CompiledProgram(c.code, functions, dict(prog.classes))
+
+    def _stamp_loop_facts(self, stmts: list) -> None:
+        """Run the compile-time fact lattice so `_for` can stamp each loop
+        window with class facts (device-gate pre-qualification,
+        ≙ runmat-mir/src/analysis/facts.rs)."""
+        try:
+            from ..facts import loop_class_facts
+            self._loop_facts = loop_class_facts(stmts)
+        except Exception:
+            self._loop_facts = {}
 
     @staticmethod
     def compile_function(fd: A.FunctionDef) -> B.Code:
@@ -105,6 +117,7 @@ class Compiler:
         code.outs = [o for o in fd.outs]
         code.has_varargin = bool(code.params) and code.params[-1] == "varargin"
         code.has_varargout = bool(code.outs) and code.outs[-1] == "varargout"
+        c._stamp_loop_facts(fd.body)
         for st in fd.body:
             c.stmt(st)
         code.emit(B.RET, line=fd.line)
@@ -362,6 +375,9 @@ class Compiler:
         self.expr(s.expr)
         self.code.emit(B.FOR_INIT, line=line)
         next_pc = self.code.here()
+        fact = self._loop_facts.get(id(s))
+        if fact is not None:
+            self.code.loop_facts[next_pc] = fact
         fn = self.code.emit(B.FOR_NEXT, s.var, None, line=line)
         self.loop_stack.append(("for", [], []))
         for st in s.body:
