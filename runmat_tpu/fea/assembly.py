@@ -39,8 +39,10 @@ def elasticity_D(E: float, nu: float) -> np.ndarray:
 
 
 def assemble_elasticity(mesh: TetMesh, E: float, nu: float,
-                        rho: float = 0.0):
-    """Global stiffness K (3N x 3N) and lumped mass M diag (3N,)."""
+                        rho: float = 0.0, escale: np.ndarray = None):
+    """Global stiffness K (3N x 3N) and lumped mass M diag (3N,).
+    `escale` (M,) optionally scales each element's modulus — the secant-
+    stiffness hook used by the nonlinear Newton pipeline."""
     grads, vol, _ = _grads_and_vols(mesh)
     M = mesh.n_tets
     B = np.zeros((M, 6, 12))
@@ -57,7 +59,8 @@ def assemble_elasticity(mesh: TetMesh, E: float, nu: float,
         B[:, 5, c] = gz
         B[:, 5, c + 2] = gx
     D = elasticity_D(E, nu)
-    Ke = np.einsum("mia,ij,mjb,m->mab", B, D, B, vol, optimize=True)
+    w = vol if escale is None else vol * np.asarray(escale, np.float64)
+    Ke = np.einsum("mia,ij,mjb,m->mab", B, D, B, w, optimize=True)
     # scatter
     dofs = (3 * mesh.tets[:, :, None] + np.arange(3)[None, None, :]) \
         .reshape(M, 12)

@@ -135,20 +135,165 @@ def run_transient(mesh: TetMesh, k: float, rho_c: float, fixed: dict,
 
 def run_nonlinear(mesh: TetMesh, E: float, nu: float,
                   fixed_nodes: np.ndarray, forces: dict,
-                  n_increments: int = 5) -> dict:
-    """Incremental loading with Newton refresh of the (secant) stiffness —
-    a small-strain incremental formulation (the reference's full nonlinear
-    pipeline supports material models; this covers the load-stepping path)."""
-    total = {k: np.asarray(v, np.float64) for k, v in forces.items()}
-    u_total = np.zeros((mesh.n_nodes, 3))
+                  n_increments: int = 5, eps_yield: float = None,
+                  hardening: float = 0.1, tol: float = 1e-9) -> dict:
+    """Newton with Armijo line search over a bilinear (deformation-theory
+    secant) material (≙ runmat-analysis/fea/src/solve/nonlinear + line
+    search): equivalent strain e = ||eps||, secant modulus scale
+    s(e) = 1 for e <= eps_yield, (ey + h (e - ey)) / e beyond — giving a
+    bilinear stress-strain with tangent fraction `hardening`. With
+    eps_yield=None the material is linear and Newton converges in one
+    step. Load is applied in `n_increments` steps, each solved by
+    fea.solvers.newton_solve."""
+    from .assembly import _grads_and_vols
+    from .solvers import newton_solve
+
+    n = 3 * mesh.n_nodes
+    f_total = np.zeros(n)
+    for node, vec in forces.items():
+        f_total[3 * int(node):3 * int(node) + 3] += \
+            np.asarray(vec, np.float64)
+    fixed_dofs = (3 * np.asarray(fixed_nodes, np.int64)[:, None]
+                  + np.arange(3)[None, :]).reshape(-1)
+    grads, vol, _ = _grads_and_vols(mesh)
+    M = mesh.n_tets
+    dofs = (3 * mesh.tets[:, :, None] + np.arange(3)[None, None, :]) \
+        .reshape(M, 12)
+    B = np.zeros((M, 6, 12))
+    for a in range(4):
+        gx, gy, gz = grads[:, a, 0], grads[:, a, 1], grads[:, a, 2]
+        c = 3 * a
+        B[:, 0, c] = gx
+        B[:, 1, c + 1] = gy
+        B[:, 2, c + 2] = gz
+        B[:, 3, c] = gy
+        B[:, 3, c + 1] = gx
+        B[:, 4, c + 1] = gz
+        B[:, 4, c + 2] = gy
+        B[:, 5, c] = gz
+        B[:, 5, c + 2] = gx
+
+    def _eq_strain(u_full: np.ndarray) -> np.ndarray:
+        eps = np.einsum("mab,mb->ma", B, u_full[dofs])       # (M, 6)
+        # engineering-shear halves for the tensor norm
+        w = np.array([1.0, 1, 1, 0.5, 0.5, 0.5])
+        return np.sqrt(np.einsum("ma,a,ma->m", eps, w, eps))
+
+    def secant_scale(u_full: np.ndarray) -> np.ndarray:
+        if eps_yield is None:
+            return np.ones(M)
+        e = _eq_strain(u_full)
+        s = np.ones(M)
+        over = e > eps_yield
+        s[over] = (eps_yield + hardening * (e[over] - eps_yield)) / e[over]
+        return s
+
+    def K_of(u_full: np.ndarray):
+        K, _ = assemble_elasticity(mesh, E, nu,
+                                   escale=secant_scale(u_full))
+        return K
+
+    def K_tangent(u_full: np.ndarray):
+        """Consistent tangent of f_int(u) = sum_e vol B' s(e) D eps:
+        d(s D eps)/d eps = s D + (D eps) (ds/deps)', with
+        ds/deps = ey (h - 1) / e^3 * W eps beyond yield — the exact
+        rank-one term that makes Newton quadratic near the solution."""
+        if eps_yield is None:
+            return K_of(u_full)
+        from .assembly import elasticity_D as _eD
+        from .assembly import _grads_and_vols as _gv
+        eps = np.einsum("mab,mb->ma", B, u_full[dofs])
+        w = np.array([1.0, 1, 1, 0.5, 0.5, 0.5])
+        e = np.sqrt(np.einsum("ma,a,ma->m", eps, w, eps))
+        s = np.ones(M)
+        over = e > eps_yield
+        s[over] = (eps_yield + hardening * (e[over] - eps_yield)) / e[over]
+        D = _eD(E, nu)
+        Ke = np.einsum("mia,ij,mjb,m->mab", B, D, B, vol * s,
+                       optimize=True)
+        coef = np.zeros(M)
+        coef[over] = eps_yield * (hardening - 1.0) / e[over] ** 3
+        sig = np.einsum("ij,mj->mi", D, eps)             # D eps
+        ga = np.einsum("mia,mi->ma", B, sig)             # B'(D eps)
+        gb = np.einsum("mia,mi->ma", B, eps * w[None, :])  # B'(W eps)
+        Ke += (coef * vol)[:, None, None] * \
+            ga[:, :, None] * gb[:, None, :]
+        ii = np.repeat(dofs, 12, axis=1).reshape(-1)
+        jj = np.tile(dofs, (1, 12)).reshape(-1)
+        from ..sparse import SparseMatrix
+        return SparseMatrix.from_triplets(ii, jj, Ke.reshape(-1), n, n)
+
+    u_full = np.zeros(n)
+    total_iters = 0
+    total_cuts = 0
+    info = {"converged": True, "residual_norm": 0.0}
     for inc in range(1, n_increments + 1):
-        frac = inc / n_increments
-        scaled = {k: v * frac for k, v in total.items()}
-        res = run_linear_static(mesh, E, nu, fixed_nodes, scaled)
-        u_total = res["displacement"]
-    return {"displacement": u_total,
-            "max_displacement": float(np.abs(u_total).max()),
-            "increments": n_increments}
+        f_inc = f_total * (inc / n_increments)
+
+        K0 = K_of(u_full)
+        Kff, ff, free, u_fix = apply_dirichlet(K0, f_inc, fixed_dofs)
+
+        def residual(u_free):
+            uf = _expand(u_free, free, u_fix)
+            K = K_of(uf)
+            ii, jj, vv = K.triplets()
+            f_int = np.zeros(n)
+            np.add.at(f_int, ii, vv * uf[jj])
+            return (f_inc - f_int)[free]
+
+        def jacobian_solve(u_free, r):
+            uf = _expand(u_free, free, u_fix)
+            Kff_u, _, _, _ = apply_dirichlet(K_tangent(uf), f_inc,
+                                             fixed_dofs)
+            return Kff_u.solve(r.reshape(-1, 1)).reshape(-1)
+
+        u_free, info = newton_solve(residual, jacobian_solve, u_full[free],
+                                    tol=tol)
+        u_full = _expand(u_free, free, u_fix)
+        total_iters += info["iterations"]
+        total_cuts += info["line_search_cuts"]
+    disp = u_full.reshape(-1, 3)
+    return {"displacement": disp,
+            "max_displacement": float(np.abs(disp).max()),
+            "increments": n_increments,
+            "newton_iterations": total_iters,
+            "line_search_cuts": total_cuts,
+            "residual_norm": info["residual_norm"],
+            "converged": bool(info["converged"])}
+
+
+def run_dynamics(mesh: TetMesh, E: float, nu: float, rho: float,
+                 fixed_nodes: np.ndarray, forces: dict, t_end: float,
+                 dt: float, beta: float = 0.25, gamma: float = 0.5,
+                 alpha: float = 0.0, store_every: int = 1) -> dict:
+    """Structural dynamics M a + K u = f via Newmark-beta / HHT-alpha
+    (≙ fea/src/solve/transient integrators). Step load applied at t=0;
+    alpha=0 gives the non-dissipative trapezoidal Newmark, alpha<0 adds
+    controlled high-frequency dissipation (gamma/beta follow the standard
+    HHT family when left at defaults)."""
+    from .solvers import newmark_hht
+
+    K, mdiag = assemble_elasticity(mesh, E, nu, rho=rho)
+    n = 3 * mesh.n_nodes
+    f = np.zeros(n)
+    for node, vec in forces.items():
+        f[3 * int(node):3 * int(node) + 3] += np.asarray(vec, np.float64)
+    fixed_dofs = (3 * np.asarray(fixed_nodes, np.int64)[:, None]
+                  + np.arange(3)[None, :]).reshape(-1)
+    Kff, ff, free, u_fix = apply_dirichlet(K, f, fixed_dofs)
+    if alpha != 0.0:
+        gamma = 0.5 - alpha
+        beta = (1.0 - alpha) ** 2 / 4.0
+    res = newmark_hht(Kff, mdiag[free], lambda t: ff, np.zeros(free.size),
+                      np.zeros(free.size), t_end, dt, beta=beta,
+                      gamma=gamma, alpha=alpha, store_every=store_every)
+    u_hist = np.zeros((res["u"].shape[0], n))
+    u_hist[:, free] = res["u"]
+    u_hist[:, np.asarray(fixed_dofs)] = 0.0
+    return {"t": res["t"], "displacement_history": u_hist,
+            "displacement": u_hist[-1].reshape(-1, 3),
+            "steps": res["steps"],
+            "max_displacement": float(np.abs(u_hist).max())}
 
 
 def run_thermomechanical(mesh: TetMesh, E: float, nu: float, alpha: float,

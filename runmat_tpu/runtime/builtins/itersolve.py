@@ -18,7 +18,8 @@ import numpy as np
 
 from ...errors import MatError, bad_arg
 from ...sparse import SparseMatrix
-from ...values import FunctionHandle, MatArray, fortran_ravel
+from ...values import (FunctionHandle, MatArray, fortran_ravel, is_text,
+                       text_of)
 from ..registry import builtin
 
 
@@ -343,3 +344,45 @@ def m_ichol(A, opts=None):
     return SparseMatrix.from_triplets(np.array(li, np.int64),
                                       np.array(lj, np.int64),
                                       np.array(lv, np.float64), n, n)
+
+
+@builtin("ilu", category="math/linalg", min_in=1, max_in=2, pass_nargout=True)
+def m_ilu(A, setup=None, nargout=1):
+    """Zero-fill incomplete LU, type 'nofill' (ILU(0)): L unit-lower and U
+    upper with the sparsity pattern of A (≙ MATLAB ilu; reference
+    preconditioner factory, runmat-analysis/fea/src/solve/
+    preconditioner.rs). One output returns L + U - speye(n) like MATLAB."""
+    from ...fea.solvers import ilu0
+    if not isinstance(A, SparseMatrix):
+        if isinstance(A, MatArray):
+            A = SparseMatrix.from_dense(A.host().astype(np.float64))
+        else:
+            raise bad_arg("ilu", "Expected a sparse matrix.")
+    if setup is not None:
+        from ...values import StructArray
+        if isinstance(setup, StructArray):
+            t = setup.get_scalar_field("type") \
+                if hasattr(setup, "get_scalar_field") else None
+            ttxt = text_of(t).lower() if t is not None and is_text(t) else \
+                "nofill"
+            if ttxt not in ("nofill",):
+                raise MatError("MATLAB:ilu:UnsupportedType",
+                               f"ilu type '{ttxt}' is not supported "
+                               f"(only 'nofill').")
+    L, U = ilu0(A)
+
+    def to_sm(S):
+        C = S.tocoo()
+        return SparseMatrix.from_triplets(
+            C.row.astype(np.int64), C.col.astype(np.int64),
+            C.data.astype(np.float64), S.shape[0], S.shape[1])
+
+    if nargout <= 1:
+        import scipy.sparse as sp
+        n = L.shape[0]
+        return to_sm((L + U - sp.eye(n)).tocsr())
+    outs = [to_sm(L), to_sm(U)]
+    if nargout >= 3:
+        import scipy.sparse as sp
+        outs.append(to_sm(sp.eye(L.shape[0], format="csr")))
+    return outs[:nargout]
