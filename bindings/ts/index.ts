@@ -48,6 +48,43 @@ export interface HoverCard extends ValuePreview {
 export interface BuiltinEntry {
   name: string;
   category: string;
+  summary: string;
+  min_in: number;
+  max_in: number | null;
+  max_out: number;
+  /** has a device (TPU) fast path via the accel engine */
+  accel: boolean;
+  /** output must be gathered to host (e.g. disp) */
+  sink: boolean;
+  /** RunMat extension, hidden under strict-MATLAB compat */
+  extension: boolean;
+}
+
+/**
+ * Typed MATLAB error (≙ the reference npm package's error mapping):
+ * `identifier` is the MATLAB identifier ("MATLAB:badsubscript", ...),
+ * `kind` buckets the identifier family for programmatic handling.
+ */
+export class RunMatError extends Error {
+  readonly identifier: string;
+  readonly kind: "syntax" | "undefined" | "type" | "index" | "io" | "gpu" | "other";
+
+  constructor(identifier: string, message: string) {
+    super(`${identifier}: ${message}`);
+    this.name = "RunMatError";
+    this.identifier = identifier;
+    this.kind = RunMatError.classify(identifier);
+  }
+
+  static classify(id: string): RunMatError["kind"] {
+    if (/parse|syntax|Lexer/i.test(id)) return "syntax";
+    if (/UndefinedFunction|UndefinedVariable/i.test(id)) return "undefined";
+    if (/invalidType|NonNumeric|sizeDimensions|innerdim/i.test(id)) return "type";
+    if (/badsubscript|IndexOutOfBounds/i.test(id)) return "index";
+    if (/FileIO|NoSuchFile/i.test(id)) return "io";
+    if (/gpu|parallel/i.test(id)) return "gpu";
+    return "other";
+  }
 }
 
 export interface Finding {
@@ -105,6 +142,13 @@ export class RunMatSession {
     return { ok: r.ok, output: r.output, wallMs: r.wall_ms, error: r.error };
   }
 
+  /** Like execute(), but throws a typed RunMatError on failure. */
+  async run(source: string, name = "<ts>"): Promise<string> {
+    const r = await this.execute(source, name);
+    if (!r.ok && r.error) throw new RunMatError(r.error.identifier, r.error.message);
+    return r.output ?? "";
+  }
+
   /** Workspace variable names with shape/class previews. */
   async workspace(): Promise<Record<string, ValuePreview>> {
     const r = await this.request({ op: "workspace" });
@@ -114,7 +158,7 @@ export class RunMatSession {
   /** Full value of one variable (numeric arrays as nested JS arrays). */
   async getValue(varName: string): Promise<ValuePreview> {
     const r = await this.request({ op: "get", name: varName });
-    if (!r.ok) throw new Error(`${r.error.identifier}: ${r.error.message}`);
+    if (!r.ok) throw new RunMatError(r.error.identifier, r.error.message);
     return r.value;
   }
 
@@ -140,7 +184,7 @@ export class RunMatSession {
    */
   async hover(varName: string): Promise<HoverCard> {
     const r = await this.request({ op: "hover", name: varName });
-    if (!r.ok) throw new Error(`${r.error.identifier}: ${r.error.message}`);
+    if (!r.ok) throw new RunMatError(r.error.identifier, r.error.message);
     return r.hover;
   }
 

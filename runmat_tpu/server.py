@@ -122,11 +122,24 @@ def handle_request(sess, req: dict) -> dict:
                 card["preview"] = "\n".join(lines[:8])
             return {"id": rid, "ok": True, "hover": card}
         if op == "builtins":
-            # registered builtin catalog (≙ bindings/ts/src/builtins.ts)
+            # registered builtin catalog with full spec metadata
+            # (≙ bindings/ts/src/builtins.ts typed registry)
             from .runtime import registry
             registry.ensure_loaded()
             q = req.get("query", "")
-            items = [{"name": nm, "category": b.category}
+
+            def entry(nm, b):
+                summary = b.summary
+                if not summary and b.fn.__doc__:
+                    summary = b.fn.__doc__.strip().splitlines()[0]
+                return {"name": nm, "category": b.category,
+                        "summary": summary[:200],
+                        "min_in": b.min_in, "max_in": b.max_in,
+                        "max_out": b.max_out,
+                        "accel": bool(b.accel_op), "sink": b.is_sink,
+                        "extension": b.extension}
+
+            items = [entry(nm, b)
                      for nm, b in registry.all_builtins().items()
                      if not q or q.lower() in nm.lower()]
             items.sort(key=lambda d: d["name"])

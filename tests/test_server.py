@@ -227,3 +227,58 @@ def test_figures_op_returns_svg():
     handle_request(s, {"id": 3, "op": "execute", "source": "close all"})
     r2 = handle_request(s, {"id": 4, "op": "figures"})
     assert r2["figures"] == []
+
+
+def test_builtins_op_typed_registry_metadata():
+    """The builtin catalog op carries the full typed spec (summary, arity,
+    accel/sink/extension flags) for the TS bindings' typed registry."""
+    s = _sess()
+    r = handle_request(s, {"id": 1, "op": "builtins", "query": "sin"})
+    assert r["ok"]
+    sin = next(b for b in r["builtins"] if b["name"] == "sin")
+    for key in ("summary", "min_in", "max_in", "max_out", "accel", "sink",
+                "extension"):
+        assert key in sin
+    assert isinstance(sin["summary"], str)
+    assert sin["extension"] is False
+    r2 = handle_request(s, {"id": 2, "op": "builtins", "query": "accelInfo"})
+    ext = next((b for b in r2["builtins"] if b["name"] == "accelInfo"), None)
+    assert ext is not None and ext["extension"] is True
+
+
+def test_ts_dist_mirror_covers_index_ts_surface():
+    """dist/index.js (the runnable ESM build) must expose every session
+    method and protocol op that index.ts declares — guards against drift
+    between the typed source and the shipped build."""
+    import re
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parent.parent / "bindings" / "ts"
+    ts = (root / "index.ts").read_text()
+    js = (root / "dist" / "index.js").read_text()
+    ts_methods = set(re.findall(r"^  async (\w+)\(", ts, re.M))
+    js_methods = set(re.findall(r"^  async (\w+)\(", js, re.M))
+    assert ts_methods and ts_methods <= js_methods, \
+        ts_methods - js_methods
+    ts_ops = set(re.findall(r'op: "(\w+)"', ts))
+    js_ops = set(re.findall(r'op: "(\w+)"', js))
+    assert ts_ops == js_ops
+    assert "RunMatError" in js and "RunMatError" in ts
+
+
+def test_ts_bindings_node_suite():
+    """Run the node:test suite against the real server when node exists
+    (vitest-suite analog; skipped in node-less environments)."""
+    import pathlib
+    import shutil
+    import subprocess
+    import pytest as _pytest
+    if shutil.which("node") is None:
+        _pytest.skip("node not available")
+    root = pathlib.Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        ["node", "--test", "test/"],
+        cwd=str(root / "bindings" / "ts"),
+        env={**os.environ, "RUNMAT_TPU_PLATFORM": "cpu",
+             "PYTHONPATH": str(root)},
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
