@@ -110,9 +110,11 @@ class Axes:
 
     def add(self, obj):
         self.children.append(obj)
+        bump_rev()
 
     def reset(self):
         self.__init__(self.rect)
+        bump_rev()
 
     # -- limits ---------------------------------------------------------------
 
@@ -220,6 +222,19 @@ class Figure:
 _FIGURES: dict[int, Figure] = {}
 _CURRENT: list[int] = [1]
 
+# monotone scene revision: every mutation bumps it, so hosts can long-poll
+# for live figure updates (≙ the reference GUI's redraw-on-change loop,
+# runmat-plot/src/gui/) without re-rendering unchanged scenes
+_REV: list[int] = [0]
+
+
+def bump_rev() -> None:
+    _REV[0] += 1
+
+
+def scene_rev() -> int:
+    return _REV[0]
+
 
 def figure(num=None) -> Figure:
     if num is None:
@@ -252,11 +267,13 @@ def close_figure(num=None):
         _CURRENT[0] = max(_FIGURES)
     else:
         _CURRENT[0] = 1
+    bump_rev()
 
 
 def close_all():
     _FIGURES.clear()
     _CURRENT[0] = 1
+    bump_rev()
 
 
 # --------------------------------------------------------------- projection  #

@@ -266,3 +266,45 @@ def _image_svg(m: _Mapper, ch) -> str:
     return (f'<image x="{float(px0):.1f}" y="{float(py0):.1f}" width="{w:.1f}" '
             f'height="{h:.1f}" preserveAspectRatio="none" '
             f'href="data:image/png;base64,{b64}"/>')
+
+
+def probe_figure(fig, fx: float, fy: float):
+    """Data cursor (≙ runmat-plot GUI picking): nearest line/scatter vertex
+    to the figure-fraction point (fx, fy). Returns a readout dict with data
+    coords, pixel coords (for the cursor dot), series label and 1-based
+    index — or None when the figure has no probeable data."""
+    W, H = fig.size
+    px, py = fx * W, fy * H
+    best = None
+    for ax in fig.axes:
+        try:
+            m = _Mapper(ax, W, H)
+        except Exception:
+            continue
+        for ch in ax.children:
+            if ch.kind not in ("line", "scatter"):
+                continue
+            x = np.asarray(ch.x, np.float64).reshape(-1)
+            y = np.asarray(ch.y, np.float64).reshape(-1)
+            z = None
+            if getattr(ch, "z", None) is not None and ax.is3d:
+                z = np.asarray(ch.z, np.float64).reshape(-1)
+                sx, sy, _ = m.map3(x, y, z)
+            else:
+                sx, sy = m.map2(x, y)
+            d2 = (np.asarray(sx) - px) ** 2 + (np.asarray(sy) - py) ** 2
+            finite = np.isfinite(d2)
+            if not finite.any():
+                continue
+            i = int(np.argmin(np.where(finite, d2, np.inf)))
+            rec = {"dist": float(np.sqrt(d2[i])),
+                   "x": float(x[i]), "y": float(y[i]),
+                   "px": float(np.asarray(sx).reshape(-1)[i]),
+                   "py": float(np.asarray(sy).reshape(-1)[i]),
+                   "series": getattr(ch, "label", None) or ch.kind,
+                   "index": i + 1}
+            if z is not None:
+                rec["z"] = float(z[i])
+            if best is None or rec["dist"] < best["dist"]:
+                best = rec
+    return best

@@ -161,17 +161,58 @@ def handle_request(sess, req: dict) -> dict:
         if op == "figures":
             # open figures rendered to SVG (the interactive GUI transport:
             # the browser host pans/zooms client-side — ≙ runmat-plot's
-            # winit/egui window, re-homed to the web host)
+            # winit/egui window, re-homed to the web host). 3-D figures
+            # carry is3d + az/el so the client can orbit them.
+            return {"id": rid, "ok": True, "figures": _render_figures(),
+                    "rev": _scene_rev()}
+        if op == "figures_wait":
+            # long-poll for live figure updates (server-push analog,
+            # ≙ the GUI redraw loop): returns when the scene revision
+            # moves past the client's, or on timeout.
+            import time as _time
+            client_rev = int(req.get("rev", -1))
+            deadline = _time.monotonic() + min(float(req.get("timeout", 25)),
+                                               25.0)
+            while _scene_rev() == client_rev and _time.monotonic() < deadline:
+                _time.sleep(0.05)
+            changed = _scene_rev() != client_rev
+            out = {"id": rid, "ok": True, "rev": _scene_rev(),
+                   "changed": changed}
+            if changed:
+                out["figures"] = _render_figures()
+            return out
+        if op == "view":
+            # 3-D camera orbit: update az/el and return the re-rendered
+            # scene for that figure (≙ runmat-plot GUI camera controller)
             from .plot import figure as figmod
             from .plot.svg import render_svg
-            figs = []
-            for num in sorted(figmod._FIGURES):
-                try:
-                    figs.append({"num": num,
-                                 "svg": render_svg(figmod._FIGURES[num])})
-                except Exception:
-                    pass
-            return {"id": rid, "ok": True, "figures": figs}
+            num = int(req.get("fig", 0))
+            f = figmod._FIGURES.get(num)
+            if f is None:
+                return {"id": rid, "ok": False,
+                        "error": {"identifier": "RunMat:server:NoSuchFigure",
+                                  "message": f"No figure {num}."}}
+            az = float(req.get("az", f.ax.view[0]))
+            el = float(req.get("el", f.ax.view[1]))
+            el = max(-90.0, min(90.0, el))
+            for ax in f.axes:
+                ax.view = (az, el)
+            figmod.bump_rev()
+            return {"id": rid, "ok": True, "num": num, "az": az, "el": el,
+                    "svg": render_svg(f)}
+        if op == "probe":
+            # data cursor: nearest data vertex to a figure-fraction point
+            from .plot import figure as figmod
+            from .plot.svg import probe_figure
+            num = int(req.get("fig", 0))
+            f = figmod._FIGURES.get(num)
+            if f is None:
+                return {"id": rid, "ok": False,
+                        "error": {"identifier": "RunMat:server:NoSuchFigure",
+                                  "message": f"No figure {num}."}}
+            hit = probe_figure(f, float(req.get("fx", 0.5)),
+                               float(req.get("fy", 0.5)))
+            return {"id": rid, "ok": True, "hit": hit}
         if op == "reset":
             sess.clear()
             return {"id": rid, "ok": True}
@@ -184,6 +225,26 @@ def handle_request(sess, req: dict) -> dict:
         ident = getattr(e, "identifier", "RunMat:server:InternalError")
         return {"id": rid, "ok": False,
                 "error": {"identifier": ident, "message": str(e)}}
+
+
+def _scene_rev() -> int:
+    from .plot import figure as figmod
+    return figmod.scene_rev()
+
+
+def _render_figures() -> list:
+    from .plot import figure as figmod
+    from .plot.svg import render_svg
+    figs = []
+    for num in sorted(figmod._FIGURES):
+        f = figmod._FIGURES[num]
+        try:
+            figs.append({"num": num, "svg": render_svg(f),
+                         "is3d": any(ax.is3d for ax in f.axes),
+                         "view": list(f.ax.view), "size": list(f.size)})
+        except Exception:
+            pass
+    return figs
 
 
 def serve_stdio(sess) -> int:
@@ -294,8 +355,13 @@ def serve_http(sess, host: str, port: int, token: str = None) -> int:
                 req = json.loads(self.rfile.read(n))
             except ValueError:
                 return self._send(400, b'{"ok":false}', "application/json")
-            with lock:   # one session, serialized requests
+            if req.get("op") == "figures_wait":
+                # read-only long poll: must not hold the session lock, or a
+                # waiting tab would block every execute for up to 25 s
                 resp = handle_request(sess, req)
+            else:
+                with lock:   # one session, serialized requests
+                    resp = handle_request(sess, req)
             self._send(200, json.dumps(resp).encode(), "application/json")
 
     httpd = ThreadingHTTPServer((host, port), H)
@@ -372,28 +438,63 @@ if(!r.ok&&r.error)add('err',r.error.identifier+': '+r.error.message);
 refreshVars();refreshFigs();});
 function applyView(num,box){const v=view[num]||(view[num]={x:0,y:0,s:1});
 box.style.transform=`translate(${v.x}px,${v.y}px) scale(${v.s})`;}
-async function refreshFigs(){const r=await api({op:'figures'});
-figs.innerHTML='';for(const f of (r.figures||[])){
-const h=document.createElement('h4');h.textContent='Figure '+f.num;
-const d=document.createElement('div');d.className='fig';
+let sceneRev=-1;const cams={};
+function buildFig(f){
+const h=document.createElement('h4');
+h.textContent='Figure '+f.num+(f.is3d?'  (drag to orbit)':'');
+const d=document.createElement('div');d.className='fig';d.dataset.num=f.num;
 const box=document.createElement('div');box.className='zoombox';
 box.innerHTML=f.svg;d.appendChild(box);applyView(f.num,box);
-let drag=null;
+const tip=document.createElement('div');
+tip.style.cssText='position:absolute;display:none;background:#14161a;'+
+'color:#e8e8e3;font:11px ui-monospace,monospace;padding:3px 6px;'+
+'border-radius:3px;pointer-events:none;z-index:5;white-space:pre';
+d.style.position='relative';d.appendChild(tip);
+if(f.is3d)cams[f.num]=cams[f.num]||{az:f.view[0],el:f.view[1]};
+let drag=null,moved=false,orbitTimer=null;
+async function orbit(dx,dy){const c=cams[f.num];
+c.az-=dx*0.5;c.el=Math.max(-90,Math.min(90,c.el+dy*0.5));
+if(orbitTimer)return;orbitTimer=setTimeout(async()=>{orbitTimer=null;
+const r=await api({op:'view',fig:f.num,az:c.az,el:c.el});
+if(r.ok)box.innerHTML=r.svg;},50);}
 d.addEventListener('mousedown',e=>{drag={x:e.clientX,y:e.clientY};
-d.style.cursor='grabbing';e.preventDefault();});
+moved=false;d.style.cursor='grabbing';e.preventDefault();});
 window.addEventListener('mouseup',()=>{drag=null;d.style.cursor='grab';});
-d.addEventListener('mousemove',e=>{if(!drag)return;const v=view[f.num];
-v.x+=e.clientX-drag.x;v.y+=e.clientY-drag.y;
-drag={x:e.clientX,y:e.clientY};applyView(f.num,box);});
+d.addEventListener('mousemove',e=>{if(!drag)return;moved=true;
+const dx=e.clientX-drag.x,dy=e.clientY-drag.y;
+drag={x:e.clientX,y:e.clientY};
+if(f.is3d&&!e.shiftKey){orbit(dx,dy);return;}
+const v=view[f.num];v.x+=dx;v.y+=dy;applyView(f.num,box);});
 d.addEventListener('wheel',e=>{e.preventDefault();const v=view[f.num];
 const rect=d.getBoundingClientRect();
 const px=e.clientX-rect.left,py=e.clientY-rect.top;
 const k=e.deltaY<0?1.2:1/1.2;
 v.x=px-(px-v.x)*k;v.y=py-(py-v.y)*k;v.s*=k;applyView(f.num,box);});
 d.addEventListener('dblclick',()=>{view[f.num]={x:0,y:0,s:1};
-applyView(f.num,box);});
-figs.appendChild(h);figs.appendChild(d);}}
-refreshVars();refreshFigs();
+applyView(f.num,box);tip.style.display='none';});
+d.addEventListener('click',async e=>{if(moved)return;
+const svg=box.querySelector('svg');if(!svg)return;
+const r0=svg.getBoundingClientRect();
+const fx=(e.clientX-r0.left)/r0.width,fy=(e.clientY-r0.top)/r0.height;
+const r=await api({op:'probe',fig:f.num,fx:fx,fy:fy});
+if(!r.ok||!r.hit){tip.style.display='none';return;}
+const hit=r.hit;const dr=d.getBoundingClientRect();
+let txt=`${hit.series}[${hit.index}]\nx ${hit.x.toPrecision(6)}`+
+`\ny ${hit.y.toPrecision(6)}`;
+if('z' in hit)txt+=`\nz ${hit.z.toPrecision(6)}`;
+tip.textContent=txt;tip.style.display='block';
+tip.style.left=(e.clientX-dr.left+12)+'px';
+tip.style.top=(e.clientY-dr.top+12)+'px';});
+figs.appendChild(h);figs.appendChild(d);}
+function renderFigs(list){figs.innerHTML='';
+for(const f of (list||[]))buildFig(f);}
+async function refreshFigs(){const r=await api({op:'figures'});
+sceneRev=r.rev;renderFigs(r.figures);}
+async function liveLoop(){for(;;){try{
+const r=await api({op:'figures_wait',rev:sceneRev,timeout:25});
+if(r.changed){sceneRev=r.rev;renderFigs(r.figures);refreshVars();}
+}catch(e){await new Promise(res=>setTimeout(res,2000));}}}
+refreshVars();refreshFigs().then(liveLoop);
 </script></body></html>""").encode()
 
 
