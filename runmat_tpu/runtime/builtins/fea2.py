@@ -635,6 +635,11 @@ def m_geometry_load(path):
         v, f = surf.load_obj(raw.decode("utf-8", "replace"))
     elif p.endswith(".ply"):
         v, f = surf.load_ply(raw)
+    elif p.endswith((".step", ".stp")):
+        # Part-21 B-rep subset tessellation (≙ runmat-geometry-io OCCT
+        # import, re-homed to a pure-python analytic-surface parser)
+        from ...fea.step_import import load_step
+        v, f = load_step(raw.decode("utf-8", "replace"))
     else:
         raise bad_arg("geometry.load", f"Unsupported geometry format: {p}")
     return StructArray.scalar({
@@ -680,7 +685,16 @@ def m_geometry_meshes(g, res=None):
         f = _f(g.get_scalar_field("faces")).astype(np.int64) - 1
         ext = float((v.max(axis=0) - v.min(axis=0)).max())
         h = _sc(res) if res is not None else ext / 6.0
-        mesh = surf.mesh_surface(v, f, h)
+        # cavity pipeline first (boundary recovery + dihedral optimization,
+        # ≙ tetrahedron generate/cavity/recover/optimize); the earlier
+        # surface-bounded mesher stays as the fallback
+        try:
+            from ...fea.cavity import mesh_plc
+            mesh = mesh_plc(v, f, h=h)
+            if mesh.tets.size == 0:
+                raise ValueError("empty cavity mesh")
+        except Exception:
+            mesh = surf.mesh_surface(v, f, h)
         return StructArray.scalar({
             "nodes": MatArray(mesh.nodes, "double"),
             "elements": MatArray(mesh.tets.astype(np.float64) + 1,
