@@ -134,14 +134,7 @@ def m_join(arr, delim=None):
     return StringArray.scalar(d.join(parts))
 
 
-@builtin("startsWith", category="strings", min_in=2, max_in=2)
-def m_startswith(s, prefix):
-    return MatArray.logical_scalar(text_of(s).startswith(text_of(prefix)))
-
-
-@builtin("endsWith", category="strings", min_in=2, max_in=2)
-def m_endswith(s, suffix):
-    return MatArray.logical_scalar(text_of(s).endswith(text_of(suffix)))
+# (startsWith/endsWith live in strings.py with the IgnoreCase option)
 
 
 @builtin("count", category="strings", min_in=2, max_in=2)

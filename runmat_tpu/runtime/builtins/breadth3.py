@@ -313,8 +313,12 @@ def m_mad(x):
 
 @builtin("iqr", category="stats", min_in=1, max_in=1)
 def m_iqr(x):
-    h = _np(x).reshape(-1)
-    return MatArray.scalar(float(np.percentile(h, 75) - np.percentile(h, 25)))
+    """Interquartile range via MATLAB's prctile interpolation (order
+    statistics at (k - 0.5)/n — NOT numpy's linear percentile)."""
+    from .stats import m_prctile
+    q = m_prctile(x, MatArray(np.array([[25.0, 75.0]]), "double"))
+    v = q.host().reshape(-1)
+    return MatArray.scalar(float(v[1] - v[0]))
 
 
 # ------------------------------------------------------- coordinate transforms #
@@ -535,9 +539,14 @@ def m_unwrap(x):
 
 @builtin("deconv", category="math/poly", min_in=2, max_in=2, pass_nargout=True)
 def m_deconv(b, a, nargout=1):
-    q, r = np.polydiv(_np(b).reshape(-1), _np(a).reshape(-1))
+    bv = _np(b).reshape(-1)
+    q, r = np.polydiv(bv, _np(a).reshape(-1))
+    # MATLAB pads the remainder to length(b) with leading zeros
+    r = np.atleast_1d(r)
+    if r.size < bv.size:
+        r = np.concatenate([np.zeros(bv.size - r.size), r])
     res = [MatArray(np.atleast_1d(q).reshape(1, -1), "double"),
-           MatArray(np.atleast_1d(r).reshape(1, -1), "double")]
+           MatArray(r.reshape(1, -1), "double")]
     return res[:max(1, nargout)]
 
 

@@ -18,7 +18,7 @@ from ..registry import builtin
 _UNARY_BUILTINS = [
     "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
     "asinh", "acosh", "atanh", "exp", "log", "log2", "log10", "log1p",
-    "expm1", "sqrt", "abs", "sign", "floor", "ceil", "round", "fix",
+    "expm1", "sqrt", "abs", "sign", "floor", "ceil", "fix",
     "real", "imag", "conj", "angle", "isnan", "isinf", "isfinite", "erf",
     "gamma",
 ]
@@ -30,6 +30,19 @@ for _name in _UNARY_BUILTINS:
             return unary(_op, x)
         return _f
     _mk(_name)
+
+
+@builtin("round", category="math/elementwise", min_in=1, max_in=2,
+         accel_op="round")
+def m_round(x, n=None):
+    """round(X) half-away-from-zero; round(X, N) to N decimal digits
+    (negative N rounds left of the decimal point) — the scaled form rides
+    the same elementwise device ops so gpuArrays stay resident."""
+    if n is None:
+        return unary("round", x)
+    digits = int(n.scalar_double())
+    scale = MatArray.scalar(10.0 ** digits)
+    return binary("div", unary("round", binary("mul", x, scale)), scale)
 
 
 @builtin("not", category="logical", min_in=1, max_in=1, accel_op="logical_not")

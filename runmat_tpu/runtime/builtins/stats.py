@@ -21,14 +21,26 @@ def _f(x: MatArray) -> np.ndarray:
 
 @builtin("cov", category="stats", min_in=1, max_in=3)
 def m_cov(x, y=None, w=None):
+    """cov(X), cov(X, Y), cov(X, w) / cov(X, Y, w): w = 0 (default, N-1
+    normalization) or 1 (population, N)."""
     hx = _f(x)
+    ddof = 1
+    if y is not None and isinstance(y, MatArray) and y.size == 1 and \
+            w is None:
+        # cov(X, w) form: second arg is the normalization flag
+        flag = float(y.host().reshape(-1)[0])
+        if flag in (0.0, 1.0):
+            ddof = 0 if flag == 1.0 else 1
+            y = None
+    if w is not None and isinstance(w, MatArray) and w.size == 1:
+        ddof = 0 if float(w.host().reshape(-1)[0]) == 1.0 else 1
     if y is not None and isinstance(y, MatArray) and y.size > 1:
         hy = _f(y)
-        m = np.cov(hx.reshape(-1), hy.reshape(-1), ddof=1)
+        m = np.cov(hx.reshape(-1), hy.reshape(-1), ddof=ddof)
         return MatArray(m, "double")
     if hx.ndim == 2 and 1 in hx.shape:
-        return MatArray.scalar(float(np.var(hx, ddof=1)))
-    return MatArray(np.cov(hx, rowvar=False, ddof=1), "double")
+        return MatArray.scalar(float(np.var(hx, ddof=ddof)))
+    return MatArray(np.cov(hx, rowvar=False, ddof=ddof), "double")
 
 
 @builtin("corrcoef", category="stats", min_in=1, max_in=2)

@@ -397,29 +397,53 @@ def m_strjoin(c, delim=None):
         StringArray.scalar(d.join(parts))
 
 
+def _ignore_case(opts) -> bool:
+    """Parse the trailing 'IgnoreCase', tf name-value pair."""
+    for i, o in enumerate(opts):
+        if is_text(o) and text_of(o).lower() == "ignorecase":
+            if i + 1 < len(opts):
+                v = opts[i + 1]
+                return bool(np.asarray(v.host()).reshape(-1)[0])
+            return True
+    return False
+
+
 @builtin("contains", category="strings", min_in=2, max_in=4)
 def m_contains(s, pat, *opts):
     p = text_of(pat)
+    ic = _ignore_case(opts)
+    if ic:
+        p = p.lower()
+    test = (lambda t: p in t.lower()) if ic else (lambda t: p in t)
     if isinstance(s, (StringArray, CellArray)):
-        r = _map_bool(s, lambda t: p in t)
-        return r
-    return MatArray.logical_scalar(p in text_of(s))
+        return _map_bool(s, test)
+    return MatArray.logical_scalar(test(text_of(s)))
 
 
 @builtin("startsWith", category="strings", min_in=2, max_in=4)
 def m_startswith(s, pat, *opts):
     p = text_of(pat)
+    ic = _ignore_case(opts)
+    if ic:
+        p = p.lower()
+    test = (lambda t: t.lower().startswith(p)) if ic else \
+        (lambda t: t.startswith(p))
     if isinstance(s, (StringArray, CellArray)):
-        return _map_bool(s, lambda t: t.startswith(p))
-    return MatArray.logical_scalar(text_of(s).startswith(p))
+        return _map_bool(s, test)
+    return MatArray.logical_scalar(test(text_of(s)))
 
 
 @builtin("endsWith", category="strings", min_in=2, max_in=4)
 def m_endswith(s, pat, *opts):
     p = text_of(pat)
+    ic = _ignore_case(opts)
+    if ic:
+        p = p.lower()
+    test = (lambda t: t.lower().endswith(p)) if ic else \
+        (lambda t: t.endswith(p))
     if isinstance(s, (StringArray, CellArray)):
-        return _map_bool(s, lambda t: t.endswith(p))
-    return MatArray.logical_scalar(text_of(s).endswith(p))
+        return _map_bool(s, test)
+    return MatArray.logical_scalar(test(text_of(s)))
 
 
 def _map_bool(v, fn):
@@ -568,4 +592,6 @@ def m_pad(s, n=None, side=None):
     sd = text_of(side) if side is not None else "right"
     if sd == "left":
         return MatArray.char_from_str(t.rjust(width))
+    if sd == "both":
+        return MatArray.char_from_str(t.center(width))
     return MatArray.char_from_str(t.ljust(width))

@@ -169,6 +169,26 @@ def m_expand(e):
 
 @builtin("factor_sym", category="math/symbolic", min_in=1, max_in=1)
 def m_factor_sym(e):
+    """factor: numeric scalars get MATLAB's prime-factor row vector;
+    symbolic inputs get the polynomial factorization."""
+    from ...values import MatArray as _MA
+    if isinstance(e, _MA) and not e.is_complex and e.size == 1:
+        import numpy as _np
+        v = float(_np.asarray(e.host()).reshape(-1)[0])
+        if v == int(v) and v >= 1:
+            n = int(v)
+            out = []
+            d = 2
+            while d * d <= n:
+                while n % d == 0:
+                    out.append(float(d))
+                    n //= d
+                d += 1
+            if n > 1:
+                out.append(float(n))
+            if not out:
+                out = [1.0]
+            return _MA(_np.array([out]), "double")
     return _to_sym(e).map(sp.factor)
 
 
