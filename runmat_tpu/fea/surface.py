@@ -13,6 +13,8 @@ reconnection)."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from .mesh import TetMesh
@@ -358,3 +360,179 @@ def save_stl(verts: np.ndarray, faces: np.ndarray) -> bytes:
     rec[:, :48] = payload.view(np.uint8).reshape(n, 48)
     out += rec.tobytes()
     return bytes(out)
+
+
+# --------------------------------------------------------------------------- #
+# isotropic surface remeshing: edge split / collapse with quality gates
+# (≙ runmat-meshing-tetrahedron optimize.rs surface ops + size fields)
+# --------------------------------------------------------------------------- #
+
+def _edge_faces(faces: np.ndarray) -> dict:
+    """(a<b) edge -> list of face indices."""
+    ef: dict = {}
+    for fi, (a, b, c) in enumerate(faces):
+        for e in ((a, b), (b, c), (c, a)):
+            key = (min(e), max(e))
+            ef.setdefault(key, []).append(fi)
+    return ef
+
+
+def refine_surface(verts: np.ndarray, faces: np.ndarray, h,
+                   iters: int = 3):
+    """Isotropic remeshing toward target edge length h (float or callable
+    sizing field h(x)->(n,)): long edges (> 4/3 h) split at midpoints,
+    short edges (< 4/5 h) collapse to midpoints when the link condition
+    holds (watertightness preserved), then tangential Laplacian smoothing
+    constrained to preserve sharp feature edges. Returns (verts, faces)
+    watertight (≙ meshing/size sizing-field adaptivity + optimize edge
+    operations; classic Botsch-Kobbelt remeshing schedule)."""
+    v = np.asarray(verts, np.float64).copy()
+    f = np.asarray(faces, np.int64).copy()
+
+    def target(p):
+        if callable(h):
+            return np.asarray(h(np.atleast_2d(p)), np.float64)
+        return np.full(np.atleast_2d(p).shape[0], float(h))
+
+    for _ in range(iters):
+        # ---- 1) split long edges
+        ef = _edge_faces(f)
+        lengths = {e: np.linalg.norm(v[e[0]] - v[e[1]]) for e in ef}
+        mids = {e: (v[e[0]] + v[e[1]]) / 2.0 for e in ef}
+        to_split = [e for e, L in lengths.items()
+                    if L > 4.0 / 3.0 * float(target(mids[e])[0])
+                    and len(ef[e]) == 2]
+        if to_split:
+            new_faces = list(map(tuple, f))
+            mid_idx = {}
+            for e in to_split:
+                mid_idx[e] = v.shape[0]
+                v = np.vstack([v, mids[e][None, :]])
+            out = []
+            for tri in new_faces:
+                tris = [tri]
+                for e, m in mid_idx.items():
+                    nxt = []
+                    for t in tris:
+                        if e[0] in t and e[1] in t:
+                            a, b = e
+                            c = [x for x in t if x not in e][0]
+                            ia, ib = t.index(a), t.index(b)
+                            if (ia + 1) % 3 == ib:
+                                nxt += [(a, m, c), (m, b, c)]
+                            else:
+                                nxt += [(b, m, c), (m, a, c)]
+                        else:
+                            nxt.append(t)
+                    tris = nxt
+                out.extend(tris)
+            f = np.array(out, dtype=np.int64)
+        # ---- 2) collapse short edges (link condition + no flips).
+        # Feature preservation: crease vertices (sharp dihedral) must not
+        # move — a collapse with one sharp endpoint absorbs the other INTO
+        # it; both-sharp edges are left alone (volume stays exact on
+        # prismatic parts).
+        ef = _edge_faces(f)
+        fnormals = {}
+        for fi, (a, b, c) in enumerate(f):
+            nrm = np.cross(v[b] - v[a], v[c] - v[a])
+            nn = np.linalg.norm(nrm)
+            fnormals[fi] = nrm / nn if nn > 1e-300 else np.zeros(3)
+        sharp_v: set = set()
+        for e, fl in ef.items():
+            if len(fl) == 2:
+                if float(fnormals[fl[0]] @ fnormals[fl[1]]) < \
+                        math.cos(math.radians(30)):
+                    sharp_v.update(e)
+            else:
+                sharp_v.update(e)
+        star: dict = {}
+        for fi, tri in enumerate(f):
+            for x in tri:
+                star.setdefault(int(x), set()).add(fi)
+        dead_faces: set = set()
+        merged = np.arange(v.shape[0])
+        touched: set = set()
+        for e, fl in ef.items():
+            if len(fl) != 2:
+                continue
+            a, b = e
+            if a in touched or b in touched:
+                continue
+            if a in sharp_v and b in sharp_v:
+                continue
+            L = float(np.linalg.norm(v[a] - v[b]))
+            if L >= 0.8 * float(target((v[a] + v[b]) / 2.0)[0]):
+                continue
+            # link condition: shared neighbors of a and b must be exactly
+            # the two opposite vertices of the shared faces
+            na = {int(x) for fi in star[a] for x in f[fi]} - {a}
+            nb = {int(x) for fi in star[b] for x in f[fi]} - {b}
+            opp = set()
+            for fi in fl:
+                opp.update(int(x) for x in f[fi] if x not in e)
+            if na & nb != opp:
+                continue
+            if a in sharp_v:
+                keep, drop = a, b
+                v[keep] = v[a]                  # sharp vertex stays put
+            elif b in sharp_v:
+                keep, drop = b, a
+            else:
+                keep, drop = a, b
+                v[keep] = (v[a] + v[b]) / 2.0
+            merged[drop] = keep
+            touched |= {a, b} | na | nb
+            dead_faces.update(fl)
+        if dead_faces or (merged != np.arange(v.shape[0])).any():
+            f = np.array([tri for fi, tri in enumerate(f)
+                          if fi not in dead_faces], dtype=np.int64)
+            f = merged[f]
+            # drop degenerate faces (repeated vertices after merge)
+            ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & \
+                (f[:, 0] != f[:, 2])
+            f = f[ok]
+        # ---- 3) tangential smoothing, feature edges pinned
+        ef = _edge_faces(f)
+        normals = {}
+        for fi, (a, b, c) in enumerate(f):
+            n = np.cross(v[b] - v[a], v[c] - v[a])
+            nn = np.linalg.norm(n)
+            normals[fi] = n / nn if nn > 1e-300 else np.zeros(3)
+        sharp: set = set()
+        for e, fl in ef.items():
+            if len(fl) == 2:
+                d = float(normals[fl[0]] @ normals[fl[1]])
+                if d < math.cos(math.radians(30)):
+                    sharp.update(e)
+            else:
+                sharp.update(e)
+        acc = np.zeros_like(v)
+        cnt = np.zeros(v.shape[0])
+        for (a, b) in ef:
+            acc[a] += v[b]
+            acc[b] += v[a]
+            cnt[a] += 1
+            cnt[b] += 1
+        has = cnt > 0
+        avg = np.where(has[:, None], acc / np.maximum(cnt[:, None], 1), v)
+        vert_normal = np.zeros_like(v)
+        for fi, tri in enumerate(f):
+            for x in tri:
+                vert_normal[x] += normals[fi]
+        nn = np.linalg.norm(vert_normal, axis=1, keepdims=True)
+        vert_normal = vert_normal / np.maximum(nn, 1e-300)
+        move = (avg - v) * 0.4
+        # project the move into the tangent plane (no volume shrink)
+        move -= (np.einsum("ij,ij->i", move, vert_normal))[:, None] \
+            * vert_normal
+        pin = np.zeros(v.shape[0], dtype=bool)
+        pin[list(sharp)] = True
+        v = np.where(pin[:, None], v, v + move)
+        # compact unused vertices
+        used = np.unique(f)
+        remap = -np.ones(v.shape[0], dtype=np.int64)
+        remap[used] = np.arange(used.size)
+        v = v[used]
+        f = remap[f]
+    return v, f
