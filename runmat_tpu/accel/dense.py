@@ -672,6 +672,23 @@ def _b_setop(eng, opts):
             if stable:
                 u, ia, ic, n = _stable_order(jnp, u, ia, ic, n)
             return u, n
+        if op == "setxor":
+            v = jnp.concatenate([va, vb])
+            u, ia, ic, n = _unique_core(jnp, v)
+            N = u.shape[0]
+            valid = jnp.arange(N) < n
+            in_a = jnp.any(u[:, None] == va[None, :], axis=1) \
+                if va.shape[0] else jnp.zeros(N, bool)
+            in_b = jnp.any(u[:, None] == vb[None, :], axis=1) \
+                if vb.shape[0] else jnp.zeros(N, bool)
+            keep = valid & (in_a ^ in_b)
+            k = jnp.sum(keep)
+            pos = jnp.cumsum(keep) - 1
+            dest = jnp.where(keep, pos, N - 1)
+            tail = jnp.arange(N) < k
+            out = jnp.zeros(N, u.dtype).at[dest].set(
+                jnp.where(keep, u, 0))
+            return jnp.where(tail, out, 0), k
         ua, ia, ic_, na = _unique_core(jnp, va)
         if stable:
             ua, ia, ic_, na = _stable_order(jnp, ua, ia, ic_, na)
@@ -694,6 +711,70 @@ def _b_setop(eng, opts):
             jnp.where(keep, (ia + 1).astype(jnp.float64), 0))
         iout = jnp.where(tail, iout, 0)
         return out, iout, k
+    return f
+
+
+def _b_diff(eng, opts):
+    """diff along an axis, order n (≙ provider diff hook): pure slicing —
+    fuses with downstream elementwise work."""
+    n, axis = opts
+    jnp = eng.jnp
+
+    def f(a):
+        return jnp.diff(a, n=n, axis=axis)
+    return f
+
+
+def _b_trapz(eng, opts):
+    """Trapezoidal integration along an axis, optional sample points
+    (≙ provider trapz hook, api lib.rs scans family)."""
+    axis, with_x = opts
+    jnp = eng.jnp
+
+    if with_x:
+        def f(x, y):
+            return jnp.trapezoid(y, x=x.reshape(-1), axis=axis)
+        return f
+
+    def f(y):
+        return jnp.trapezoid(y, axis=axis)
+    return f
+
+
+def _b_mode(eng, opts):
+    """Vector mode on device: unique-group counts via scatter-add; MATLAB
+    tie rule (smallest value) falls out of the sorted group order, and
+    NaN groups are excluded like MATLAB's NaN-omitting mode."""
+    jnp = eng.jnp
+
+    def f(a):
+        v = jnp.reshape(a, -1, order="F") if a.ndim > 1 else a.reshape(-1)
+        u, _ia, _ic, n = _unique_core(jnp, v)
+        N = v.shape[0]
+        si = jnp.argsort(v, stable=True)
+        sv = v[si]
+        first = jnp.ones((1,), bool) if N else jnp.zeros((0,), bool)
+        m = jnp.concatenate([first, sv[1:] != sv[:-1]])
+        g = jnp.cumsum(m) - 1
+        counts = jnp.zeros(N, jnp.int32).at[g].add(1)
+        valid = (jnp.arange(N) < n) & ~jnp.isnan(u)
+        counts = jnp.where(valid, counts, -1)
+        return u[jnp.argmax(counts)]
+    return f
+
+
+def _b_accumarray(eng, opts):
+    """accumarray(subs, vals, [sz]) with @sum: one device scatter-add
+    (≙ provider scatter hook, api lib.rs scatter/gather_linear)."""
+    (out_n,) = opts
+    jnp = eng.jnp
+
+    def f(subs, vals):
+        idx = subs.reshape(-1).astype(jnp.int32) - 1
+        v = vals.reshape(-1)
+        if v.shape[0] == 1:
+            v = jnp.broadcast_to(v, idx.shape)
+        return jnp.zeros(out_n, v.dtype).at[idx].add(v)
     return f
 
 
@@ -838,6 +919,10 @@ _BUILDERS = {
     "histcounts": _b_histcounts,
     "unique": _b_unique,
     "setop": _b_setop,
+    "diff": _b_diff,
+    "trapz": _b_trapz,
+    "mode": _b_mode,
+    "accumarray": _b_accumarray,
     "movwin": _b_movwin,
     "topk": _b_topk,
     "hilbert": _b_hilbert,

@@ -520,7 +520,7 @@ class JaxEngine:
         mclass = a.mclass if a.mclass == b.mclass else "double"
         ha = a.shape
         row = not (len(ha) == 2 and ha[1] == 1 and ha[0] > 1)
-        if op == "union":
+        if op in ("union", "setxor"):
             u_pad, n = out
             return [self._trim_leaf(u_pad, int(np.asarray(n)), mclass, row)]
         u_pad, ia_pad, n = out

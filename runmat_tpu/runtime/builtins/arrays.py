@@ -286,6 +286,20 @@ def m_diff(x, n=None, dim=None):
     if type(x).__name__ == "SymValue":
         from .symbolic import _diff
         return _diff(x, n, dim)
+    if isinstance(x, MatArray) and x.on_device and not x.is_complex:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None:
+            order = scalar_int(n) if n is not None else 1
+            shape = x.shape
+            ax = scalar_int(dim) - 1 if dim is not None else \
+                (0 if shape[0] != 1 else 1)
+            if 0 <= ax < len(shape) and shape[ax] > order:
+                out = eng.linalg("diff", [x], (order, ax),
+                                 out_class=x.mclass if x.mclass in
+                                 ("double", "single") else "double")
+                if out is not None:
+                    return out[0]
     h = x.host()
     order = scalar_int(n) if n is not None else 1
     ax = scalar_int(dim) - 1 if dim is not None else (0 if h.shape[0] != 1 else 1)
@@ -357,6 +371,25 @@ def m_ctranspose(x):
 
 @builtin("accumarray", category="array", min_in=2, max_in=4)
 def m_accumarray(subs, vals, sz=None, fn=None):
+    if fn is None and isinstance(vals, MatArray) and vals.on_device and \
+            not vals.is_complex and isinstance(subs, MatArray) and \
+            len(subs.shape) == 2 and subs.shape[1] == 1:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None:
+            if sz is not None:
+                n = int(sz.host().reshape(-1)[0])
+            elif not subs.on_device:
+                idx0 = subs.host().astype(np.int64).reshape(-1)
+                n = int(idx0.max()) if idx0.size else 0   # subs are 1-based
+            else:
+                n = 0
+            if n > 0:
+                # one device scatter-add; only the output size is host-side
+                out = eng.linalg("accumarray", [subs, vals], (n,),
+                                 out_class="double")
+                if out is not None:
+                    return out[0]
     sh = subs.host().astype(np.int64)
     if sh.ndim == 2 and sh.shape[1] == 1:
         idx = sh.reshape(-1) - 1

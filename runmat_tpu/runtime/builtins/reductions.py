@@ -463,11 +463,24 @@ def m_cummin(x, *rest):
 
 @builtin("trapz", category="math/reduction", min_in=1, max_in=3)
 def m_trapz(a, b=None, c=None):
+    from ...accel import active_engine
+    eng = active_engine()
     if b is None:
+        if a.on_device and not a.is_complex and eng is not None:
+            ax = _axes_for(a.shape, None)[0]
+            out = eng.linalg("trapz", [a], (ax, False))
+            if out is not None:
+                return out[0]
         y = a.host().astype(np.float64)
         ax = _axes_for(a.shape, None)[0]
         return _norm_result(np.trapezoid(y, axis=ax), "double")
     if c is None and isinstance(b, MatArray) and b.size > 1:
+        if (a.on_device or b.on_device) and not a.is_complex and \
+                not b.is_complex and eng is not None:
+            ax = _axes_for(b.shape, None)[0]
+            out = eng.linalg("trapz", [a, b], (ax, True))
+            if out is not None:
+                return out[0]
         xh = a.host().astype(np.float64).reshape(-1)
         y = b.host().astype(np.float64)
         ax = _axes_for(b.shape, None)[0]
@@ -482,6 +495,15 @@ def m_trapz(a, b=None, c=None):
 
 @builtin("mode", category="stats", min_in=1, max_in=2)
 def m_mode(x, dim=None):
+    if isinstance(x, MatArray) and x.on_device and dim is None and \
+            not x.is_complex and x.mclass in ("double", "single") and \
+            len([s for s in x.shape if s > 1]) <= 1:
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None:
+            out = eng.linalg("mode", [x], (), out_class=x.mclass)
+            if out is not None:
+                return out[0]
     h = x.host().astype(np.float64)
     ax = int(dim.scalar_double()) - 1 if dim is not None else _axes_for(x.shape, None)[0]
 

@@ -240,6 +240,14 @@ def m_setdiff(a, b):
 
 @builtin("setxor", category="array/sets", min_in=2, max_in=2)
 def m_setxor(a, b):
+    if isinstance(a, MatArray) and isinstance(b, MatArray) and \
+            (a.on_device or b.on_device):
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None:
+            out = eng.setop("setxor", a, b)
+            if out is not None:
+                return out[0]
     fa = fortran_ravel(a.host())
     fb = fortran_ravel(b.host())
     return MatArray(np.setxor1d(fa, fb).reshape(1, -1), a.mclass if a.mclass == b.mclass else "double")

@@ -190,3 +190,45 @@ def test_unique_device_no_data_roundtrip():
     assert bool(np.asarray(s.get("ok").host()).ravel()[0])
     # payload gather would move 400 KB; the count sync moves a few bytes
     assert eng.stats["gather_bytes"] < 4096
+
+
+def test_setxor_device_parity():
+    s = run("A = gpuArray([5 1 3 3 7]); B = gpuArray([3 8 5]); "
+            "x = gather(setxor(A, B)); d = existsOnGPU(setxor(A, B));",
+            accelerate=True)
+    np.testing.assert_allclose(s.get("x").host().ravel(), [1, 7, 8])
+    assert bool(np.asarray(s.get("d").host()).ravel()[0])
+
+
+def test_diff_trapz_mode_device_parity():
+    s = run("v = gpuArray([1 4 9 16 25]); d1 = diff(v); d2 = diff(v, 2); "
+            "M = gpuArray([1 5 3; 4 2 6]); dm = diff(M); dmc = diff(M, 1, 2); "
+            "t = trapz(v); tx = trapz(gpuArray([0 1 2 4]), gpuArray([0 2 4 8])); "
+            "m = mode(gpuArray([2 7 2 9 2 7])); "
+            "ok = existsOnGPU(d1) && existsOnGPU(t);", accelerate=True)
+    np.testing.assert_allclose(s.get("d1").host(), [[3, 5, 7, 9]])
+    np.testing.assert_allclose(s.get("d2").host(), [[2, 2, 2]])
+    np.testing.assert_allclose(s.get("dm").host(), [[3, -3, 3]])
+    np.testing.assert_allclose(s.get("dmc").host(), [[4, -2], [-2, 4]])
+    np.testing.assert_allclose(float(s.get("t").host().ravel()[0]), 42.0)
+    np.testing.assert_allclose(float(s.get("tx").host().ravel()[0]), 16.0)
+    np.testing.assert_allclose(float(s.get("m").host().ravel()[0]), 2.0)
+    assert bool(np.asarray(s.get("ok").host()).ravel()[0])
+
+
+def test_mode_device_nan_and_tie_rules():
+    s = run("a = gather(mode(gpuArray([3 NaN 3 1 1]))); "
+            "b = gather(mode(gpuArray([2 1 2 1])));", accelerate=True)
+    # tie between 1 (x2) and 3 (x2): MATLAB picks the smallest -> 1
+    assert float(s.get("a").host().ravel()[0]) == 1.0
+    assert float(s.get("b").host().ravel()[0]) == 1.0
+
+
+def test_accumarray_device_scatter():
+    s = run("subs = [1; 3; 1; 2]; vals = gpuArray([10 20 30 40]'); "
+            "r = accumarray(subs, vals); rs = accumarray(subs, vals, 5); "
+            "ok = existsOnGPU(r);", accelerate=True)
+    np.testing.assert_allclose(s.get("r").host().ravel(), [40, 40, 20])
+    np.testing.assert_allclose(s.get("rs").host().ravel(),
+                               [40, 40, 20, 0, 0])
+    assert bool(np.asarray(s.get("ok").host()).ravel()[0])
