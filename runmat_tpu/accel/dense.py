@@ -796,10 +796,24 @@ def _b_histcounts(eng, opts):
     """histcounts with explicit edges: the bin count is static (edge count
     is baked in the arg shape), so the whole histogram is one fused
     broadcast-compare + column-sum kernel (no searchsorted; see above).
-    MATLAB closes the last bin on the right."""
+    MATLAB closes the last bin on the right.
+
+    Large single-precision problems on TPU switch to the Pallas streaming
+    kernel (ops/pallas/histogram.py): the broadcast form materializes an
+    (N, B) hit matrix — O(N*B) traffic — while the Pallas kernel streams x
+    once through VMEM and accumulates counts across the sequential grid."""
     jnp = eng.jnp
 
     def f(x, edges):
+        n = 1
+        for s in x.shape:
+            n *= s
+        n_bins = edges.reshape(-1).shape[0] - 1
+        if eng.platform == "tpu" and x.dtype == jnp.float32 and \
+                n_bins >= 1 and n * n_bins >= (1 << 22) and n_bins <= 4096:
+            from ..ops.pallas.histogram import histcounts_pallas
+            fn = histcounts_pallas(n, n_bins)
+            return fn(x.reshape(-1), edges.reshape(-1)).astype(x.dtype)
         xv = x.reshape(-1)[:, None]
         e = edges.reshape(-1)
         hit = (xv >= e[None, :-1]) & (xv < e[None, 1:])

@@ -44,3 +44,49 @@ def test_normal_stream_matches():
     assert np.allclose(z, ref.astype(np.float32), atol=1e-6)
     assert abs(z.mean()) < 0.15
     assert abs(z.std() - 1.0) < 0.1
+
+
+# ---------------------------------------------------------- histogram kernel
+
+def _matlab_hist_oracle(x, edges):
+    want = np.zeros(len(edges) - 1)
+    for v in x:
+        if np.isnan(v):
+            continue
+        for b in range(len(edges) - 1):
+            if (edges[b] <= v < edges[b + 1]) or \
+                    (b == len(edges) - 2 and v == edges[-1]):
+                want[b] += 1
+    return want
+
+
+def test_histogram_pallas_matlab_semantics():
+    """Streaming Pallas histogram == MATLAB histcounts semantics: last bin
+    right-closed, NaN and out-of-range dropped, exact counts."""
+    from runmat_tpu.ops.pallas.histogram import histcounts_pallas
+    rng = np.random.default_rng(3)
+    for n, edges in [(1000, np.linspace(0, 1, 11)),
+                     (4097, np.array([0.0, 0.25, 0.5, 1.0])),
+                     (17, np.linspace(-1, 1, 5)),
+                     (1024, np.linspace(0, 1, 129))]:
+        x = (rng.random(n) * 1.3 - 0.15).astype(np.float32)
+        x[::11] = np.nan
+        x[5 % n] = np.float32(edges[-1])      # exact right edge
+        fn = histcounts_pallas(n, len(edges) - 1, interpret=True)
+        got = np.asarray(fn(x, edges.astype(np.float32)))
+        want = _matlab_hist_oracle(x.astype(np.float64),
+                                   edges.astype(np.float32)
+                                   .astype(np.float64))
+        assert np.array_equal(got, want), (n, len(edges) - 1)
+
+
+def test_histogram_pallas_grid_accumulation():
+    """Counts accumulate correctly across >1 grid steps (n > one block)."""
+    from runmat_tpu.ops.pallas.histogram import histcounts_pallas
+    n = 5000                                   # > 1024-element block
+    x = np.concatenate([np.full(2000, 0.1), np.full(3000, 0.9)]) \
+        .astype(np.float32)
+    edges = np.array([0.0, 0.5, 1.0], dtype=np.float32)
+    fn = histcounts_pallas(n, 2, interpret=True)
+    got = np.asarray(fn(x, edges))
+    assert got.tolist() == [2000.0, 3000.0]
