@@ -412,6 +412,28 @@ class JaxEngine:
         out.dl = getattr(a, "dl", False) or getattr(b, "dl", False)
         return out
 
+    def structural(self, op: str, xs: list, static: tuple,
+                   out_shape) -> Optional[MatArray]:
+        """Lazy structural array ops (flip/roll/tile/rot90/permute/tril/
+        triu/kron) over LOGICAL shapes: they join the fused DAG instead of
+        gathering to host (≙ the provider reshape/indexing family,
+        runmat-accelerate-api/src/lib.rs array methods). Returns None when
+        no operand is device-resident (host numpy is fine then)."""
+        if not any(x.on_device for x in xs):
+            return None
+        nodes = []
+        dt = None
+        for x in xs:
+            n = x.dev if x.on_device else self._lift(x, x.host().dtype)
+            nodes.append(n)
+            dt = np.result_type(dt, n.dtype) if dt is not None else n.dtype
+        node = self._op(op, nodes, static, normalize_shape(out_shape),
+                        np.dtype(dt))
+        out_class = xs[0].mclass
+        if len(xs) == 2 and xs[0].mclass != xs[1].mclass:
+            out_class = "double"
+        return MatArray.from_device(node, out_class)
+
     def transpose(self, a: MatArray, conj: bool) -> MatArray:
         na = a.dev if a.on_device else self._lift(a, a.host().dtype)
         shape = (na.shape[1], na.shape[0]) if len(na.shape) == 2 else na.shape
@@ -999,6 +1021,31 @@ class JaxEngine:
                     "high": lax.Precision.HIGH}.get(pol, lax.Precision.DEFAULT)
             r = jnp.matmul(a, b, preferred_element_type=pe, precision=prec)
             return self._to_phys(r, out_shape)
+        if op in ("flipL", "rollL", "tileL", "rot90L", "permuteL",
+                  "trilL", "triuL"):
+            la = in_shapes[0]
+            a = args[0].reshape(la)
+            if op == "flipL":
+                r = jnp.flip(a, axis=static[0])
+            elif op == "rollL":
+                r = jnp.roll(a, static[0], axis=static[1])
+            elif op == "tileL":
+                exp = static[1]
+                r = jnp.tile(a.reshape(exp), static[0])
+            elif op == "rot90L":
+                r = jnp.rot90(a, static[0])
+            elif op == "permuteL":
+                exp = static[1]
+                r = jnp.transpose(a.reshape(exp), static[0])
+            elif op == "trilL":
+                r = jnp.tril(a, static[0])
+            else:
+                r = jnp.triu(a, static[0])
+            return self._to_phys(r, out_shape)
+        if op == "kronL":
+            a = args[0].reshape(in_shapes[0]).astype(dt)
+            b = args[1].reshape(in_shapes[1]).astype(dt)
+            return self._to_phys(jnp.kron(a, b), out_shape)
         if op == "transpose":
             conj = static[0]
             la = in_shapes[0]

@@ -37,6 +37,23 @@ def _rewrap(x, d: np.ndarray):
     raise AssertionError
 
 
+def _dev_structural(op, xs, static, out_shape):
+    """Device route for structural array ops: stays in the lazy DAG (no
+    gather) when any operand is device-resident."""
+    if not all(isinstance(x, MatArray) for x in xs):
+        return None
+    if not any(x.on_device for x in xs):
+        return None
+    from ...accel import active_engine
+    eng = active_engine()
+    if eng is None:
+        return None
+    try:
+        return eng.structural(op, xs, static, out_shape)
+    except Exception:
+        return None
+
+
 @builtin("size", category="array", min_in=1, pass_nargout=True)
 def m_size(x, *dims, nargout=1):
     shape = shape_of(x)
@@ -122,6 +139,15 @@ def m_reshape(x, *dims):
 @builtin("permute", category="array", min_in=2, max_in=2)
 def m_permute(x, order):
     p = [int(v) - 1 for v in order.host().reshape(-1)]
+    if isinstance(x, MatArray) and x.on_device:
+        nd = max(len(p), len(x.shape))
+        exp = tuple(x.shape) + (1,) * (nd - len(x.shape))
+        if sorted(p) == list(range(nd)):
+            out_shape = tuple(exp[i] for i in p)
+            out = _dev_structural("permuteL", [x], (tuple(p), exp),
+                                  out_shape)
+            if out is not None:
+                return out
     d = _data_like(x)
     nd = max(len(p), d.ndim)
     while d.ndim < nd:
@@ -140,6 +166,15 @@ def m_ipermute(x, order):
 
 @builtin("squeeze", category="array", min_in=1, max_in=1)
 def m_squeeze(x):
+    if isinstance(x, MatArray) and x.on_device:
+        shape = x.shape
+        if len(shape) <= 2:
+            return x
+        new_shape = normalize_shape(tuple(s for s in shape if s != 1))
+        out = _dev_structural("reshapeF", [x], (tuple(new_shape),),
+                              new_shape)
+        if out is not None:
+            return out
     d = _data_like(x)
     if d.ndim <= 2:
         return x
@@ -156,6 +191,13 @@ def m_repmat(x, *reps):
         r = [n, n]
     else:
         r = [scalar_int(v) for v in reps]
+    if isinstance(x, MatArray) and x.on_device:
+        exp = tuple(x.shape) + (1,) * max(0, len(r) - len(x.shape))
+        rr = list(r) + [1] * (len(exp) - len(r))
+        out_shape = tuple(s * m for s, m in zip(exp, rr))
+        out = _dev_structural("tileL", [x], (tuple(rr), exp), out_shape)
+        if out is not None:
+            return out
     d = _data_like(x)
     while d.ndim < len(r):
         d = d.reshape(d.shape + (1,))
@@ -186,16 +228,30 @@ def m_vertcat(*parts):
 
 @builtin("flipud", category="array", min_in=1, max_in=1)
 def m_flipud(x):
+    out = _dev_structural("flipL", [x], (0,), getattr(x, "shape", None))
+    if out is not None:
+        return out
     return _rewrap(x, np.flip(_data_like(x), axis=0).copy())
 
 
 @builtin("fliplr", category="array", min_in=1, max_in=1)
 def m_fliplr(x):
+    out = _dev_structural("flipL", [x], (1,), getattr(x, "shape", None))
+    if out is not None:
+        return out
     return _rewrap(x, np.flip(_data_like(x), axis=1).copy())
 
 
 @builtin("flip", category="array", min_in=1, max_in=2)
 def m_flip(x, dim=None):
+    if isinstance(x, MatArray) and x.on_device:
+        shape = x.shape
+        ax = scalar_int(dim) - 1 if dim is not None else \
+            (0 if shape[0] != 1 else 1)
+        if 0 <= ax < len(shape):
+            out = _dev_structural("flipL", [x], (ax,), shape)
+            if out is not None:
+                return out
     d = _data_like(x)
     ax = scalar_int(dim) - 1 if dim is not None else (0 if d.shape[0] != 1 else 1)
     return _rewrap(x, np.flip(d, axis=ax).copy())
@@ -204,11 +260,38 @@ def m_flip(x, dim=None):
 @builtin("rot90", category="array", min_in=1, max_in=2)
 def m_rot90(x, k=None):
     n = scalar_int(k) if k is not None else 1
+    if isinstance(x, MatArray) and x.on_device and len(x.shape) == 2:
+        shape = x.shape if n % 2 == 0 else (x.shape[1], x.shape[0])
+        out = _dev_structural("rot90L", [x], (n % 4,), shape)
+        if out is not None:
+            return out
     return _rewrap(x, np.rot90(_data_like(x), n).copy())
 
 
 @builtin("circshift", category="array", min_in=2, max_in=3)
 def m_circshift(x, shift, dim=None):
+    if isinstance(x, MatArray) and x.on_device:
+        shape = x.shape
+        if dim is not None:
+            ax = scalar_int(dim) - 1
+            if 0 <= ax < len(shape):
+                out = _dev_structural("rollL", [x],
+                                      (scalar_int(shift), ax), shape)
+                if out is not None:
+                    return out
+        elif isinstance(shift, MatArray) and shift.size > 1:
+            sh = tuple(int(v) for v in shift.host().reshape(-1))
+            if len(sh) <= len(shape):
+                out = _dev_structural("rollL", [x],
+                                      (sh, tuple(range(len(sh)))), shape)
+                if out is not None:
+                    return out
+        else:
+            ax = 0 if shape[0] != 1 else 1
+            out = _dev_structural("rollL", [x], (scalar_int(shift), ax),
+                                  shape)
+            if out is not None:
+                return out
     d = _data_like(x)
     if dim is not None:
         return _rewrap(x, np.roll(d, scalar_int(shift), axis=scalar_int(dim) - 1))
@@ -232,16 +315,35 @@ def m_diag(x, k=None):
 
 @builtin("tril", category="array", min_in=1, max_in=2)
 def m_tril(x, k=None):
-    return MatArray(np.tril(x.host(), scalar_int(k) if k is not None else 0), x.mclass)
+    kk = scalar_int(k) if k is not None else 0
+    if isinstance(x, MatArray) and x.on_device and len(x.shape) == 2:
+        out = _dev_structural("trilL", [x], (kk,), x.shape)
+        if out is not None:
+            return out
+    return MatArray(np.tril(x.host(), kk), x.mclass)
 
 
 @builtin("triu", category="array", min_in=1, max_in=2)
 def m_triu(x, k=None):
-    return MatArray(np.triu(x.host(), scalar_int(k) if k is not None else 0), x.mclass)
+    kk = scalar_int(k) if k is not None else 0
+    if isinstance(x, MatArray) and x.on_device and len(x.shape) == 2:
+        out = _dev_structural("triuL", [x], (kk,), x.shape)
+        if out is not None:
+            return out
+    return MatArray(np.triu(x.host(), kk), x.mclass)
 
 
 @builtin("kron", category="array", min_in=2, max_in=2)
 def m_kron(a, b):
+    if isinstance(a, MatArray) and isinstance(b, MatArray) and \
+            (a.on_device or b.on_device) and len(a.shape) == 2 and \
+            len(b.shape) == 2 and not a.is_complex and not b.is_complex and \
+            a.mclass in ("double", "single") and \
+            b.mclass in ("double", "single"):
+        out_shape = (a.shape[0] * b.shape[0], a.shape[1] * b.shape[1])
+        out = _dev_structural("kronL", [a, b], (), out_shape)
+        if out is not None:
+            return out
     out_class = dtypes.combine_classes(a.mclass, b.mclass)
     r = np.kron(a.host().astype(np.float64), b.host().astype(np.float64))
     return MatArray(dtypes.cast_to_class(r, out_class), out_class)

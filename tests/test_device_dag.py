@@ -286,3 +286,47 @@ def test_telemetry_categories_memory_launches():
     assert set(mem) >= {"available", "bytes_in_use", "bytes_limit", "devices"}
     assert snap["launches"] and "ops" in snap["launches"][0]
     assert "out_bytes" in snap["launches"][0]
+
+
+# --------------------------------------------- structural ops stay resident
+
+def test_structural_ops_stay_resident_with_parity():
+    """flip/circshift/repmat/rot90/permute/tril/triu/kron on gpuArrays join
+    the lazy DAG (no gather) and match numpy oracles."""
+    s = run("A = gpuArray(reshape(1:12, 3, 4)); "
+            "f1 = flip(A); f2 = fliplr(A); f3 = flipud(A); "
+            "c1 = circshift(A, 1); c2 = circshift(A, 2, 2); "
+            "r = repmat(A, 2, 1); t = rot90(A); tm = rot90(A, 2); "
+            "k = kron(A, gpuArray(ones(2))); p = permute(A, [2 1]); "
+            "tl = tril(A); tu = triu(A, 1); "
+            "q = squeeze(gpuArray(reshape(1:8, 1, 2, 4)));",
+            accelerate=True)
+    ref = np.arange(1, 13).reshape(3, 4, order="F").astype(float)
+    checks = {
+        "f1": np.flip(ref, 0), "f2": np.flip(ref, 1), "f3": np.flip(ref, 0),
+        "c1": np.roll(ref, 1, 0), "c2": np.roll(ref, 2, 1),
+        "r": np.tile(ref, (2, 1)), "t": np.rot90(ref),
+        "tm": np.rot90(ref, 2),
+        "k": np.kron(ref, np.ones((2, 2))), "p": ref.T,
+        "tl": np.tril(ref), "tu": np.triu(ref, 1),
+    }
+    for name, want in checks.items():
+        v = s.get(name)
+        assert v.on_device, name
+        np.testing.assert_allclose(np.asarray(v.host(), float), want,
+                                   err_msg=name)
+    q = s.get("q")
+    assert q.on_device and q.host().shape == (2, 4)
+    np.testing.assert_allclose(
+        q.host(), np.arange(1, 9).reshape(2, 4, order="F"))
+
+
+def test_structural_ops_fuse_with_elementwise():
+    """A structural op's output fuses into downstream elementwise math —
+    one materialization, still exact."""
+    s = run("A = gpuArray(reshape(1:6, 2, 3)); "
+            "y = sum(flipud(A) .* 2 + 1, 'all'); g = gather(y);",
+            accelerate=True)
+    ref = np.arange(1, 7).reshape(2, 3, order="F")
+    want = float((np.flip(ref, 0) * 2 + 1).sum())
+    assert float(np.asarray(s.get("g").host()).ravel()[0]) == want
