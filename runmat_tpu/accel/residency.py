@@ -40,13 +40,23 @@ class ResidencyPool:
         self.pressure_events = 0
         self.pressure_hooks: list = []            # callables(pool) -> None
         self._in_pressure = False
+        # generational accounting (≙ runmat-gc GcConfig generation sizing)
+        self.promote_after = int(os.environ.get(
+            "RUNMAT_TPU_GC_PROMOTE_AFTER", "64"))
+        self.promoted = 0
+        self._gen: dict = {}                      # birth_seq -> nbytes live
 
     # ------------------------------------------------------------- tracking
 
     def track(self, node) -> None:
         """Account one node's freshly-set device buffer; called from the
         LazyNode.value setter. The finalizer keys on the NODE: when the host
-        drops its last reference the buffer bytes leave the ledger."""
+        drops its last reference the buffer bytes leave the ledger.
+        Generational accounting (≙ runmat-gc generations.rs): each handle is
+        born YOUNG; handles surviving `promote_after` later allocations are
+        counted OLD — the gc-stats young/old split and promotion counter
+        mirror the reference's nursery/tenured story on top of refcounted
+        reclamation."""
         v = node._value
         nb = int(getattr(v, "nbytes", 0) or 0)
         if nb <= 0:
@@ -56,15 +66,31 @@ class ResidencyPool:
         self.live_bytes += nb
         if self.live_bytes > self.peak_bytes:
             self.peak_bytes = self.live_bytes
-        weakref.finalize(node, self._freed, nb)
+        self._gen[self.allocs] = nb             # birth sequence
+        weakref.finalize(node, self._freed, nb, self.allocs)
         if self.budget_bytes and self.live_bytes > self.budget_bytes:
             self._pressure()
 
-    def _freed(self, nb: int) -> None:
+    def _freed(self, nb: int, birth: int) -> None:
         self.live_bytes -= nb
         self.n_live -= 1
         self.frees += 1
         self.freed_bytes += nb
+        if self.allocs - birth >= self.promote_after:
+            self.promoted += 1                 # died tenured
+        self._gen.pop(birth, None)
+
+    def generation_stats(self) -> dict:
+        """young/old live-byte split at the current allocation clock."""
+        young = old = 0
+        for birth, nb in self._gen.items():
+            if self.allocs - birth < self.promote_after:
+                young += nb
+            else:
+                old += nb
+        return {"young_bytes": young, "old_bytes": old,
+                "promote_after": self.promote_after,
+                "promoted": self.promoted}
 
     def _pressure(self) -> None:
         """Over budget: run registered hooks (spillers) once, non-reentrant
@@ -114,7 +140,7 @@ class ResidencyPool:
     # -------------------------------------------------------------- snapshot
 
     def snapshot(self) -> dict:
-        return {
+        out = {
             "live_bytes": self.live_bytes,
             "peak_bytes": self.peak_bytes,
             "n_live": self.n_live,
@@ -124,6 +150,8 @@ class ResidencyPool:
             "budget_bytes": self.budget_bytes,
             "pressure_events": self.pressure_events,
         }
+        out.update(self.generation_stats())
+        return out
 
 
 def make_workspace_spiller(session, keep_fraction: float = 0.7):

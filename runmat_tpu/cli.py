@@ -27,6 +27,7 @@ def main(argv=None) -> int:
     if argv and argv[0] in ("repl", "run", "check", "version", "info",
                             "accel-info", "accel-calibrate", "accel-warmup",
                             "gc-stats", "gc-minor", "gc-major", "gc-config",
+                            "gc-stress",
                             "benchmark", "config", "lsp", "serve",
                             "remote", "login"):
         cmd = argv[0]
@@ -160,6 +161,10 @@ def _dispatch(cmd: str, rest: list) -> int:
             print(f"hbm ledger: {rs['live_bytes']} bytes live in "
                   f"{rs['n_live']} handle(s), peak {rs['peak_bytes']}, "
                   f"{rs['allocs']} allocs / {rs['frees']} frees")
+            print(f"generations: young {rs['young_bytes']} B / old "
+                  f"{rs['old_bytes']} B (promote after "
+                  f"{rs['promote_after']} allocs; {rs['promoted']} "
+                  f"died tenured)")
             if rs["budget_bytes"]:
                 print(f"hbm budget: {rs['budget_bytes']} bytes, "
                       f"{rs['pressure_events']} pressure event(s)")
@@ -197,7 +202,41 @@ def _dispatch(cmd: str, rest: list) -> int:
               f"(RUNMAT_TPU_OFFLOAD_THRESHOLD)")
         print(f"shard threshold: {eng.shard_threshold} "
               f"(RUNMAT_TPU_SHARD_THRESHOLD)")
+        print(f"generation promote-after: {eng.residency.promote_after} "
+              f"(RUNMAT_TPU_GC_PROMOTE_AFTER)")
         return 0
+
+    if cmd == "gc-stress":
+        # allocation-churn soak validating the ledger's invariants
+        # (≙ runmat gc stress / the miri soundness suite's role)
+        from .accel import active_engine
+        sess = _make_session()
+        eng = active_engine()
+        if eng is None:
+            print("no accelerator engine")
+            return 1
+        import gc as _pygc
+        rounds = 50
+        if "--rounds" in rest:
+            rounds = int(rest[rest.index("--rounds") + 1])
+        rs0 = eng.residency.snapshot()
+        for k in range(rounds):
+            sess.run_source(
+                f"gs_a = gpuArray(rand(4096, 1)); "
+                f"gs_b = sin(gs_a) + {k}; gs_c = gather(sum(gs_b)); "
+                f"clear gs_a gs_b", "gc_stress")
+        sess.run_source("clear gs_c", "gc_stress")
+        _pygc.collect()
+        rs1 = eng.residency.snapshot()
+        leaked = rs1["live_bytes"] - rs0["live_bytes"]
+        ok = (rs1["allocs"] > rs0["allocs"] and rs1["frees"] > rs0["frees"]
+              and leaked <= 64 * 4096 * 8)
+        print(f"gc-stress: {rounds} rounds, {rs1['allocs'] - rs0['allocs']} "
+              f"allocs, {rs1['frees'] - rs0['frees']} frees, "
+              f"residual {leaked} bytes, peak {rs1['peak_bytes']}, "
+              f"promoted {rs1['promoted']}")
+        print("OK" if ok else "FAILED: ledger leak detected")
+        return 0 if ok else 1
 
     if cmd == "benchmark":
         return _benchmark(rest)

@@ -161,3 +161,31 @@ def test_pressure_spills_function_local_frames():
                    - 6.0 * 10000) < 1e-9
     finally:
         set_engine(prev)
+
+
+def test_generational_accounting():
+    """Ledger generations (≙ runmat-gc generations.rs): fresh handles count
+    YOUNG; survivors past promote_after allocations count OLD; tenured
+    deaths bump the promotion counter."""
+    prev, eng = _fresh_engine()
+    try:
+        eng.residency.promote_after = 4
+        s = Session(accelerate=True)
+        s.run_source("keep = gpuArray(ones(500, 1)); "
+                     "kk = gather(sum(keep));", "t")
+        gs = eng.residency.generation_stats()
+        assert gs["young_bytes"] > 0 and gs["old_bytes"] == 0
+        # churn past the promotion horizon
+        for k in range(6):
+            s.run_source(f"tmp = gpuArray(ones(400, 1)) + {k}; "
+                         "tt = gather(sum(tmp)); clear tmp", "t")
+        gc.collect()
+        gs2 = eng.residency.generation_stats()
+        assert gs2["old_bytes"] > 0          # 'keep' tenured
+        s.run_source("clear keep", "t")
+        del s
+        gc.collect()
+        gs3 = eng.residency.generation_stats()
+        assert gs3["promoted"] >= 1          # tenured handle died old
+    finally:
+        set_engine(prev)
