@@ -199,6 +199,34 @@ def _comp(name, getter, default_kind=None):
     return _g
 
 
+@builtin("weekday", category="datetime", min_in=1, max_in=2,
+         pass_nargout=True)
+def m_weekday(x, fmt=None, nargout=1):
+    """weekday: 1=Sunday..7=Saturday; second output = day names
+    ('short' default, 'long' option). Accepts datetime arrays or MATLAB
+    serial date numbers (datenum: day 1 = 1-Jan-0000, python ordinal
+    offset 366)."""
+    long_names = fmt is not None and text_of(fmt).lower() == "long"
+    if isinstance(x, MatDatetime):
+        flat = [t.astype(_dt.datetime) for t in x.data.reshape(-1)]
+        shape = x.shape
+    else:
+        nums = x.host().astype(np.float64)
+        flat = [_dt.datetime.fromordinal(int(v) - 366)
+                for v in nums.reshape(-1)]
+        shape = nums.shape
+    dow = np.array([(t.weekday() + 1) % 7 + 1 for t in flat],
+                   dtype=np.float64).reshape(shape)
+    out = [MatArray(dow, "double")]
+    if nargout >= 2:
+        from ...values import StringArray
+        fmt_s = "%A" if long_names else "%a"
+        names = np.array([t.strftime(fmt_s) for t in flat],
+                         dtype=object).reshape(shape)
+        out.append(StringArray(names))
+    return out[:max(1, nargout)]
+
+
 _comp("year", lambda t: t.year)
 _comp("month", lambda t: t.month)
 _comp("day", lambda t: t.day)

@@ -242,6 +242,12 @@ def m_jsonencode(v):
                 val = h.reshape(-1)[0]
                 return bool(val) if x.mclass == "logical" else \
                     (int(val) if float(val) == int(val) and x.mclass != "single" else float(val))
+            def jnum(v):
+                return bool(v) if x.mclass == "logical" else \
+                    (int(v) if float(v) == int(v) else float(v))
+            if h.ndim == 2 and 1 in h.shape:
+                # MATLAB encodes vectors (row or column) FLAT
+                return [jnum(v) for v in h.reshape(-1)]
             return h.tolist()
         if isinstance(x, StringArray):
             return x.item() if x.size == 1 else [s for s in x.data.reshape(-1)]

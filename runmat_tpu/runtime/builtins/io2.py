@@ -393,9 +393,26 @@ def m_dlmread(path, delim=None, r0=None, c0=None):
     return MatArray(M[i0:, j0:], "double")
 
 
-@builtin("dlmwrite", category="io/tabular", min_in=2, max_in=3)
-def m_dlmwrite(path, m, delim=None):
-    d = text_of(delim) if delim is not None else ","
+@builtin("dlmwrite", category="io/tabular", min_in=2, max_in=None)
+def m_dlmwrite(path, m, *rest):
+    # dlmwrite(file, M [, delim] [, 'delimiter', d] [, 'precision', p])
+    d = ","
+    rest = list(rest)
+    i = 0
+    while i < len(rest):
+        a = rest[i]
+        if is_text(a) and text_of(a).lower() == "delimiter" and \
+                i + 1 < len(rest):
+            d = text_of(rest[i + 1])
+            i += 2
+        elif is_text(a) and text_of(a).lower() == "precision" and \
+                i + 1 < len(rest):
+            i += 2      # accepted; %g formatting already round-trips
+        elif is_text(a):
+            d = text_of(a)
+            i += 1
+        else:
+            i += 1
     h = _f(m)
     lines = [d.join(f"{v:g}" for v in row) for row in np.atleast_2d(h)]
     fs().write_bytes(text_of(path), ("\n".join(lines) + "\n").encode("utf-8"))

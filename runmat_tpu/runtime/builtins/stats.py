@@ -155,30 +155,68 @@ def _movwin(x, k, fn, name):
     return MatArray(dtypes.cast_to_class(r, out_class), out_class)
 
 
-@builtin("movmean", category="stats", min_in=2, max_in=2)
-def m_movmean(x, k):
-    return _movwin(x, k, np.mean, "movmean")
+def _mov_endpoints(opts):
+    """Trailing ('Endpoints', mode): 'shrink' (default) | 'discard'."""
+    mode = "shrink"
+    i = 0
+    opts = list(opts)
+    while i < len(opts):
+        if is_text(opts[i]) and text_of(opts[i]).lower() == "endpoints" \
+                and i + 1 < len(opts):
+            mode = text_of(opts[i + 1]).lower()
+            i += 2
+        else:
+            i += 1
+    if mode not in ("shrink", "discard"):
+        raise bad_arg("movwindow", f"Unsupported Endpoints mode '{mode}'.")
+    return mode
 
 
-@builtin("movsum", category="stats", min_in=2, max_in=2)
-def m_movsum(x, k):
-    return _movwin(x, k, np.sum, "movsum")
+def _mov_discard(r, x, w):
+    """Keep only full windows along the moving axis."""
+    h = r.host()
+    ax = 0 if x.shape[0] != 1 else 1
+    half_lo = w // 2
+    half_hi = (w - 1) // 2
+    n = h.shape[ax]
+    sl = [slice(None)] * h.ndim
+    sl[ax] = slice(half_lo, n - half_hi)
+    return MatArray(np.ascontiguousarray(h[tuple(sl)]), r.mclass)
 
 
-@builtin("movmax", category="stats", min_in=2, max_in=2)
-def m_movmax(x, k):
-    return _movwin(x, k, np.max, "movmax")
+def _mov_entry(x, k, fn, name, opts):
+    mode = _mov_endpoints(opts)
+    r = _movwin(x, k, fn, name)
+    if mode == "discard":
+        from ...values import MatArray as _MA
+        return _mov_discard(r, x, scalar_int(k, "window"))
+    return r
 
 
-@builtin("movmin", category="stats", min_in=2, max_in=2)
-def m_movmin(x, k):
-    return _movwin(x, k, np.min, "movmin")
+@builtin("movmean", category="stats", min_in=2, max_in=4)
+def m_movmean(x, k, *opts):
+    return _mov_entry(x, k, np.mean, "movmean", opts)
 
 
-@builtin("movstd", category="stats", min_in=2, max_in=2)
-def m_movstd(x, k):
-    return _movwin(x, k, lambda v, axis: np.std(v, axis=axis, ddof=1 if v.shape[axis] > 1 else 0),
-                   "movstd")
+@builtin("movsum", category="stats", min_in=2, max_in=4)
+def m_movsum(x, k, *opts):
+    return _mov_entry(x, k, np.sum, "movsum", opts)
+
+
+@builtin("movmax", category="stats", min_in=2, max_in=4)
+def m_movmax(x, k, *opts):
+    return _mov_entry(x, k, np.max, "movmax", opts)
+
+
+@builtin("movmin", category="stats", min_in=2, max_in=4)
+def m_movmin(x, k, *opts):
+    return _mov_entry(x, k, np.min, "movmin", opts)
+
+
+@builtin("movstd", category="stats", min_in=2, max_in=4)
+def m_movstd(x, k, *opts):
+    return _mov_entry(x, k, lambda v, axis: np.std(v, axis=axis, ddof=1 if v.shape[axis] > 1 else 0),
+                      "movstd", opts)
 
 
 @builtin("prctile", category="stats", min_in=2, max_in=2)

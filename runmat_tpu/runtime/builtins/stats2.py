@@ -115,6 +115,59 @@ def m_binocdf(x, n, p):
     return _out(r, x)
 
 
+@builtin("poisspdf", category="stats/dist", min_in=2, max_in=2)
+def m_poisspdf(x, lam):
+    hx, hl = _f(x), _f(lam)
+    k = np.round(hx)
+    valid = (hx == k) & (k >= 0)
+    kk = np.clip(k, 0, None)
+    r = np.where(valid,
+                 np.exp(kk * np.log(np.maximum(hl, 1e-300)) - hl
+                        - sp.gammaln(kk + 1)), 0.0)
+    return _out(r, x)
+
+
+@builtin("poisscdf", category="stats/dist", min_in=2, max_in=2)
+def m_poisscdf(x, lam):
+    hx, hl = _f(x), _f(lam)
+    k = np.floor(hx)
+    r = sp.gammaincc(np.maximum(k, 0) + 1, hl)
+    return _out(np.where(k < 0, 0.0, r), x)
+
+
+@builtin("binopdf", category="stats/dist", min_in=3, max_in=3)
+def m_binopdf(x, n, p):
+    """Binomial pmf via gammaln (exact for integer x in range, 0 outside)."""
+    hx, hn, hp = _f(x), _f(n), _f(p)
+    k = np.round(hx)
+    valid = (hx == k) & (k >= 0) & (k <= hn)
+    kk = np.clip(k, 0, None)
+    logc = sp.gammaln(hn + 1) - sp.gammaln(kk + 1) - sp.gammaln(hn - kk + 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logp = np.where(kk > 0, kk * np.log(hp), 0.0) + \
+            np.where(hn - kk > 0, (hn - kk) * np.log1p(-hp), 0.0)
+    r = np.where(valid, np.exp(logc + logp), 0.0)
+    return _out(r, x)
+
+
+@builtin("binoinv", category="stats/dist", min_in=3, max_in=3)
+def m_binoinv(y, n, p):
+    """Smallest k with binocdf(k) >= y (vector-scan; n is modest)."""
+    hy = np.atleast_1d(_f(y)).astype(np.float64)
+    nn = int(np.asarray(_f(n)).reshape(-1)[0])
+    pp = float(np.asarray(_f(p)).reshape(-1)[0])
+    ks = np.arange(nn + 1)
+    logc = sp.gammaln(nn + 1) - sp.gammaln(ks + 1) - sp.gammaln(nn - ks + 1)
+    with np.errstate(divide="ignore"):
+        pmf = np.exp(logc + np.where(ks > 0, ks * np.log(pp), 0.0)
+                     + np.where(nn - ks > 0, (nn - ks) * np.log1p(-pp), 0.0))
+    cdf = np.cumsum(pmf)
+    out = np.array([float(ks[np.searchsorted(cdf, v - 1e-12)])
+                    if v <= cdf[-1] else float(nn)
+                    for v in hy.reshape(-1)])
+    return _out(out.reshape(hy.shape), y)
+
+
 @builtin("wblinv", category="stats/dist", min_in=1, max_in=3)
 def m_wblinv(p, a=None, b=None):
     ha = _f(a) if a is not None else 1.0
@@ -771,3 +824,21 @@ def m_histcounts2(x, y, *rest, nargout=1):
     outs = [MatArray(counts, "double"), MatArray(ex.reshape(1, -1), "double"),
             MatArray(ey.reshape(1, -1), "double")]
     return outs[:max(1, nargout)]
+
+
+@builtin("zscore", category="stats", min_in=1, max_in=2)
+def m_zscore(x, flag=None):
+    """zscore(X[, flag]): flag 0 (default) uses N-1; 1 uses N."""
+    h = _f(x)
+    ddof = 1
+    if flag is not None and float(_f(flag).reshape(-1)[0]) == 1.0:
+        ddof = 0
+    if h.ndim == 2 and 1 in h.shape:
+        mu = h.mean()
+        sd = h.std(ddof=ddof) or 1.0
+        return _out((h - mu) / sd, x)
+    ax = 0
+    mu = h.mean(axis=ax, keepdims=True)
+    sd = h.std(axis=ax, ddof=ddof, keepdims=True)
+    sd = np.where(sd == 0, 1.0, sd)
+    return _out((h - mu) / sd, x)

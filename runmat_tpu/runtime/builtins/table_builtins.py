@@ -38,7 +38,11 @@ def m_table(*args, ctx=None):
         cols.append(a)
         i += 1
     if not names:
-        names = [f"Var{k+1}" for k in range(len(cols))]
+        # MATLAB captures the caller's variable names (inputname magic);
+        # non-identifier args fall back to VarK
+        anames = ctx.arg_names if ctx is not None else ()
+        names = [anames[k] if k < len(anames) and anames[k]
+                 else f"Var{k+1}" for k in range(len(cols))]
     return MatTable(names[:len(cols)], cols)
 
 
@@ -145,8 +149,10 @@ def _take_row_scalar(c, r):
     return c
 
 
-@builtin("sortrows", category="table", min_in=1, max_in=2)
-def m_sortrows(t, key=None):
+@builtin("sortrows", category="table", min_in=1, max_in=3)
+def m_sortrows(t, key=None, direction=None):
+    descend = direction is not None and \
+        text_of(direction).lower() == "descend"
     if isinstance(t, MatTable):
         if key is None:
             ci = 0
@@ -155,15 +161,24 @@ def m_sortrows(t, key=None):
                 int(key.host().reshape(-1)[0]) - 1
         col = t.cols[ci]
         if isinstance(col, MatArray):
-            order = np.argsort(col.host().reshape(-1), kind="stable")
+            keyv = col.host().reshape(-1)
         else:
-            order = np.argsort([str(x) for x in col.data.reshape(-1)],
-                               kind="stable")
+            keyv = np.array([str(x) for x in col.data.reshape(-1)],
+                            dtype=object)
+        if descend:
+            # stable descending: ascend the reversed rows, map back
+            n = keyv.shape[0]
+            ia = np.argsort(keyv[::-1], kind="stable")
+            order = ((n - 1) - ia)[::-1]
+        else:
+            order = np.argsort(keyv, kind="stable")
         from ...tables import _take_rows
         return MatTable(t.varnames, [_take_rows(c, order) for c in t.cols])
     h = t.host()
     ci = int(key.host().reshape(-1)[0]) - 1 if key is not None else 0
     order = np.argsort(h[:, ci], kind="stable")
+    if descend:
+        order = order[::-1]
     return MatArray(h[order, :].copy(), t.mclass)
 
 

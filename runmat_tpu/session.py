@@ -78,6 +78,7 @@ class Session:
         self.base_frame.nargout = 0
         self.base_frame.code = None
         self.base_frame.parent = None
+        self.base_frame.arg_names = ()
         # RNG state lives on the session (≙ reference host-mirrored Philox state,
         # backend/wgpu/provider/ops/random.rs:55-115)
         from .ops.ctrng import PhiloxState

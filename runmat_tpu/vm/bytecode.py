@@ -100,6 +100,10 @@ class Code:
     # lattice (facts.loop_class_facts); "never" skips the gate's trial
     # trace entirely
     loop_facts: dict = field(default_factory=dict)
+    # pc -> tuple of source identifier names per call argument (None for
+    # non-identifier args): powers MATLAB inputname() and table()'s
+    # variable-name capture
+    call_arg_names: dict = field(default_factory=dict)
     # arguments-block entries: (name, field|None, dims|None, cls|None,
     #                           validators, default_code|None)
 

@@ -543,8 +543,12 @@ class Compiler:
                 c.emit(B.PUSH_IXCTX_VAR, e.base.name, line=line)
             for k, a in enumerate(e.args):
                 self._index_arg(a, k, len(e.args))
-            c.emit(B.RESOLVE_CALL, e.base.name, len(e.args),
-                   nargout, 2 if e.kind == "brace" else 0, line=line)
+            pc = c.emit(B.RESOLVE_CALL, e.base.name, len(e.args),
+                        nargout, 2 if e.kind == "brace" else 0, line=line)
+            argn = tuple(a.name if isinstance(a, A.Ident) else None
+                         for a in e.args)
+            if any(argn):
+                c.call_arg_names[pc] = argn   # inputname()/table() capture
             if has_end:
                 c.emit(B.POP_IXCTX, line=line)
             return

@@ -38,7 +38,7 @@ NOVALUE = _NoValue()
 
 class Frame:
     __slots__ = ("vars", "globals", "persist", "iters", "ixctx", "nargin",
-                 "nargout", "code", "varargout_names", "parent")
+                 "nargout", "code", "varargout_names", "parent", "arg_names")
 
     def __init__(self, code: B.Code, nargin: int = 0, nargout: int = 0,
                  parent: "Frame" = None):
@@ -51,6 +51,7 @@ class Frame:
         self.nargout = nargout
         self.code = code
         self.parent = parent   # enclosing frame for NESTED functions
+        self.arg_names: tuple = ()   # caller arg identifiers (inputname)
 
 
 class Ctx:
@@ -66,6 +67,12 @@ class Ctx:
     @property
     def session(self):
         return self.interp.session
+
+    @property
+    def arg_names(self):
+        """Source identifier names of the current call's arguments (None
+        per non-identifier arg) — MATLAB inputname()."""
+        return getattr(self.interp, "_current_call_names", None) or ()
 
 
 def _map_host_exception(name: str, e: Exception) -> MatError:
@@ -264,6 +271,8 @@ class Interp:
         if nv_param is not None:
             nparams -= 1   # the struct param is filled from name-value pairs
         frame = Frame(code, nargin=len(args), nargout=nargout, parent=parent)
+        # caller-side identifier names of the actual args (inputname())
+        frame.arg_names = getattr(self, "_current_call_names", None) or ()
         for i, p in enumerate(code.params[:nparams]):
             if i < len(args) and p != "~":
                 v = args[i]
@@ -421,6 +430,8 @@ class Interp:
                 elif op == B.COLON_VAL:
                     stack.append(IX.COLON)
                 elif op == B.RESOLVE_CALL:
+                    self._current_call_names = \
+                        code.call_arg_names.get(pc - 1)
                     self._resolve_call(stack, frame, a, b, c, d)
                 elif op == B.LOADC:
                     v = self._load_name(frame, a)
