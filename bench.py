@@ -178,14 +178,17 @@ def run_roofline(sess) -> dict:
                 f"mm_C = mm_C * mm_B .* single(1/2048); end")
 
     def measure_mm() -> float:
+        # extra reps: the tunnel adds occasional ~100 ms outliers and the
+        # MXU% headline should be stable round-to-round (median of 7)
+        reps = max(REPS, 7)
         ctl = _timed_loop(
             sess, eng, "mm_B = gpuArray(rand(16, 16, 'single')); "
             "mm_C = gpuArray(rand(16, 16, 'single'));", mm_loop(Km), "mm_C",
-            REPS)
+            reps)
         ms = _timed_loop(
             sess, eng, f"mm_B = gpuArray(rand({Nm}, {Nm}, 'single')); "
             f"mm_C = gpuArray(rand({Nm}, {Nm}, 'single'));", mm_loop(Km),
-            "mm_C", REPS)
+            "mm_C", reps)
         dev_ms = max(ms - ctl, 1e-3)
         flops = Km * 2.0 * (Nm ** 3)
         return flops / (dev_ms / 1e3) / 1e12

@@ -146,6 +146,11 @@ def _as_tf(m) -> TfValue:
         return m
     if isinstance(m, SsValue):
         return m.to_tf()
+    from ...values import MatArray as _MA
+    if isinstance(m, _MA) and m.size == 1:
+        # scalar gain (feedback(G, 1), series with constants, ...)
+        k = float(np.asarray(m.host()).reshape(-1)[0])
+        return TfValue(np.array([k]), np.array([1.0]))
     raise bad_arg("control", "Expected a tf or ss model.")
 
 

@@ -63,10 +63,17 @@ def m_pskdemod(y, M, phase=None):
     return MatArray(sym.astype(np.float64), "double")
 
 
-@builtin("qammod", category="comms", min_in=2, max_in=2)
-def m_qammod(x, M):
+@builtin("qammod", category="comms", min_in=2, max_in=4)
+def m_qammod(x, M, *opts):
     sym = _np(x).astype(np.int64)
     pts = _qam_points(int(_sc(M)))
+    # 'UnitAveragePower', true normalizes the constellation energy
+    for i, o in enumerate(opts):
+        if is_text(o) and text_of(o).lower() == "unitaveragepower" and \
+                i + 1 < len(opts):
+            on = bool(np.asarray(opts[i + 1].host()).reshape(-1)[0])
+            if on:
+                pts = pts / np.sqrt(np.mean(np.abs(pts) ** 2))
     return MatArray(pts[sym], "double")
 
 
@@ -151,6 +158,44 @@ def m_im2double(x):
     if x.mclass == "uint16":
         return MatArray(h.astype(np.float64) / 65535.0, "double")
     return MatArray(h.astype(np.float64), "double")
+
+
+@builtin("padarray", category="image", min_in=2, max_in=4)
+def m_padarray(x, padsize, padval=None, direction=None):
+    """padarray(A, [p q] [, val] [, 'pre'|'post'|'both']): constant padding
+    (val default 0); 'replicate'/'symmetric'/'circular' methods accepted as
+    the val argument."""
+    h = _np(x)
+    ps = [int(v) for v in padsize.host().reshape(-1)]
+    while len(ps) < h.ndim:
+        ps.append(0)
+    side = text_of(direction).lower() if direction is not None else "both"
+    mode = "constant"
+    cval = 0.0
+    if padval is not None:
+        if is_text(padval):
+            m = text_of(padval).lower()
+            if m in ("replicate", "symmetric", "circular"):
+                mode = {"replicate": "edge", "symmetric": "symmetric",
+                        "circular": "wrap"}[m]
+            elif m in ("pre", "post", "both"):
+                side = m
+        else:
+            cval = float(np.asarray(padval.host()).reshape(-1)[0])
+    pad = []
+    for p in ps[:h.ndim]:
+        if side == "pre":
+            pad.append((p, 0))
+        elif side == "post":
+            pad.append((0, p))
+        else:
+            pad.append((p, p))
+    if mode == "constant":
+        r = np.pad(h, pad, mode="constant", constant_values=cval)
+    else:
+        r = np.pad(h, pad, mode=mode)
+    return MatArray(r, "double" if x.mclass in ("logical", "char")
+                    else x.mclass)
 
 
 @builtin("imresize", category="image", min_in=2, max_in=2)
@@ -426,7 +471,10 @@ def m_adjacency(g):
                                       np.array(vv), g.n, g.n)
 
 
-@builtin("degree", category="graph", min_in=1, max_in=1)
-def m_degree(g):
-    return MatArray(np.array([len(a) for a in g.adj], np.float64).reshape(-1, 1),
-                    "double")
+@builtin("degree", category="graph", min_in=1, max_in=2)
+def m_degree(g, nodes=None):
+    deg = np.array([len(a) for a in g.adj], np.float64)
+    if nodes is not None:
+        idx = nodes.host().astype(np.int64).reshape(-1) - 1
+        return MatArray(deg[idx].reshape(-1, 1), "double")
+    return MatArray(deg.reshape(-1, 1), "double")

@@ -484,7 +484,28 @@ def m_integral(f, a, b, *kv, ctx=None):
         if text_of(kv[i]) in ("AbsTol", "RelTol"):
             tol = min(tol, _sc(kv[i + 1])) if False else _sc(kv[i + 1])
     fn = lambda x: _sc(_callf(ctx, f, [MatArray.scalar(x)]))
-    return MatArray.scalar(_adaptive_simpson(fn, _sc(a), _sc(b), tol))
+    lo, hi = _sc(a), _sc(b)
+    if np.isinf(lo) or np.isinf(hi):
+        # infinite limits: rational substitution onto a finite interval
+        # (the quadgk transformation; MATLAB integral supports Inf limits)
+        if np.isinf(lo) and np.isinf(hi):
+            def g(t):
+                d = 1.0 - t * t
+                return fn(t / d) * (1.0 + t * t) / (d * d)
+            return MatArray.scalar(
+                _adaptive_simpson(g, -1 + 1e-10, 1 - 1e-10, tol))
+        if np.isinf(hi):
+            def g(t):
+                d = 1.0 - t
+                return fn(lo + t / d) / (d * d)
+            return MatArray.scalar(
+                _adaptive_simpson(g, 0.0, 1.0 - 1e-10, tol))
+
+        def g(t):
+            d = 1.0 - t
+            return fn(hi - t / d) / (d * d)
+        return MatArray.scalar(_adaptive_simpson(g, 0.0, 1.0 - 1e-10, tol))
+    return MatArray.scalar(_adaptive_simpson(fn, lo, hi, tol))
 
 
 @builtin("quad", category="math/ode", min_in=3, max_in=4, pass_ctx=True)
