@@ -70,17 +70,63 @@ def m_histc(x, edges):
     return MatArray(out, "double")
 
 
-@builtin("histcounts", category="stats", min_in=1, max_in=2, pass_nargout=True)
-def m_histcounts(x, bins=None, nargout=1):
+@builtin("histcounts", category="stats", min_in=1, max_in=None,
+         pass_nargout=True)
+def m_histcounts(x, bins=None, *opts, nargout=1):
+    # trailing options: 'Normalization', mode ('count' default,
+    # 'probability', 'pdf', 'cumcount', 'cdf'); 'BinWidth', w
+    norm = "count"
+    binwidth = None
+    rest = list(opts)
+    if bins is not None and is_text(bins):
+        rest = [bins] + rest
+        bins = None
+    i = 0
+    while i < len(rest):
+        if is_text(rest[i]) and i + 1 < len(rest):
+            key = text_of(rest[i]).lower()
+            if key == "normalization":
+                norm = text_of(rest[i + 1]).lower()
+                i += 2
+                continue
+            if key == "binwidth":
+                binwidth = float(rest[i + 1].host().reshape(-1)[0])
+                i += 2
+                continue
+        i += 1
+
+    def _apply_norm(counts, edges):
+        c = counts.astype(np.float64)
+        n = c.sum() or 1.0
+        if norm == "probability":
+            return c / n
+        if norm == "pdf":
+            w = np.diff(edges)
+            return c / (n * np.where(w == 0, 1.0, w))
+        if norm == "cumcount":
+            return np.cumsum(c)
+        if norm == "cdf":
+            return np.cumsum(c) / n
+        if norm == "countdensity":
+            w = np.diff(edges)
+            return c / np.where(w == 0, 1.0, w)
+        return c
+
     hx = fortran_ravel(_f(x))
     hx = hx[np.isfinite(hx)]
-    if bins is None:
+    if binwidth is not None and bins is None:
+        lo = hx.min() if hx.size else 0.0
+        hi = hx.max() if hx.size else 1.0
+        nb = max(int(np.ceil((hi - lo) / binwidth)), 1)
+        edges = lo + binwidth * np.arange(nb + 1)
+        counts, edges = np.histogram(hx, bins=edges)
+    elif bins is None:
         nb = max(int(np.ceil(np.sqrt(hx.size))), 1)
         counts, edges = np.histogram(hx, bins=nb)
     elif bins.size == 1:
         counts, edges = np.histogram(hx, bins=int(bins.scalar_double()))
     else:
-        if isinstance(x, MatArray) and not x.is_complex:
+        if norm == "count" and isinstance(x, MatArray) and not x.is_complex:
             from ...accel import active_engine
             eng = active_engine()
             if eng is not None and eng.route_linalg(x):
@@ -93,8 +139,8 @@ def m_histcounts(x, bins=None, nargout=1):
                     res = [c, MatArray(_f(bins).reshape(1, -1), "double")]
                     return res[:max(1, nargout)]
         counts, edges = np.histogram(hx, bins=fortran_ravel(_f(bins)))
-    out = [MatArray(counts.astype(np.float64).reshape(1, -1), "double"),
-           MatArray(edges.reshape(1, -1), "double")]
+    out = [MatArray(_apply_norm(counts, edges).reshape(1, -1), "double"),
+           MatArray(np.asarray(edges, np.float64).reshape(1, -1), "double")]
     return out[:max(1, nargout)]
 
 

@@ -286,3 +286,33 @@ def test_movwindow_option_grid():
 def test_option_battery2_total():
     print(f"\ntier-D2 assertions: {ASSERT['count']}")
     assert ASSERT["count"] >= 50
+
+
+def test_histcounts_normalization_grid():
+    data = "[1 2 2 3 3 3 9]"
+    edges = "[0 2 4 10]"
+    base = ev_num(f"histcounts({data}, {edges})").reshape(-1)
+    np.testing.assert_allclose(base, [1, 5, 1])
+    bump()
+    got = ev_num(f"histcounts({data}, {edges}, "
+                 f"'Normalization', 'probability')").reshape(-1)
+    np.testing.assert_allclose(got, base / 7.0)
+    bump()
+    got = ev_num(f"histcounts({data}, {edges}, "
+                 f"'Normalization', 'cumcount')").reshape(-1)
+    np.testing.assert_allclose(got, np.cumsum(base))
+    bump()
+    got = ev_num(f"histcounts({data}, {edges}, "
+                 f"'Normalization', 'cdf')").reshape(-1)
+    np.testing.assert_allclose(got, np.cumsum(base) / 7.0)
+    bump()
+    got = ev_num(f"histcounts({data}, {edges}, "
+                 f"'Normalization', 'pdf')").reshape(-1)
+    widths = np.array([2.0, 2.0, 6.0])
+    np.testing.assert_allclose(got, base / (7.0 * widths))
+    bump()
+    # BinWidth option controls the edge grid
+    run_src("[__c, __e] = histcounts([0.1 0.9 1.1 1.9], 'BinWidth', 1);")
+    e = np.asarray(sess().get("__e").host()).reshape(-1)
+    assert abs((e[1] - e[0]) - 1.0) < 1e-12
+    bump()
