@@ -192,7 +192,7 @@ class JaxEngine:
         self._jit_cache: dict = {}
         self.stats = {"dispatches": 0, "compiles": 0, "cache_hits": 0,
                       "uploads": 0, "gathers": 0, "upload_bytes": 0,
-                      "gather_bytes": 0}
+                      "gather_bytes": 0, "host_fallbacks": 0}
         # per-category dispatch accounting + bounded kernel-launch log
         # (≙ ProviderTelemetry wall-time categories + launch log,
         # runmat-accelerate-api/src/lib.rs:1337-1376)
