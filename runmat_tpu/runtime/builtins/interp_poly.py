@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...errors import bad_arg
-from ...values import MatArray, is_text, text_of
+from ...values import MatArray, fortran_ravel, is_text, text_of
 from ..registry import builtin
 
 
@@ -388,3 +388,25 @@ def m_polyvalm(p, X):
     for c in hp:
         R = R @ A + c * np.eye(n)
     return MatArray(R, "double")
+
+
+@builtin("griddata", category="math/interpolation", min_in=5, max_in=6)
+def m_griddata(x, y, v, xq, yq, method=None):
+    """Scattered 2-D interpolation (≙ runmat-runtime math/interpolation
+    griddata): Delaunay-based 'linear' (default), 'nearest', 'cubic';
+    queries outside the convex hull return NaN like MATLAB."""
+    from scipy.interpolate import griddata as _gd
+    m = text_of(method).lower() if method is not None else "linear"
+    if m == "v4":
+        m = "cubic"
+    if m not in ("linear", "nearest", "cubic"):
+        raise bad_arg("griddata", f"Unknown method '{m}'.")
+    pts = np.column_stack([fortran_ravel(x.host().astype(np.float64)),
+                           fortran_ravel(y.host().astype(np.float64))])
+    vals = fortran_ravel(v.host().astype(np.float64))
+    hxq = xq.host().astype(np.float64)
+    hyq = yq.host().astype(np.float64)
+    hxq, hyq = np.broadcast_arrays(hxq, hyq)
+    q = np.column_stack([hxq.reshape(-1), hyq.reshape(-1)])
+    r = _gd(pts, vals, q, method=m, fill_value=np.nan)
+    return MatArray(np.asarray(r, np.float64).reshape(hxq.shape), "double")

@@ -304,6 +304,15 @@ def _minmax(x, args, nargout, which: str):
     if nargout <= 1:
         return [out]
     if len(axes) > 1:
+        if dims == "all":
+            # [m, i] = max(A, [], 'all', 'linear'): linear F-order index
+            flat = hf.reshape(-1, order="F")
+            if not include_nan and hf.dtype.kind == "f":
+                fill = np.inf if which == "min" else -np.inf
+                flat = np.where(np.isnan(flat), fill, flat)
+            li = (np.argmin(flat) if which == "min" else np.argmax(flat))
+            return [out, _norm_result(np.array([[float(li) + 1.0]]),
+                                      "double")]
         raise bad_arg(which, "Index output requires a single reduction dimension.")
     ax = axes[0]
     if not include_nan and hf.dtype.kind == "f":

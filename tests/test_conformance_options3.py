@@ -233,3 +233,28 @@ def test_optimizer_option_grid():
 def test_option_battery3_total():
     print(f"\ntier-D3 assertions: {ASSERT['count']}")
     assert ASSERT["count"] >= 30
+
+
+def test_minmax_all_linear_and_griddata():
+    run_src("[__m, __i] = max([1 5; 9 2], [], 'all', 'linear');")
+    s = sess()
+    assert float(np.asarray(s.get("__m").host()).reshape(-1)[0]) == 9.0
+    # F-order linear index of 9 in [1 5; 9 2] is 2
+    assert float(np.asarray(s.get("__i").host()).reshape(-1)[0]) == 2.0
+    bump(2)
+    run_src("[__mn, __in] = min([3 0; -1 7], [], 'all', 'linear');")
+    assert float(np.asarray(sess().get("__mn").host()).reshape(-1)[0]) == -1
+    assert float(np.asarray(sess().get("__in").host()).reshape(-1)[0]) == 2.0
+    bump(2)
+    # griddata on a plane reproduces the plane at interior points
+    close("griddata([0 1 0 1], [0 0 1 1], [0 1 1 2], 0.5, 0.5)", [1.0],
+          tol=1e-9)
+    close("griddata([0 1 0 1], [0 0 1 1], [0 1 1 2], 0.25, 0.75)", [1.0],
+          tol=1e-9)
+    # nearest method snaps to the closest sample
+    close("griddata([0 1 0 1], [0 0 1 1], [0 1 1 2], 0.9, 0.9, 'nearest')",
+          [2.0])
+    # outside the hull -> NaN
+    got = ev_num("griddata([0 1 0 1], [0 0 1 1], [0 1 1 2], 5, 5)")
+    assert np.isnan(got.reshape(-1)[0])
+    bump()
