@@ -118,6 +118,31 @@ def render_svg(fig: Figure) -> str:
              f'<rect width="{W}" height="{H}" fill="white"/>']
     for ax in fig.axes:
         parts.append(_render_axes(ax, W, H))
+    # figure-fraction annotations (textbox/line/arrow)
+    for an in getattr(fig, "annotations", ()):
+        p = an.get("pos", [0, 0, 0.1, 0.1])
+        if an["kind"] in ("textbox",):
+            x = p[0] * W
+            y = (1 - p[1] - (p[3] if len(p) > 3 else 0)) * H
+            w = (p[2] if len(p) > 2 else 0.1) * W
+            h = (p[3] if len(p) > 3 else 0.1) * H
+            parts.append(
+                f'<rect x="{x:.1f}" y="{y:.1f}" width="{w:.1f}" '
+                f'height="{h:.1f}" fill="none" stroke="#444"/>')
+            parts.append(
+                f'<text x="{x + 4:.1f}" y="{y + h / 2 + 4:.1f}" '
+                f'font-size="11" font-family="sans-serif">'
+                f'{escape(an.get("text", ""))}</text>')
+        elif an["kind"] in ("line", "arrow", "textarrow") and len(p) >= 4:
+            x1, x2 = p[0] * W, p[1] * W
+            y1, y2 = (1 - p[2]) * H, (1 - p[3]) * H
+            parts.append(f'<line x1="{x1:.1f}" y1="{y1:.1f}" '
+                         f'x2="{x2:.1f}" y2="{y2:.1f}" stroke="#444"/>')
+            if an.get("text"):
+                parts.append(
+                    f'<text x="{x1:.1f}" y="{y1 - 3:.1f}" font-size="11" '
+                    f'font-family="sans-serif">'
+                    f'{escape(an["text"])}</text>')
     parts.append("</svg>")
     return "".join(parts)
 

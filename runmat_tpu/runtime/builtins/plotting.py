@@ -110,6 +110,59 @@ def m_subplot(r, c, k):
     return None
 
 
+@builtin("tiledlayout", category="plotting", min_in=0, max_in=4)
+def m_tiledlayout(r=None, c=None, *opts):
+    """tiledlayout(m, n): tile grid over the current figure; 'flow' and
+    spacing options are accepted (tiles map onto the subplot grid)."""
+    f = gcf()
+    if r is not None and is_text(r):          # tiledlayout('flow')
+        f._tiled = [1, 1, 0, True]
+        return None
+    m = int(_np1(r)[0]) if r is not None else 1
+    n = int(_np1(c)[0]) if c is not None else 1
+    f._tiled = [m, n, 0, False]
+    return None
+
+
+@builtin("nexttile", category="plotting", min_in=0, max_in=1)
+def m_nexttile(k=None):
+    f = gcf()
+    grid = getattr(f, "_tiled", None)
+    if grid is None:
+        grid = f._tiled = [1, 1, 0, True]
+    if k is not None:
+        grid[2] = int(_np1(k)[0])
+    else:
+        grid[2] += 1
+    if grid[3] and grid[2] > grid[0] * grid[1]:
+        # 'flow': grow the grid toward squareness
+        import math as _math
+        total = grid[2]
+        grid[1] = int(_math.ceil(_math.sqrt(total)))
+        grid[0] = int(_math.ceil(total / grid[1]))
+    idx = min(grid[2], grid[0] * grid[1])
+    f.subplot(grid[0], grid[1], idx)
+    return None
+
+
+@builtin("annotation", category="plotting", min_in=2, max_in=None)
+def m_annotation(kind, pos, *opts):
+    """annotation('textbox'|'textarrow'|'line'|'arrow', [x y w h], ...)
+    in figure-fraction coordinates; 'String' option sets the text."""
+    f = gcf()
+    k = text_of(kind).lower()
+    p = [float(v) for v in _np1(pos)]
+    text = ""
+    for i, o in enumerate(opts):
+        if is_text(o) and text_of(o).lower() == "string" and \
+                i + 1 < len(opts):
+            text = text_of(opts[i + 1])
+    if not hasattr(f, "annotations"):
+        f.annotations = []
+    f.annotations.append({"kind": k, "pos": p, "text": text})
+    return None
+
+
 @builtin("drawnow", category="plotting", max_in=0)
 def m_drawnow():
     return None
@@ -709,14 +762,24 @@ def m_exportgraphics(obj, path):
     return None
 
 
-@builtin("print", category="plotting", min_in=1, max_in=2)
-def m_print(a, b=None):
-    """print('file.png') / print('-dpng', 'file')"""
-    if b is None:
-        _export(text_of(a))
-        return None
-    flag = text_of(a)
-    path = text_of(b)
+@builtin("print", category="plotting", min_in=1, max_in=4)
+def m_print(*args):
+    """print('file.png') / print('-dpng', 'file') / print('file', '-dpng')
+    — device flags (-dpng/-dsvg) and the filename may come in any order;
+    resolution flags (-r<N>) are accepted and ignored (the SVG/PNG export
+    is resolution-independent)."""
+    flag = None
+    path = None
+    for a in args:
+        t = text_of(a)
+        if t.startswith("-d"):
+            flag = t
+        elif t.startswith("-r") or t.startswith("-f"):
+            continue
+        else:
+            path = t
+    if path is None:
+        raise bad_arg("print", "No output filename given.")
     if flag == "-dpng" and not path.endswith(".png"):
         path += ".png"
     if flag == "-dsvg" and not path.endswith(".svg"):

@@ -156,3 +156,37 @@ def test_device_plot_single_gather():
         handle_request(s, {"id": 5, "op": "execute", "source": "close all"})
     finally:
         set_engine(prev)
+
+
+def test_tiledlayout_nexttile_annotation_print(tmp_path):
+    s = _sess()
+    handle_request(s, {"id": 1, "op": "execute",
+                       "source": "tiledlayout(2, 2); nexttile; plot(1:5); "
+                                 "nexttile; plot(5:-1:1); "
+                                 "nexttile(4); plot([1 3 2]); "
+                                 "annotation('textbox', [0.1 0.1 0.3 0.1], "
+                                 "'String', 'note');"})
+    figs = handle_request(s, {"id": 2, "op": "figures"})["figures"]
+    assert figs
+    svg = figs[0]["svg"]
+    # three tiles -> three axes frames; annotation text present
+    assert svg.count("<svg") == 1
+    assert "note" in svg
+    p = (tmp_path / "out.png").as_posix()
+    r = handle_request(s, {"id": 3, "op": "execute",
+                           "source": f"print('{p}', '-dpng');"})
+    assert r["ok"]
+    import os as _os
+    assert _os.path.getsize(p) > 500
+    handle_request(s, {"id": 4, "op": "execute", "source": "close all"})
+
+
+def test_tiledlayout_flow_grows_grid():
+    s = _sess()
+    handle_request(s, {"id": 1, "op": "execute",
+                       "source": "tiledlayout('flow'); nexttile; plot(1); "
+                                 "nexttile; plot(2); nexttile; plot(3);"})
+    from runmat_tpu.plot import figure as figmod
+    f = figmod.current_figure()
+    assert len(f.axes) == 3
+    handle_request(s, {"id": 2, "op": "execute", "source": "close all"})
