@@ -681,7 +681,15 @@ def _b_setop(eng, opts):
                 if va.shape[0] else jnp.zeros(N, bool)
             in_b = jnp.any(u[:, None] == vb[None, :], axis=1) \
                 if vb.shape[0] else jnp.zeros(N, bool)
-            keep = valid & (in_a ^ in_b)
+            # NaN never equals anything, so membership tests miss it; but
+            # each NaN is a distinct element belonging to exactly one input
+            # and therefore always lands in the symmetric difference
+            # (MATLAB: setxor([NaN 1 2],[2 3]) == [1 3 NaN]).
+            if jnp.issubdtype(u.dtype, jnp.floating) or \
+                    jnp.issubdtype(u.dtype, jnp.complexfloating):
+                keep = valid & (jnp.isnan(u) | (in_a ^ in_b))
+            else:
+                keep = valid & (in_a ^ in_b)
             k = jnp.sum(keep)
             pos = jnp.cumsum(keep) - 1
             dest = jnp.where(keep, pos, N - 1)

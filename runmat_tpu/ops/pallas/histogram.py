@@ -63,7 +63,10 @@ def histcounts_pallas(n: int, n_bins: int, dtype=np.float32,
         # one-hot accumulate into (1, pb)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, pb), 1)
         hits = (b[:, :, None] == lanes[None, :, :]) & inb[:, :, None]
-        counts = jnp.sum(hits.astype(jnp.float32), axis=(0, 1))[None, :]
+        # int32 accumulation: exact to 2^31-1 counts per bin. A float32
+        # accumulator silently saturates at 2^24 (~16.7M), which is
+        # reachable in exactly the large-N regime this kernel targets.
+        counts = jnp.sum(hits.astype(jnp.int32), axis=(0, 1))[None, :]
         out_ref[...] += counts
 
     call = pl.pallas_call(
@@ -77,7 +80,7 @@ def histcounts_pallas(n: int, n_bins: int, dtype=np.float32,
         ],
         out_specs=pl.BlockSpec((1, pb), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, pb), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, pb), jnp.int32),
         interpret=interpret,
     )
 

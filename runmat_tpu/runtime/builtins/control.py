@@ -22,6 +22,9 @@ from ..registry import builtin, register_alias
 def m_feval(f, *args, ctx=None, nargout=1):
     if isinstance(f, FunctionHandle):
         return ctx.interp.call_value(f, list(args), nargout, ctx.frame)
+    # feval'd callees see no caller identifier names (MATLAB inputname()
+    # is empty through feval) — clear any RESOLVE_CALL-set names.
+    ctx.interp._current_call_names = None
     return ctx.interp.call_named(text_of(f), list(args), nargout, ctx.frame)
 
 

@@ -176,9 +176,15 @@ def m_sortrows(t, key=None, direction=None):
         return MatTable(t.varnames, [_take_rows(c, order) for c in t.cols])
     h = t.host()
     ci = int(key.host().reshape(-1)[0]) - 1 if key is not None else 0
-    order = np.argsort(h[:, ci], kind="stable")
     if descend:
-        order = order[::-1]
+        # stable descending (MATLAB keeps tied rows in original order):
+        # ascend the reversed rows, map back — same flip trick as the
+        # MatTable branch above.
+        n = h.shape[0]
+        ia = np.argsort(h[::-1, ci], kind="stable")
+        order = ((n - 1) - ia)[::-1]
+    else:
+        order = np.argsort(h[:, ci], kind="stable")
     return MatArray(h[order, :].copy(), t.mclass)
 
 

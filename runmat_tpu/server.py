@@ -269,6 +269,18 @@ def serve_stdio(sess) -> int:
     return 0
 
 
+def host_header_ok(hdr: str, host: str) -> bool:
+    """Anti-DNS-rebinding Host-header check: accept only local names (or
+    the bound host). urlsplit handles bracketed IPv6 with or without a
+    port — a naive rsplit(":") mangles a portless "[::1]" into ":"."""
+    try:
+        from urllib.parse import urlsplit
+        h = (urlsplit("//" + (hdr or "")).hostname or "").lower()
+    except ValueError:
+        return False
+    return h in ("localhost", "127.0.0.1", "::1", host.lower())
+
+
 def serve_http(sess, host: str, port: int, token: str = None) -> int:
     """HTTP bridge + in-browser REPL: the TPU-native answer to the
     reference's wasm embedding (crates/runmat-wasm + bindings/ts). A browser
@@ -294,8 +306,7 @@ def serve_http(sess, host: str, port: int, token: str = None) -> int:
     page = _repl_page()
 
     def _host_ok(hdr):
-        h = (hdr or "").rsplit(":", 1)[0].strip("[]").lower()
-        return h in ("localhost", "127.0.0.1", "::1", host.lower())
+        return host_header_ok(hdr, host)
 
     def _origin_ok(hdr):
         if not hdr:          # same-origin fetches and curl omit Origin

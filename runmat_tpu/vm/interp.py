@@ -320,6 +320,10 @@ class Interp:
         return results
 
     def call_value(self, fv, args: list, nargout: int, frame: Frame) -> list:
+        # Handle/feval-style indirect calls carry no caller identifier
+        # names (MATLAB inputname() is empty through them); clear so the
+        # callee never reads a previous RESOLVE_CALL's stale names.
+        self._current_call_names = None
         if isinstance(fv, FunctionHandle):
             if fv.kind == "named":
                 return self.call_named(fv.name, args, nargout, frame)
@@ -430,9 +434,16 @@ class Interp:
                 elif op == B.COLON_VAL:
                     stack.append(IX.COLON)
                 elif op == B.RESOLVE_CALL:
+                    # arg identifier names are valid only for THIS resolved
+                    # call (builtins read them mid-call, user functions
+                    # capture them at frame entry); clear on exit so later
+                    # handle/feval/method calls never see stale names.
                     self._current_call_names = \
                         code.call_arg_names.get(pc - 1)
-                    self._resolve_call(stack, frame, a, b, c, d)
+                    try:
+                        self._resolve_call(stack, frame, a, b, c, d)
+                    finally:
+                        self._current_call_names = None
                 elif op == B.LOADC:
                     v = self._load_name(frame, a)
                     if v is NOVALUE:
@@ -842,6 +853,7 @@ class Interp:
                      nargout: int) -> list:
         """obj.m(args) / ClassRef.static(args); falls back to field-read +
         paren indexing for structs and plain values."""
+        self._current_call_names = None   # no inputname through methods
         # built-in object method protocol (≙ reference dotted method builtins
         # like inputParser.parse / timer.start registered per class)
         if hasattr(base, "_mat_call_method_"):

@@ -232,3 +232,19 @@ def test_accumarray_device_scatter():
     np.testing.assert_allclose(s.get("rs").host().ravel(),
                                [40, 40, 20, 0, 0])
     assert bool(np.asarray(s.get("ok").host()).ravel()[0])
+
+
+def test_setxor_device_keeps_nan(): 
+    """ADVICE r3: NaN never matches via broadcast ==, but each NaN is a
+    distinct element of exactly one input, so MATLAB keeps it in the
+    symmetric difference: setxor([NaN 1 2],[2 3]) == [1 3 NaN]."""
+    s = run("A = gpuArray([NaN 1 2]); B = gpuArray([2 3]); "
+            "x = gather(setxor(A, B)); "
+            "y = gather(setxor(gpuArray([NaN]), gpuArray([NaN])));",
+            accelerate=True)
+    x = s.get("x").host().ravel()
+    assert x.shape[0] == 3
+    np.testing.assert_allclose(x[:2], [1, 3])
+    assert np.isnan(x[2])
+    y = s.get("y").host().ravel()
+    assert y.shape[0] == 2 and np.isnan(y).all()

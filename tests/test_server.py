@@ -282,3 +282,17 @@ def test_ts_bindings_node_suite():
              "PYTHONPATH": str(root)},
         capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_host_header_ok_ipv6_forms():
+    """ADVICE r3: a portless bracketed IPv6 Host header ("[::1]") must be
+    accepted; rsplit-based parsing mangled it into ":"."""
+    from runmat_tpu.server import host_header_ok
+    assert host_header_ok("[::1]", "127.0.0.1")
+    assert host_header_ok("[::1]:8080", "127.0.0.1")
+    assert host_header_ok("localhost", "127.0.0.1")
+    assert host_header_ok("localhost:9000", "127.0.0.1")
+    assert host_header_ok("127.0.0.1:80", "127.0.0.1")
+    assert not host_header_ok("evil.example.com", "127.0.0.1")
+    assert not host_header_ok("evil.example.com:80", "127.0.0.1")
+    assert not host_header_ok("", "127.0.0.1")

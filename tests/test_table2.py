@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from helpers import run_get
+from helpers import run, run_get, val
 from runmat_tpu.values import CellArray
 
 
@@ -107,3 +107,23 @@ def test_file_datastore(tmp_path):
 def test_detect_import_options():
     v = run_get("o = detectImportOptions('f.csv'); t = o.Type;", "t")
     assert v["t"].to_str() == "delimitedtext"
+
+
+def test_sortrows_matrix_descend_stable():
+    """ADVICE r3: plain-matrix sortrows 'descend' must keep tied rows in
+    original order (MATLAB sortrows is stable both directions)."""
+    v = val("x = sortrows([2 1; 1 9; 2 3; 2 7], 1, 'descend');")
+    np.testing.assert_allclose(v, [[2, 1], [2, 3], [2, 7], [1, 9]])
+
+
+def test_table_varnames_not_stale_through_feval():
+    """ADVICE r3: caller arg-names from a previous RESOLVE_CALL must not
+    leak into an indirect (feval/handle) table() call."""
+    s = run("alpha = [1;2]; beta = [3;4]; t1 = table(alpha, beta); "
+            "t2 = feval('table', [5;6]); "
+            "h = @table; t3 = h([7;8]);")
+    t1 = s.get("t1")
+    assert t1.varnames == ["alpha", "beta"]
+    # indirect calls carry no identifier names -> default VarN names
+    assert s.get("t2").varnames == ["Var1"]
+    assert s.get("t3").varnames == ["Var1"]
