@@ -182,6 +182,10 @@ class JaxEngine:
         # 'highest' (f32-equivalent multi-pass on the MXU). Users opt into
         # the fast path explicitly: RUNMAT_TPU_MATMUL_PRECISION=bf16|high|
         # highest, or RUNMAT_TPU_ALLOW_PRECISION_DOWNCAST=1 (bf16).
+        # 'ozaki' additionally routes real f64 GEMMs through the exact
+        # int8-digit compensated scheme (accel/ozaki.py) — several times
+        # the emulated-f64 MXU rate at ~1e-12 relative accuracy; f32
+        # GEMMs under 'ozaki' keep the HIGHEST parity lowering.
         mm = os.environ.get("RUNMAT_TPU_MATMUL_PRECISION") or matmul_precision
         if mm is None and \
                 os.environ.get("RUNMAT_TPU_ALLOW_PRECISION_DOWNCAST") == "1":
@@ -461,7 +465,9 @@ class JaxEngine:
             self.dtype_for(keep_class, x.is_complex)
         axes = tuple(a for a in axes if a < len(nx.shape))
         shape = tuple(1 if i in axes else s for i, s in enumerate(nx.shape))
-        node = self._op("r:" + op, [nx], (axes, nan_mode == "omitnan", str(dt)),
+        # stamp the full NaN mode (not just an omitnan bool): min/max
+        # default to omitnan but honor an explicit 'includenan'
+        node = self._op("r:" + op, [nx], (axes, nan_mode or "", str(dt)),
                         normalize_shape(shape), dt)
         out = MatArray.from_device(node, keep_class)
         out.dl = getattr(x, "dl", False)
@@ -978,6 +984,12 @@ class JaxEngine:
         if op.startswith("b:"):
             name = op[2:]
             work_dt = np.dtype(static[0])
+            # MATLAB integer arithmetic SATURATES (int8(100)+50 == 127):
+            # compute wide in f64 — exactly the host path's policy
+            # (dispatch._INT_SAFE_BINARY) — and saturate on the way back
+            int_sat = work_dt.kind in "iu" and name in table.INT_SAT_BINARY
+            if int_sat:
+                work_dt = np.dtype(np.float64)
             a = self._coerce(args[0], work_dt)
             b = self._coerce(args[1], work_dt)
             la, lb = in_shapes
@@ -992,6 +1004,8 @@ class JaxEngine:
                 elif b.ndim < a.ndim:
                     b = b.reshape(b.shape + (1,) * (a.ndim - b.ndim))
             r = table.BINARY[name](jnp, a, b)
+            if int_sat:
+                r = table.saturate_cast_device(jnp, r, dt)
             if r.dtype != dt:
                 r = r.astype(dt)
             return self._to_phys(r, out_shape)
@@ -1017,6 +1031,11 @@ class JaxEngine:
             # trace even if the session policy has changed since
             from jax import lax
             pol = static[1] if len(static) > 1 else self.matmul_precision
+            if pol in ("ozaki", "compensated") and a.dtype == jnp.float64:
+                from . import ozaki
+                if ozaki.supported(la, lb, "f"):
+                    return self._to_phys(ozaki.gemm_f64(jnp, a, b),
+                                         out_shape)
             prec = {"highest": lax.Precision.HIGHEST,
                     "high": lax.Precision.HIGH}.get(pol, lax.Precision.DEFAULT)
             r = jnp.matmul(a, b, preferred_element_type=pe, precision=prec)
@@ -1239,8 +1258,12 @@ class JaxEngine:
         r = self._reduce_impl(name, axes, omitnan, dt, x)
         return self._to_phys(r, out_shape) if out_shape else r
 
-    def _reduce_impl(self, name: str, axes: tuple, omitnan, dt: np.dtype, x):
+    def _reduce_impl(self, name: str, axes: tuple, nan_mode, dt: np.dtype, x):
         jnp = self.jnp
+        # nan_mode: "omitnan" | "includenan" | "" (legacy manifests may
+        # carry a bool omitnan flag — True means "omitnan")
+        omitnan = nan_mode in (True, "omitnan")
+        includenan = nan_mode == "includenan"
         if name == "sum":
             xx = jnp.where(jnp.isnan(x), 0, x) if omitnan and np.dtype(x.dtype).kind == "f" else x
             return jnp.sum(xx.astype(dt) if np.dtype(dt).kind == "f" else xx,
@@ -1254,8 +1277,13 @@ class JaxEngine:
             return jnp.mean(x.astype(dt) if np.dtype(dt).kind == "f" else x,
                             axis=axes, keepdims=True).astype(dt)
         if name == "min":
+            # MATLAB min/max default to omitnan; 'includenan' propagates
+            if includenan:
+                return jnp.min(x, axis=axes, keepdims=True).astype(dt)
             return jnp.nanmin(x, axis=axes, keepdims=True).astype(dt)
         if name == "max":
+            if includenan:
+                return jnp.max(x, axis=axes, keepdims=True).astype(dt)
             return jnp.nanmax(x, axis=axes, keepdims=True).astype(dt)
         if name == "any":
             return jnp.any(x != 0, axis=axes, keepdims=True)

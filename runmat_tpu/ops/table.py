@@ -124,6 +124,30 @@ def _matlab_rem(xp, a, b):
     return xp.where(b == 0, xp.full_like(r, xp.nan) if hasattr(xp, "nan") else r * 0 + float("nan"), r)
 
 
+# Arithmetic ops that, on MATLAB integer classes, compute in wide float and
+# saturate on the way back (mirrors dispatch._INT_SAFE_BINARY's host path).
+INT_SAT_BINARY = {"add", "sub", "mul", "div", "ldiv", "pow", "mod", "rem",
+                  "min2", "max2"}
+
+
+def saturate_cast_device(jnp, r, dt):
+    """Device analog of dtypes.saturate_cast: MATLAB round-half-away +
+    saturation into an integer dtype; NaN -> 0, +/-Inf -> class limits."""
+    import numpy as np
+    info = np.iinfo(dt)
+    if np.dtype(r.dtype).kind == "c":
+        r = jnp.real(r)
+    rr = jnp.where(r >= 0, jnp.floor(r + 0.5), jnp.ceil(r - 0.5))
+    rr = jnp.where(jnp.isnan(rr), 0.0, rr)
+    rr = jnp.clip(rr, float(info.min), float(info.max))
+    out = rr.astype(dt)
+    if np.dtype(dt).itemsize == 8:
+        # f64 can't represent the (u)int64 limits exactly; repair the ends
+        out = jnp.where(rr >= float(info.max), np.array(info.max, dt), out)
+        out = jnp.where(rr <= float(info.min), np.array(info.min, dt), out)
+    return out
+
+
 # Unary ops whose real-domain violation promotes to complex in MATLAB.
 COMPLEX_PROMOTING_UNARY = {
     "sqrt": lambda h: (h < 0).any(),

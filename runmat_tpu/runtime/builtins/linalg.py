@@ -137,6 +137,8 @@ def m_norm(x, p=None):
         pv = p.scalar_double() if p is not None else 2.0
     if not is_vec and pv not in (1.0, 2.0, np.inf, "fro"):
         raise bad_arg("norm", "Matrix norm only supports 1, 2, inf, 'fro'.")
+    if x.size == 0:
+        return MatArray.scalar(0.0)          # MATLAB: norm([]) == 0
     eng = _dev_eng(x)
     if eng is not None and len(shape) == 2 and x.size:
         out = eng.linalg("norm", [x], (pv, is_vec), out_class="double")
@@ -209,34 +211,66 @@ def m_lu(x, nargout=1):
     return [_out(L, x), _out(Uo, x), _out(P, x)]
 
 
+def _chol_partial(a: np.ndarray, lower: bool):
+    """Row Cholesky that stops at the failing pivot: returns (R, p) with
+    MATLAB semantics — p == 0 and R the full factor when PD, else p the
+    1-based pivot index where factorization failed and R the successful
+    (p-1)x(p-1) leading factor with R'*R == A(1:p-1,1:p-1) (MATLAB chol
+    doc; only the upper triangle of A is referenced)."""
+    n = a.shape[0]
+    cx = np.iscomplexobj(a)
+    A = a.astype(np.complex128 if cx else np.float64)
+    R = np.zeros_like(A)
+    for k in range(n):
+        d = A[k, k].real - np.real(R[:k, k].conj() @ R[:k, k])
+        if not d > 0:
+            Rq = R[:k, :k]
+            return (Rq.conj().T if lower else Rq), k + 1
+        R[k, k] = np.sqrt(d)
+        if k + 1 < n:
+            R[k, k + 1:] = (A[k, k + 1:] - R[:k, k].conj() @ R[:k, k + 1:]) \
+                / R[k, k]
+    return (R.conj().T if lower else R), 0
+
+
 @builtin("chol", category="math/linalg", min_in=1, max_in=2, pass_nargout=True)
 def m_chol(x, opt=None, nargout=1):
     eng = _dev_eng(x)
+    lower = opt is not None and text_of(opt) == "lower"
     if eng is not None and _is_sq(x):
-        lw = opt is not None and text_of(opt) == "lower"
-        out = eng.linalg("chol", [x], (("lower",) if lw else ()))
+        out = eng.linalg("chol", [x], (("lower",) if lower else ()))
         if out is not None:
             R, bad = out
             not_posdef = bool(bad.host().reshape(-1)[0])  # scalar gather
+            if not not_posdef:
+                if nargout >= 2:
+                    return [R, MatArray.scalar(0.0)]
+                return R
             if nargout >= 2:
-                return [MatArray.empty() if not_posdef else R,
-                        MatArray.scalar(1.0 if not_posdef else 0.0)]
-            if not_posdef:
-                raise MatError("MATLAB:posdef",
-                               "Matrix must be positive definite.")
-            return R
+                # failure is exceptional: gather once and recompute the
+                # partial factor to report MATLAB's failing-pivot index
+                ah = _sq(x, "chol")
+                Rq, p = _chol_partial(ah.conj().T if lower else ah, lower)
+                return [_out(Rq, x), MatArray.scalar(float(p))]
+            raise MatError("MATLAB:posdef",
+                           "Matrix must be positive definite.")
     a = _sq(x, "chol")
-    lower = opt is not None and text_of(opt) == "lower"
     try:
-        L = np.linalg.cholesky(a)
+        # LAPACK fast path. MATLAB chol reads only the upper triangle of A
+        # (the lower triangle under 'lower'); symmetrize from that side.
+        asym = (np.tril(a) + np.tril(a, -1).conj().T) if lower else \
+            (np.triu(a) + np.triu(a, 1).conj().T)
+        L = np.linalg.cholesky(asym)
         R = L if lower else L.conj().T
         if nargout >= 2:
             return [_out(R, x), MatArray.scalar(0.0)]
         return _out(R, x)
     except np.linalg.LinAlgError:
-        if nargout >= 2:
-            return [MatArray.empty(), MatArray.scalar(1.0)]
-        raise MatError("MATLAB:posdef", "Matrix must be positive definite.")
+        pass
+    R, p = _chol_partial(a.conj().T if lower else a, lower)
+    if nargout >= 2:
+        return [_out(R, x), MatArray.scalar(float(p))]
+    raise MatError("MATLAB:posdef", "Matrix must be positive definite.")
 
 
 @builtin("qr", category="math/linalg", min_in=1, max_in=2, pass_nargout=True)

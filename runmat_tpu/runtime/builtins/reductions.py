@@ -284,6 +284,16 @@ def _minmax(x, args, nargout, which: str):
                 dims = tuple(int(v) for v in a.host().reshape(-1))
     axes = _axes_for(x.shape, dims)
     acc = x.mclass if x.mclass != "logical" else "logical"
+    if x.size == 0:
+        # MATLAB: max([]) == []; a zero-length reduced axis stays empty
+        # (no identity element, unlike sum/prod)
+        h = x.host()
+        shp = [0 if (i in axes and d == 0) else (1 if i in axes else d)
+               for i, d in enumerate(h.shape)]
+        empty = np.zeros(shp, dtype=h.dtype)
+        outs = [_norm_result(empty, x.mclass),
+                _norm_result(empty.astype(np.float64), "double")]
+        return outs[:max(1, nargout)]
     if nargout <= 1:
         dv = _device_reduce(which, x, axes, acc, nan_mode)
         if dv is not None:

@@ -117,9 +117,12 @@ def test_chol_device():
 
 
 def test_chol_not_posdef_device():
+    # MATLAB: p = failing 1-based pivot (leading 1x1 [1] is PD -> p == 2),
+    # R = the successful (p-1)x(p-1) leading factor
     s = run("[R, p] = chol(gpuArray([1 2; 2 1]));", accelerate=True)
-    assert float(s.get("p").host().ravel()[0]) == 1.0
-    assert s.get("R").size == 0
+    assert float(s.get("p").host().ravel()[0]) == 2.0
+    assert s.get("R").shape == (1, 1)
+    assert abs(float(s.get("R").host().ravel()[0]) - 1.0) < 1e-12
     # one-output form raises
     s2 = run("ok = false; try, chol(gpuArray([1 2; 2 1])); catch e, "
              "ok = strcmp(e.identifier, 'MATLAB:posdef'); end",
@@ -131,8 +134,8 @@ def test_chol_semidefinite_flagged_device():
     """ADVICE r2: PSD-singular inputs (zero pivot, no NaN in the factor)
     must still report not-positive-definite like MATLAB/the reference."""
     s = run("[R, p] = chol(gpuArray([1 0; 0 0]));", accelerate=True)
-    assert float(s.get("p").host().ravel()[0]) == 1.0
-    assert s.get("R").size == 0
+    assert float(s.get("p").host().ravel()[0]) == 2.0
+    assert s.get("R").shape == (1, 1)
     s2 = run("ok = false; try, chol(gpuArray(diag([2 1 0]))); catch e, "
              "ok = strcmp(e.identifier, 'MATLAB:posdef'); end",
              accelerate=True)

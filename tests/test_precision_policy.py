@@ -118,3 +118,88 @@ def test_pagemtimes_rides_policy():
         assert tuple(np.asarray(s.get("sz").host()).ravel()) == (2.0, 3.0, 4.0)
     finally:
         set_engine(prev)
+
+
+# --------------------------------------------------------------------- ozaki
+
+def test_ozaki_digits_reconstruct():
+    """Digit split is an (almost-)error-free transformation: scale *
+    sum(d_i * 2^-7(i+1)) == x to 2^-42 * rowscale."""
+    import jax.numpy as jnp
+    from runmat_tpu.accel import ozaki
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((64, 128)) *
+                    np.exp(rng.uniform(-20, 20, (64, 128))))
+    scale, digs = ozaki._digits_along(jnp, x, axis=1)
+    rec = sum(np.asarray(d, dtype=np.float64) * 2.0 ** (-7 * (i + 1))
+              for i, d in enumerate(digs))
+    err = np.abs(np.asarray(scale) * rec - np.asarray(x))
+    assert np.all(err <= np.asarray(scale) * 2.0 ** -42)
+
+
+def test_ozaki_gemm_rtol_1e10_K8192():
+    """VERDICT r4 gate: compensated f64 GEMM with inner dim 8192 matches a
+    host f64 GEMM to better than 1e-10 relative."""
+    import jax.numpy as jnp
+    from runmat_tpu.accel import ozaki
+    rng = np.random.default_rng(11)
+    M, K, N = 96, 8192, 80
+    A = rng.standard_normal((M, K))
+    B = rng.standard_normal((K, N))
+    C = np.asarray(ozaki.gemm_f64(jnp, jnp.asarray(A), jnp.asarray(B)))
+    ref = A @ B
+    rel = np.max(np.abs(C - ref)) / np.max(np.abs(ref))
+    assert rel < 1e-10, rel
+
+
+def test_ozaki_gemm_wide_dynamic_range():
+    """Per-row/column power-of-two scaling keeps accuracy across 10^12 of
+    magnitude spread between rows/columns."""
+    import jax.numpy as jnp
+    from runmat_tpu.accel import ozaki
+    rng = np.random.default_rng(3)
+    M, K, N = 32, 512, 24
+    A = rng.standard_normal((M, K)) * (10.0 ** rng.uniform(-6, 6, (M, 1)))
+    B = rng.standard_normal((K, N)) * (10.0 ** rng.uniform(-6, 6, (1, N)))
+    C = np.asarray(ozaki.gemm_f64(jnp, jnp.asarray(A), jnp.asarray(B)))
+    ref = A @ B
+    err = np.abs(C - ref)
+    # The scheme's guarantee is ABSOLUTE per entry: truncating digits at
+    # 2^-42 of the row/column scale bounds |err_ij| by
+    # O(K * 2^-42 * scale_i * scale_j); entries that cancel to far below
+    # their scale product cannot promise elementwise-relative accuracy
+    # (true of any fixed-digit compensated scheme).
+    sa = 4.0 * np.max(np.abs(A), axis=1, keepdims=True)   # >= true scales
+    sb = 4.0 * np.max(np.abs(B), axis=0, keepdims=True)
+    bound = K * 2.0 ** -42 * sa * sb
+    assert np.all(err <= bound), np.max(err / bound)
+    # and typical entries are still ~1e-12 relative
+    rel = err / np.maximum(np.abs(ref), 1e-300)
+    assert np.median(rel) < 1e-11, np.median(rel)
+
+
+def test_ozaki_gemm_nonfinite_rows_nan():
+    import jax.numpy as jnp
+    from runmat_tpu.accel import ozaki
+    A = np.array([[1.0, np.inf], [3.0, 4.0]])
+    B = np.array([[1.0, 2.0], [3.0, np.nan]])
+    C = np.asarray(ozaki.gemm_f64(jnp, jnp.asarray(A), jnp.asarray(B)))
+    assert np.isnan(C[0]).all()          # bad row of A
+    assert np.isnan(C[:, 1]).all()       # bad col of B
+    np.testing.assert_allclose(C[1, 0], 15.0)
+
+
+def test_ozaki_policy_engine_path():
+    """RUNMAT_TPU_MATMUL_PRECISION=ozaki routes device double GEMM through
+    the compensated kernel with full MATLAB-surface parity."""
+    prev, eng = _fresh_engine(matmul_precision="ozaki")
+    try:
+        assert eng.matmul_precision == "ozaki"
+        s = Session(accelerate=True)
+        s.execute("rng(5); A = rand(200) - 0.5; B = rand(200) - 0.5; "
+                  "C = gather(gpuArray(A) * gpuArray(B)); "
+                  "Ch = A * B; err = max(abs(C(:) - Ch(:)));")
+        err = float(np.asarray(s.get("err").host()).ravel()[0])
+        assert err < 1e-10, err
+    finally:
+        set_engine(prev)
