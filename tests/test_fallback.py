@@ -58,9 +58,10 @@ def test_try_catch_recovers_device_error():
 
 
 def test_tpu_gated_ops_are_instrumented():
-    """VERDICT r2 weak #3: ops gated off on TPU (eig, complex128) must not
-    fail silent-slow — the gate logs to the launch log, bumps the
-    host_fallbacks stat, and warns once on stderr."""
+    """VERDICT r2 weak #3: ops gated off on TPU (complex128 kinds — eig
+    itself is device-native since round 4) must not fail silent-slow —
+    the gate logs to the launch log, bumps the host_fallbacks stat, and
+    warns once on stderr."""
     import io
     import sys
     from runmat_tpu.accel import active_engine, init_engine, reset_engine, set_engine
@@ -74,14 +75,14 @@ def test_tpu_gated_ops_are_instrumented():
         old = sys.stderr
         sys.stderr = cap
         try:
-            assert eng.dense.supported("eig", np.dtype(np.float64)) is False
-            assert eng.dense.supported("eig", np.dtype(np.float64)) is False
+            assert eng.dense.supported("solve", np.dtype(np.complex128)) is False
+            assert eng.dense.supported("solve", np.dtype(np.complex128)) is False
         finally:
             sys.stderr = old
         assert eng.stats["host_fallbacks"] == base + 2   # every call counted
-        assert "eig" in cap.getvalue()                   # warned ONCE
+        assert "complex128" in cap.getvalue()            # warned ONCE
         assert cap.getvalue().count("warning") == 1
-        assert any(e["cat"] == "host_fallback" and e["ops"] == ["eig"]
+        assert any(e["cat"] == "host_fallback" and e["ops"] == ["solve"]
                    for e in eng.launch_log)
     finally:
         eng.platform = "cpu"
