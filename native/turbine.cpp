@@ -36,6 +36,8 @@ enum Op : int32_t {
     OP_HALT = 25,
     OP_LOADIDX = 26,      // a = array id       pop idx (1-based), push arr[idx]
     OP_STOREIDX = 27,     // a = array id       pop idx, pop value; arr[idx] = value
+    OP_LOADIDX2 = 28,     // a = array id       pop j, pop i (1-based), push arr[i,j]
+    OP_STOREIDX2 = 29,    // a = array id       pop j, pop i, pop value; arr[i,j] = v
 };
 
 enum Fn1 : int32_t {
@@ -108,8 +110,8 @@ static double call2(int32_t f, double a, double b) {
 int32_t turbine_run(const int32_t* ops, const double* opargs, int32_t n_instr,
                     const double* consts, double* slots, uint8_t* dirty,
                     double** arrays, const int64_t* arr_lens,
-                    uint8_t* arr_dirty, int32_t n_arrays,
-                    int64_t max_steps) {
+                    const int64_t* arr_rows, uint8_t* arr_dirty,
+                    int32_t n_arrays, int64_t max_steps) {
     double stack[256];
     int sp = 0;
     int64_t steps = 0;
@@ -161,6 +163,30 @@ int32_t turbine_run(const int32_t* ops, const double* opargs, int32_t n_instr,
                 if ((double)i != di || i < 1 || a >= n_arrays ||
                     i > arr_lens[a]) return 4;
                 arrays[a][i - 1] = v;
+                arr_dirty[a] = 1;
+                break;
+            }
+            case OP_LOADIDX2: {
+                double dj = stack[--sp];
+                double di = stack[--sp];
+                int64_t i = (int64_t)di, j = (int64_t)dj;
+                if ((double)i != di || (double)j != dj || i < 1 || j < 1 ||
+                    a >= n_arrays || i > arr_rows[a]) return 4;
+                int64_t lin = (j - 1) * arr_rows[a] + i;
+                if (lin > arr_lens[a]) return 4;
+                stack[sp++] = arrays[a][lin - 1];
+                break;
+            }
+            case OP_STOREIDX2: {
+                double dj = stack[--sp];
+                double di = stack[--sp];
+                double v = stack[--sp];
+                int64_t i = (int64_t)di, j = (int64_t)dj;
+                if ((double)i != di || (double)j != dj || i < 1 || j < 1 ||
+                    a >= n_arrays || i > arr_rows[a]) return 4;
+                int64_t lin = (j - 1) * arr_rows[a] + i;
+                if (lin > arr_lens[a]) return 4;
+                arrays[a][lin - 1] = v;
                 arr_dirty[a] = 1;
                 break;
             }

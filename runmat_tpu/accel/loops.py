@@ -279,6 +279,25 @@ class _Trace:
 
     # -- value access -------------------------------------------------------- #
 
+    def _resolves_to_builtin(self, name: str) -> bool:
+        """True only when `name` genuinely resolves to a registry builtin in
+        the tracing scope — nested functions, file-local siblings, classes,
+        local/session/imported functions all shadow intrinsics (mirrors
+        Interp.call_named resolution order; ≙ vm/object/resolve.rs)."""
+        f = self.frame
+        while f is not None:
+            if f.code is not None and name in getattr(f.code, "nested", {}):
+                return False
+            f = f.parent
+        if self.frame.code is not None:
+            sibs = getattr(self.frame.code, "siblings", None)
+            if sibs and name in sibs:
+                return False
+        if self.interp.session.classes.get(name) is not None:
+            return False
+        r = self.interp.resolve_function(name)
+        return r is not None and r[0] == "builtin"
+
     def _load(self, name: str):
         if name in self.shadow:
             return self.shadow[name]
@@ -453,6 +472,8 @@ class _Trace:
                         stack.append(self._index_read(v, args))
                         continue
                     raise _Bail()   # paren-indexing a non-array traced value
+                if not self._resolves_to_builtin(name):
+                    raise _Bail()   # user/nested/local function shadows it
                 if name in _RNG_BUILTINS:
                     stack.append(self._rng(name, args))
                     continue

@@ -6,6 +6,14 @@ construct (runmat-core/src/session/run.rs:812-832, turbine/src/compiler.rs).
 The translation runs on loop ENTRY (the loop trip count is the hotness
 signal, like the reference's threshold-10 profiler) and bails to the Python
 interpreter unless every instruction in the window is scalar-double math.
+
+Round 4 widens the tier toward the reference's general bytecode compiler
+(turbine/src/compiler.rs:249): 2-D indexed loads/stores A(i,j), nested
+`for`/`while` loops translated into native counting loops (trip count
+mirrors the interpreter's colon semantics exactly, including the endpoint
+clamp), and single-output scalar user functions inlined at translation time
+with isolated scoped slots (bounded depth/total, cache revalidated against
+the callee's identity).
 """
 
 from __future__ import annotations
@@ -20,7 +28,7 @@ from ..values import MatArray
 (T_CONST, T_LOAD, T_STORE, T_ADD, T_SUB, T_MUL, T_DIV, T_POW, T_NEG,
  T_LT, T_LE, T_GT, T_GE, T_EQ, T_NE, T_AND, T_OR, T_NOT,
  T_JMP, T_JMP_IF_FALSE, T_JMP_IF_TRUE, T_CALL1, T_CALL2, T_DUP, T_POP,
- T_HALT, T_LOADIDX, T_STOREIDX) = range(28)
+ T_HALT, T_LOADIDX, T_STOREIDX, T_LOADIDX2, T_STOREIDX2) = range(30)
 
 _BIN = {"add": T_ADD, "sub": T_SUB, "mul": T_MUL, "div": T_DIV,
         "pow": T_POW, "lt": T_LT, "le": T_LE, "gt": T_GT, "ge": T_GE,
@@ -32,6 +40,13 @@ _FN1 = {n: i for i, n in enumerate(
     "floor ceil round sign fix expm1 log1p".split())}
 _FN2 = {n: i for i, n in enumerate(
     "atan2 hypot mod rem max min power".split())}
+_FN0 = {"pi": float(np.pi), "eps": float(np.finfo(np.float64).eps),
+        "Inf": float("inf"), "inf": float("inf"),
+        "NaN": float("nan"), "nan": float("nan")}
+
+_SCOPE = "\x00"            # prefix marking inlined-callee slot keys
+_MAX_INLINE_DEPTH = 3
+_MAX_INLINE_TOTAL = 12
 
 
 class _Bail(Exception):
@@ -51,10 +66,47 @@ def _cache(code) -> dict:
     return c
 
 
+def _user_code(interp, frame, name):
+    """Resolve `name` in the frame's context for inlining purposes.
+    Returns ("user", Code) for a plain user function, ("builtin", None)
+    when the name resolves to a builtin (intrinsic table may apply), or
+    None for anything the native tier must not second-guess (nested or
+    sibling functions, classes, unresolved names)."""
+    f = frame
+    while f is not None:
+        if f.code is not None and name in getattr(f.code, "nested", ()):
+            return None                 # shares the parent workspace
+        f = f.parent
+    if frame.code is not None and \
+            name in (getattr(frame.code, "siblings", None) or ()):
+        return None
+    if interp.session.classes.get(name) is not None:
+        return None
+    r = interp.resolve_function(name)
+    if r is None:
+        try:
+            r = interp.session.resolve_path_function(name)
+        except Exception:
+            return None
+    if r is None:
+        return None
+    kind, obj = r
+    if kind == "user":
+        return ("user", obj)
+    if kind == "builtin":
+        return ("builtin", None)
+    return None
+
+
 def _rebuild(interp, frame, ent):
     """Fresh slot init values + array copies for a cached program; None if
     the workspace no longer matches the recorded assumptions."""
     from ..vm.interp import NOVALUE
+    # inlined callees must still resolve to the same Code objects
+    for name, cid in ent.get("inlined", ()):
+        cur = _user_code(interp, frame, name)
+        if not (cur and cur[0] == "user" and id(cur[1]) == cid):
+            return None
     init: list = []
     for spec in ent["slot_spec"]:
         kind = spec[0]
@@ -104,13 +156,14 @@ def _dispatch_cached(lib, interp, frame, code, ck, translate, resume_pc):
         cache.pop(ck, None)
     try:
         (prog, consts, slot_map, init, arr_names, arr_bufs,
-         slot_spec, arr_spec) = translate()
+         slot_spec, arr_spec, inlined) = translate()
     except _Bail:
         return None
     if len(cache) > 64:
         cache.clear()
     cache[ck] = {"prog": prog, "consts": consts, "slot_map": slot_map,
-                 "slot_spec": slot_spec, "arr_spec": arr_spec}
+                 "slot_spec": slot_spec, "arr_spec": arr_spec,
+                 "inlined": inlined}
     # status != 0 -> None: budget/VM/subscript error falls back untouched —
     # arr_bufs are private copies and only dirty slots/arrays bind back, so
     # a store in a never-taken branch cannot conjure a variable and a
@@ -199,9 +252,12 @@ def _run_native(lib, frame, prog, consts, slot_map, init, arr_names,
     n_arr = len(arr_bufs)
     arr_ptrs = (ctypes.POINTER(ctypes.c_double) * max(n_arr, 1))()
     arr_lens = np.zeros(max(n_arr, 1), dtype=np.int64)
+    arr_rows = np.ones(max(n_arr, 1), dtype=np.int64)
     for k, buf in enumerate(arr_bufs):
         arr_ptrs[k] = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
         arr_lens[k] = buf.size
+        shp = arr_names[k][1]
+        arr_rows[k] = shp[0] if shp else 1
     arr_dirty = np.zeros(max(n_arr, 1), dtype=np.uint8)
     status = lib.turbine_run(
         ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -212,6 +268,7 @@ def _run_native(lib, frame, prog, consts, slot_map, init, arr_names,
         dirty.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         arr_ptrs,
         arr_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        arr_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         arr_dirty.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         np.int32(n_arr),
         np.int64(200_000_000))
@@ -247,64 +304,61 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, range_params,
     init: list[float] = []
     consts: list[float] = []
     logical_vars: set[str] = set()
-
-    # prescan: store targets and jump spans inside the window
-    stored_names: set[str] = set()
-    jump_targets: set[int] = set()
-    jump_spans: list[tuple[int, int]] = []
-    for i in range(lo, hi):
-        op, a, b, c, d = instrs[i]
-        if op == B.STORE:
-            stored_names.add(a)
-        elif op in (B.JMP, B.JMP_IF_FALSE, B.JMP_IF_TRUE):
-            if isinstance(a, int):
-                if a < i:
-                    raise _Bail()        # backward jump: nested loop shape
-                jump_targets.add(a)
-                jump_spans.append((i, a))
-
-    def _in_branch(i: int) -> bool:
-        return any(src < i < tgt for src, tgt in jump_spans)
-
+    slot_spec: list = []               # per-slot rebuild recipe (see _rebuild)
     undefined_vars: set[str] = set()   # no pre-loop value; defined by STORE
     stored_so_far: set[str] = set()    # saw an unconditional in-window STORE
-    slot_spec: list = []               # per-slot rebuild recipe (see _rebuild)
+    inlined: list = []                 # (name, id(Code)) for cache revalidation
+    scope_seq = [0]
+    inline_total = [0]
+    prog: list = []
 
-    def slot(name: str) -> int:
-        if name in slot_of:
-            return slot_of[name]
-        v = interp._load_name(frame, name)
+    def const_idx(v: float) -> int:
+        consts.append(float(v))
+        return len(consts) - 1
+
+    def internal_slot(val: float = 0.0) -> int:
+        k = len(init)
+        init.append(val)
+        slot_spec.append(("internal",))
+        return k
+
+    def slot(key: str, stored_names: set) -> int:
+        """Slot for a scoped key. Caller-scope keys ("" prefix) bind to the
+        workspace; inlined-scope keys are pure internals."""
+        if key in slot_of:
+            return slot_of[key]
+        if key.startswith(_SCOPE):
+            slot_of[key] = internal_slot(0.0)
+            undefined_vars.add(key)
+            return slot_of[key]
+        v = interp._load_name(frame, key)
         if v is NOVALUE:
             # only valid for write-before-read targets; a genuine read of an
             # undefined variable must error through the interpreter path
-            if name not in stored_names:
+            if key not in stored_names:
                 raise _Bail()
-            undefined_vars.add(name)
+            undefined_vars.add(key)
             val = 0.0
-            slot_spec.append(("undef", name))
+            slot_spec.append(("undef", key))
         else:
             if not (isinstance(v, MatArray) and v.size == 1
                     and not v.on_device and not v.is_complex
                     and v.mclass in ("double", "logical")):
                 raise _Bail()            # single/int: f64 compute would diverge
             if v.mclass == "logical":
-                if name in stored_names:
+                if key in stored_names:
                     raise _Bail()        # writeback would coerce to double
-                logical_vars.add(name)
+                logical_vars.add(key)
             val = float(v.host().reshape(-1)[0])
-            slot_spec.append(("var", name, v.mclass))
-        slot_of[name] = len(init)
+            slot_spec.append(("var", key, v.mclass))
+        slot_of[key] = len(init)
         init.append(val)
-        return slot_of[name]
+        return slot_of[key]
 
-    def const_idx(v: float) -> int:
-        consts.append(float(v))
-        return len(consts) - 1
-
-    # array registry: host double arrays accessed by 1-based linear index
-    # (x(k) reads, y(k) = v writes). Every registered array gets a PRIVATE
-    # F-order copy — reads and writes share one buffer per name so in-loop
-    # updates are visible, and a failed native run discards the copies (COW).
+    # array registry: host double arrays accessed by 1-based linear or (i,j)
+    # index. Every registered array gets a PRIVATE F-order copy — reads and
+    # writes share one buffer per name so in-loop updates are visible, and a
+    # failed native run discards the copies (COW).
     arr_of: dict[str, int] = {}
     arr_bufs: list = []
     arr_names: list = []
@@ -322,9 +376,430 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, range_params,
         arr_names.append((name, tuple(h.shape)))
         return arr_of[name]
 
-    prog: list = []
-    jump_map: dict[int, int] = {}     # bytecode pc -> turbine index
-    patches: list = []                # (turbine idx, bytecode target)
+    # abstract class-tag stack mirroring the value stack: "n" numeric,
+    # "b" logical, "u" unknown (control-flow merge). Storing anything but a
+    # definitely-numeric value bails — the native VM carries doubles only.
+    tags: list = []
+    _CMP = {"lt", "le", "gt", "ge", "eq", "ne", "and", "or"}
+
+    def _pop_tag():
+        return tags.pop() if tags else "u"
+
+    def emit_window(w_instrs, w_consts, wlo, whi, scope, depth,
+                    pre_stored=()):
+        """Translate bytecode [wlo, whi) of one scope into `prog`.
+        Returns (break_patches, ret_patches): prog indexes of jumps whose
+        bytecode target is `done` (outer-loop break; caller scope only) or
+        a RET (inlined-callee return)."""
+        # ---- prescan: stores, jump structure, conditional regions -------
+        stored_names: set[str] = {scope + n for n in pre_stored}
+        jump_targets: set[int] = set()
+        spans: list[tuple[int, int]] = []   # normalized (lo, hi) regions
+        for i in range(wlo, whi):
+            op, a, b, c, d = w_instrs[i]
+            if op == B.STORE:
+                stored_names.add(scope + a)
+            elif op == B.FOR_NEXT:
+                stored_names.add(scope + a)
+                if b is not None:
+                    spans.append((i, b))     # loop body: may run 0 times
+            elif op in (B.JMP, B.JMP_IF_FALSE, B.JMP_IF_TRUE):
+                if isinstance(a, int):
+                    if a < i:
+                        # backward edge: only the structured loop-back of a
+                        # nested for (target = FOR_NEXT) or while (target
+                        # follows a WHILE_INFO marker)
+                        if not (a < len(w_instrs) and
+                                (w_instrs[a][0] == B.FOR_NEXT or
+                                 (a >= 1 and
+                                  w_instrs[a - 1][0] == B.WHILE_INFO))):
+                            raise _Bail()
+                        spans.append((a, i))
+                    else:
+                        jump_targets.add(a)
+                        spans.append((i, a))
+
+        def _in_branch(i: int) -> bool:
+            return any(s < i < t for s, t in spans)
+
+        jump_map: dict[int, int] = {}     # bytecode pc -> turbine index
+        patches: list = []                # (turbine idx, bytecode target)
+        ret_patches: list = []
+        break_patches: list = []
+        # nested-for loop vars that were undefined before the loop: visible
+        # inside the body only; removed again at the loop's done pc
+        temp_defined: dict[int, list] = {}
+
+        for n in pre_stored:
+            stored_so_far.add(scope + n)
+
+        def wslot(name: str) -> int:
+            return slot(scope + name, stored_names)
+
+        base_depth = len(tags)   # outer expression context (mid-expr inline)
+        pc = wlo
+        while pc < whi:
+            jump_map[pc] = len(prog)
+            for n in temp_defined.pop(pc, ()):
+                stored_so_far.discard(n)
+            if pc in jump_targets and len(tags) > base_depth:
+                # merge point: paths may disagree about this window's tags
+                tags[base_depth:] = ["u"] * (len(tags) - base_depth)
+            op, a, b, c, d = w_instrs[pc]
+            pc += 1
+            if op == B.CONST:
+                v = w_consts[a]
+                if not (isinstance(v, MatArray) and v.size == 1
+                        and not v.is_complex
+                        and v.mclass in ("double", "int32")):
+                    raise _Bail()
+                prog.append((T_CONST,
+                             const_idx(float(v.host().reshape(-1)[0]))))
+                tags.append("n")
+            elif op == B.LOAD:
+                key = scope + a
+                if scope:
+                    if key in slot_of or key in stored_names:
+                        if key not in stored_so_far:
+                            raise _Bail()   # read-before-write in callee
+                        prog.append((T_LOAD, wslot(a)))
+                        tags.append("n")
+                        continue
+                elif key in slot_of or key in stored_names or \
+                        interp._load_name(frame, a) is not NOVALUE:
+                    k = wslot(a)            # registers undefined_vars first
+                    if key in undefined_vars and key not in stored_so_far:
+                        raise _Bail()       # dynamic read-before-write
+                    prog.append((T_LOAD, k))
+                    tags.append("b" if key in logical_vars else "n")
+                    continue
+                if a in _FN0:
+                    r = _user_code(interp, frame, a)
+                    if not (r and r[0] == "builtin"):
+                        raise _Bail()    # shadowed: resolution must win
+                    prog.append((T_CONST, const_idx(_FN0[a])))
+                    tags.append("n")
+                else:
+                    raise _Bail()
+            elif op == B.STORE:
+                if b:
+                    raise _Bail()        # display side effect
+                if _pop_tag() != "n":
+                    raise _Bail()        # logical-valued store: class diverge
+                key = scope + a
+                k = slot(key, stored_names)
+                if key in undefined_vars and key not in stored_so_far:
+                    if _in_branch(pc - 1):
+                        raise _Bail()    # conditional first definition
+                    stored_so_far.add(key)
+                prog.append((T_STORE, k))
+            elif op == B.BINOP:
+                t = _BIN.get(a)
+                if t is None:
+                    raise _Bail()
+                prog.append((t, 0))
+                _pop_tag(); _pop_tag()
+                tags.append("b" if a in _CMP else "n")
+            elif op == B.UNOP:
+                t = _UN.get(a, -1)
+                if t == -1:
+                    raise _Bail()
+                if t is not None:
+                    prog.append((t, 0))
+                _pop_tag()
+                tags.append("b" if a == "logical_not" else "n")
+            elif op in (B.MTIMES, B.MPOW, B.MRDIV):
+                # scalar operands: matrix ops coincide with their elementwise
+                # forms (a/b for MRDIV; tags guarantee scalar doubles)
+                t = {B.MTIMES: T_MUL, B.MPOW: T_POW, B.MRDIV: T_DIV}[op]
+                prog.append((t, 0))
+                _pop_tag(); _pop_tag()
+                tags.append("n")
+            elif op == B.MLDIV:
+                raise _Bail()   # operand order swap not in the ISA (rare)
+            elif op == B.JMP:
+                idx = len(prog)
+                prog.append((T_JMP, 0))
+                patches.append((idx, a))
+            elif op == B.JMP_IF_FALSE:
+                idx = len(prog)
+                prog.append((T_JMP_IF_FALSE, 0))
+                patches.append((idx, a))
+                _pop_tag()
+            elif op == B.JMP_IF_TRUE:
+                idx = len(prog)
+                prog.append((T_JMP_IF_TRUE, 0))
+                patches.append((idx, a))
+                _pop_tag()
+            elif op == B.BOOL_SCALAR:
+                pass                     # scalars are already 0/1 doubles
+            elif op == B.DUP:
+                prog.append((T_DUP, 0))
+                tags.append(tags[-1] if tags else "u")
+            elif op == B.POP:
+                prog.append((T_POP, 0))
+                _pop_tag()
+            elif op in (B.CHECK_INTERRUPT, B.WHILE_INFO):
+                pass
+            elif op == B.FOR_POP:
+                pass                     # native loops never push iterators
+            elif op == B.RET:
+                if not scope:
+                    raise _Bail()        # return exits the enclosing function
+                idx = len(prog)
+                prog.append((T_JMP, 0))
+                ret_patches.append(idx)
+            elif op == B.RANGE:
+                # only as the iterable of an immediately following nested
+                # for: translated into a native counting loop mirroring
+                # _make_range's trip count + endpoint clamp exactly
+                if pc >= whi or w_instrs[pc][0] != B.FOR_INIT or \
+                        pc + 1 >= whi or w_instrs[pc + 1][0] != B.FOR_NEXT:
+                    raise _Bail()
+                has_step = a
+                st_stop = internal_slot()
+                st_step = internal_slot()
+                st_start = internal_slot()
+                if _pop_tag() != "n":
+                    raise _Bail()
+                prog.append((T_STORE, st_stop))
+                if has_step:
+                    if _pop_tag() != "n":
+                        raise _Bail()
+                    prog.append((T_STORE, st_step))
+                else:
+                    prog.append((T_CONST, const_idx(1.0)))
+                    prog.append((T_STORE, st_step))
+                if _pop_tag() != "n":
+                    raise _Bail()
+                prog.append((T_STORE, st_start))
+                n_slot = internal_slot()
+                c_slot = internal_slot()
+                jump_map[pc] = len(prog)
+                pc += 1                  # consume FOR_INIT
+                fn_pc = pc
+                _, var, done_i, _, _ = w_instrs[pc]
+                pc += 1
+                if done_i is None or done_i >= whi or \
+                        w_instrs[done_i][0] != B.FOR_POP:
+                    raise _Bail()
+                lv_slot = wslot(var)
+                vkey = scope + var
+                if vkey in undefined_vars and vkey not in stored_so_far:
+                    # loop var is bound inside the body only (0-trip loops
+                    # leave it unset); reads after done_i must re-bail
+                    stored_so_far.add(vkey)
+                    temp_defined.setdefault(done_i, []).append(vkey)
+                # n = 0 if step==0 or wrong direction, else
+                #     floor((stop-start)/step + 1e-10) + 1   (≙ _make_range)
+                def _ld(s):
+                    prog.append((T_LOAD, s))
+                _ld(st_step)
+                prog.append((T_CONST, const_idx(0.0)))
+                prog.append((T_EQ, 0))
+                j_empty1 = len(prog)
+                prog.append((T_JMP_IF_TRUE, 0))
+                _ld(st_stop)
+                _ld(st_start)
+                prog.append((T_SUB, 0))
+                _ld(st_step)
+                prog.append((T_DIV, 0))
+                prog.append((T_DUP, 0))
+                prog.append((T_CONST, const_idx(0.0)))
+                prog.append((T_LT, 0))
+                j_empty2 = len(prog)
+                prog.append((T_JMP_IF_TRUE, 0))  # span<0: wrong direction
+                prog.append((T_CONST, const_idx(1e-10)))
+                prog.append((T_ADD, 0))
+                prog.append((T_CALL1, _FN1["floor"]))
+                prog.append((T_CONST, const_idx(1.0)))
+                prog.append((T_ADD, 0))
+                prog.append((T_STORE, n_slot))
+                j_go = len(prog)
+                prog.append((T_JMP, 0))
+                # empty: n = 0 (the span path leaves one value to discard)
+                for eidx, extra_pop in ((j_empty1, False), (j_empty2, True)):
+                    here = len(prog)
+                    prog[eidx] = (prog[eidx][0], here)
+                    if extra_pop:
+                        prog.append((T_POP, 0))
+                    prog.append((T_CONST, const_idx(0.0)))
+                    prog.append((T_STORE, n_slot))
+                    if not extra_pop:
+                        jj = len(prog)
+                        prog.append((T_JMP, 0))
+                prog[jj] = (T_JMP, len(prog))
+                prog[j_go] = (T_JMP, len(prog))
+                prog.append((T_CONST, const_idx(0.0)))
+                prog.append((T_STORE, c_slot))
+                # head (the FOR_NEXT target): c += 1; exit when c > n
+                head = len(prog)
+                jump_map[fn_pc] = head
+                _ld(c_slot)
+                prog.append((T_CONST, const_idx(1.0)))
+                prog.append((T_ADD, 0))
+                prog.append((T_DUP, 0))
+                prog.append((T_STORE, c_slot))
+                _ld(n_slot)
+                prog.append((T_GT, 0))
+                idx = len(prog)
+                prog.append((T_JMP_IF_TRUE, 0))
+                patches.append((idx, done_i))
+                # lv = start + (c-1)*step, endpoint clamped like _make_range
+                _ld(st_start)
+                _ld(c_slot)
+                prog.append((T_CONST, const_idx(1.0)))
+                prog.append((T_SUB, 0))
+                _ld(st_step)
+                prog.append((T_MUL, 0))
+                prog.append((T_ADD, 0))
+                prog.append((T_STORE, lv_slot))
+                _ld(c_slot)
+                _ld(n_slot)
+                prog.append((T_EQ, 0))
+                _ld(n_slot)
+                prog.append((T_CONST, const_idx(1.0)))
+                prog.append((T_GT, 0))
+                prog.append((T_AND, 0))
+                _ld(lv_slot)
+                _ld(st_stop)
+                prog.append((T_SUB, 0))
+                prog.append((T_CALL1, _FN1["abs"]))
+                _ld(st_step)
+                prog.append((T_CALL1, _FN1["abs"]))
+                prog.append((T_CONST, const_idx(1e-10)))
+                prog.append((T_MUL, 0))
+                prog.append((T_LT, 0))
+                prog.append((T_AND, 0))
+                idx = len(prog)
+                prog.append((T_JMP_IF_FALSE, 0))
+                _ld(st_stop)
+                prog.append((T_STORE, lv_slot))
+                prog[idx] = (T_JMP_IF_FALSE, len(prog))
+                # body continues through the main walk; loop-back JMP to
+                # fn_pc resolves via jump_map, breaks to done_i likewise
+            elif op == B.STORE_INDEX:
+                # y(k) = v / y(i,j) = v: write into an EXISTING host double
+                # array (growth/OOB must go through the interpreter; the VM
+                # returns status 4 on any bad subscript -> clean fallback)
+                name, nargs, kind, display = a, b, c, d
+                if nargs not in (1, 2) or kind != "paren" or display or \
+                        scope:
+                    raise _Bail()
+                for _ in range(nargs):
+                    if _pop_tag() != "n":     # index tags
+                        raise _Bail()
+                if _pop_tag() != "n":     # value must be numeric
+                    raise _Bail()
+                prog.append((T_STOREIDX if nargs == 1 else T_STOREIDX2,
+                             arr(name)))
+            elif op == B.RESOLVE_CALL:
+                name, nargs, nargout_, mode = a, b, c, d
+                if mode != 0 or nargout_ > 1:
+                    raise _Bail()
+                key = scope + name
+                if scope:
+                    is_var = key in slot_of or key in stored_names
+                    existing = NOVALUE
+                else:
+                    existing = interp._load_name(frame, name)
+                    is_var = key in slot_of or existing is not NOVALUE
+                if is_var:
+                    if nargs == 0:
+                        if key in undefined_vars and \
+                                key not in stored_so_far:
+                            raise _Bail()   # dynamic read-before-write
+                        if scope and key not in stored_so_far:
+                            raise _Bail()
+                        prog.append((T_LOAD, wslot(name)))
+                        tags.append("b" if key in logical_vars else "n")
+                        continue
+                    if not scope and nargs in (1, 2) and \
+                            key not in slot_of and \
+                            isinstance(existing, MatArray) and \
+                            existing.size > 1:
+                        # x(k) / x(i,j): 1-based read from a host double array
+                        for _ in range(nargs):
+                            if _pop_tag() != "n":
+                                raise _Bail()
+                        prog.append((T_LOADIDX if nargs == 1 else T_LOADIDX2,
+                                     arr(name)))
+                        tags.append("n")
+                        continue
+                    raise _Bail()        # indexing a scalar / higher subscript
+                r = _user_code(interp, frame, name)
+                if r is None:
+                    raise _Bail()
+                if r[0] == "user":
+                    _inline(r[1], name, nargs, depth)
+                    continue
+                # builtin: the intrinsic tables apply
+                if nargs == 1 and name in _FN1:
+                    prog.append((T_CALL1, _FN1[name]))
+                    _pop_tag()
+                    tags.append("n")
+                elif nargs == 2 and name in _FN2:
+                    prog.append((T_CALL2, _FN2[name]))
+                    _pop_tag(); _pop_tag()
+                    tags.append("n")
+                elif nargs == 0 and name in _FN0:
+                    prog.append((T_CONST, const_idx(_FN0[name])))
+                    tags.append("n")
+                else:
+                    raise _Bail()
+            else:
+                raise _Bail()
+        jump_map[whi] = len(prog)
+        for n in temp_defined.pop(whi, ()):
+            stored_so_far.discard(n)
+
+        for idx, target in patches:
+            if target in jump_map:
+                t = jump_map[target]
+            elif not scope and target == done:
+                break_patches.append(idx)   # 'break': caller resolves
+                continue
+            else:
+                raise _Bail()               # jump out of the window
+            prog[idx] = (prog[idx][0], t)
+        return break_patches, ret_patches
+
+    def _inline(callee, name, nargs, depth):
+        """Inline a single-output scalar user function: args on the native
+        stack bind to fresh scoped slots, the body translates in an
+        isolated scope, every RET jumps to the epilogue, and the scoped
+        output slot is pushed (≙ turbine/src/compiler.rs compiling general
+        call bytecode; bounded depth keeps translation cost flat)."""
+        if depth + 1 > _MAX_INLINE_DEPTH or \
+                inline_total[0] + 1 > _MAX_INLINE_TOTAL:
+            raise _Bail()
+        if callee.is_script or callee.has_varargin or callee.has_varargout \
+                or getattr(callee, "arg_specs", None) or callee.nested or \
+                len(callee.outs) != 1 or callee.outs[0] == "~" or \
+                len(callee.params) != nargs or "~" in callee.params:
+            raise _Bail()
+        inline_total[0] += 1
+        scope_seq[0] += 1
+        sc = f"{_SCOPE}{scope_seq[0]}:"
+        # bind args: last arg is on top of the native stack
+        for p in reversed(callee.params):
+            if _pop_tag() != "n":
+                raise _Bail()
+            k = slot(sc + p, {sc + p})
+            prog.append((T_STORE, k))
+            undefined_vars.discard(sc + p)
+        _, ret_patches = emit_window(callee.instrs, callee.consts, 0,
+                                     len(callee.instrs), sc, depth + 1,
+                                     pre_stored=tuple(callee.params))
+        epi = len(prog)
+        for idx in ret_patches:
+            prog[idx] = (T_JMP, epi)
+        okey = sc + callee.outs[0]
+        if okey not in slot_of or okey not in stored_so_far:
+            raise _Bail()   # output not unconditionally assigned
+        prog.append((T_LOAD, slot_of[okey]))
+        tags.append("n")
+        inlined.append((name, id(callee)))
 
     if loopvar is not None:
         # the loop variable is always written by the prologue before any
@@ -343,155 +818,8 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, range_params,
         prog.append((T_CONST, const_idx(start)))
         prog.append((T_STORE, lv_slot))
 
-    # abstract class-tag stack mirroring the value stack: "n" numeric,
-    # "b" logical, "u" unknown (control-flow merge). Storing anything but a
-    # definitely-numeric value bails — the native VM carries doubles only.
-    tags: list = []
-    _CMP = {"lt", "le", "gt", "ge", "eq", "ne", "and", "or"}
-
-    def _pop_tag():
-        return tags.pop() if tags else "u"
-
     body_base = len(prog)
-    pc = lo
-    while pc < hi:
-        jump_map[pc] = len(prog)
-        if pc in jump_targets and tags:
-            tags[:] = ["u"] * len(tags)   # merge point: paths may disagree
-        op, a, b, c, d = instrs[pc]
-        pc += 1
-        if op == B.CONST:
-            v = code.consts[a]
-            if not (isinstance(v, MatArray) and v.size == 1
-                    and not v.is_complex and v.mclass in ("double", "int32")):
-                raise _Bail()
-            prog.append((T_CONST, const_idx(float(v.host().reshape(-1)[0]))))
-            tags.append("n")
-        elif op == B.LOAD:
-            k = slot(a)
-            if a in undefined_vars and a not in stored_so_far:
-                raise _Bail()        # dynamic read-before-write: must error
-            prog.append((T_LOAD, k))
-            tags.append("b" if a in logical_vars else "n")
-        elif op == B.STORE:
-            if b:
-                raise _Bail()        # display side effect
-            if _pop_tag() != "n":
-                raise _Bail()        # logical-valued store: class divergence
-            k = slot(a)
-            if a in undefined_vars and a not in stored_so_far:
-                if _in_branch(pc - 1):
-                    raise _Bail()    # conditional first definition
-                stored_so_far.add(a)
-            prog.append((T_STORE, k))
-        elif op == B.BINOP:
-            t = _BIN.get(a)
-            if t is None:
-                raise _Bail()
-            prog.append((t, 0))
-            _pop_tag(); _pop_tag()
-            tags.append("b" if a in _CMP else "n")
-        elif op == B.UNOP:
-            t = _UN.get(a, -1)
-            if t == -1:
-                raise _Bail()
-            if t is not None:
-                prog.append((t, 0))
-            _pop_tag()
-            tags.append("b" if a == "logical_not" else "n")
-        elif op in (B.MTIMES, B.MPOW, B.MRDIV):
-            # scalar operands: matrix ops coincide with their elementwise
-            # forms (a/b for MRDIV; tags guarantee scalar doubles)
-            t = {B.MTIMES: T_MUL, B.MPOW: T_POW, B.MRDIV: T_DIV}[op]
-            prog.append((t, 0))
-            _pop_tag(); _pop_tag()
-            tags.append("n")
-        elif op == B.MLDIV:
-            raise _Bail()   # operand order swap not in the ISA (rare form)
-        elif op == B.JMP:
-            idx = len(prog)
-            prog.append((T_JMP, 0))
-            patches.append((idx, a))
-        elif op == B.JMP_IF_FALSE:
-            idx = len(prog)
-            prog.append((T_JMP_IF_FALSE, 0))
-            patches.append((idx, a))
-            _pop_tag()
-        elif op == B.JMP_IF_TRUE:
-            idx = len(prog)
-            prog.append((T_JMP_IF_TRUE, 0))
-            patches.append((idx, a))
-            _pop_tag()
-        elif op == B.BOOL_SCALAR:
-            pass                     # scalars are already 0/1 doubles
-        elif op == B.DUP:
-            prog.append((T_DUP, 0))
-            tags.append(tags[-1] if tags else "u")
-        elif op == B.POP:
-            prog.append((T_POP, 0))
-            _pop_tag()
-        elif op == B.CHECK_INTERRUPT:
-            pass
-        elif op == B.STORE_INDEX:
-            # y(k) = v: 1-based linear write into an EXISTING host double
-            # array (growth/OOB must go through the interpreter, and the VM
-            # returns status 4 on any bad subscript -> clean fallback)
-            name, nargs, kind, display = a, b, c, d
-            if nargs != 1 or kind != "paren" or display:
-                raise _Bail()
-            if _pop_tag() != "n":     # index tag
-                raise _Bail()
-            if _pop_tag() != "n":     # value must be numeric (class safety)
-                raise _Bail()
-            prog.append((T_STOREIDX, arr(name)))
-        elif op == B.RESOLVE_CALL:
-            name, nargs, nargout, mode = a, b, c, d
-            if mode != 0 or nargout > 1:
-                raise _Bail()
-            existing = interp._load_name(frame, name)
-            if name in slot_of or existing is not NOVALUE:
-                if nargs == 0:
-                    if name in undefined_vars and name not in stored_so_far:
-                        raise _Bail()   # dynamic read-before-write
-                    prog.append((T_LOAD, slot(name)))
-                    tags.append("b" if name in logical_vars else "n")
-                    continue
-                if nargs == 1 and name not in slot_of and \
-                        isinstance(existing, MatArray) and existing.size > 1:
-                    # x(k): 1-based linear read from a host double array
-                    if _pop_tag() != "n":
-                        raise _Bail()
-                    prog.append((T_LOADIDX, arr(name)))
-                    tags.append("n")
-                    continue
-                raise _Bail()        # indexing a scalar / matrix subscript
-            if nargs == 1 and name in _FN1:
-                prog.append((T_CALL1, _FN1[name]))
-                _pop_tag()
-                tags.append("n")
-            elif nargs == 2 and name in _FN2:
-                prog.append((T_CALL2, _FN2[name]))
-                _pop_tag(); _pop_tag()
-                tags.append("n")
-            elif nargs == 0 and name == "pi":
-                prog.append((T_CONST, const_idx(float(np.pi))))
-                tags.append("n")
-            else:
-                raise _Bail()
-        else:
-            raise _Bail()
-    jump_map[hi] = len(prog)
-
-    break_patches = []
-    for idx, target in patches:
-        if target in jump_map:
-            t = jump_map[target]
-        elif target == done:
-            break_patches.append(idx)   # 'break': resolved to HALT below
-            continue
-        else:
-            raise _Bail()               # jump out of the window
-        prog[idx] = (prog[idx][0], t)
+    break_patches, _ = emit_window(instrs, code.consts, lo, hi, "", 0)
 
     if loopvar is not None:
         # epilogue: counter++, lv += step, loop while counter < count
@@ -517,10 +845,12 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, range_params,
         prog.append((T_HALT, 0))
     else:
         # while mode: loop back to the condition; exit branch -> HALT
-        prog.append((T_JMP, jump_map[lo]))
+        prog.append((T_JMP, body_base))
         done_idx = len(prog)
         prog.append((T_HALT, 0))
     for bidx in break_patches:
         prog[bidx] = (prog[bidx][0], done_idx)
-    return (prog, consts, dict(slot_of), init, arr_names, arr_bufs,
-            slot_spec, [n for n, _ in arr_names])
+    slot_map = {n: k for n, k in slot_of.items()
+                if not n.startswith(_SCOPE)}
+    return (prog, consts, slot_map, init, arr_names, arr_bufs,
+            slot_spec, [n for n, _ in arr_names], inlined)

@@ -259,3 +259,157 @@ def test_turbine_while_nonscalar_condition_falls_back():
     import numpy as np
     s = run("v = (1:3); n = 0; while n < numel(v), n = n + 1; end")
     assert float(np.asarray(s.get("n").host()).reshape(-1)[0]) == 3.0
+
+
+# --------------------------------------------------------------------------- #
+# round 4: nested loops, 2-D indexing, inlined scalar helpers
+# (≙ runmat-turbine/src/compiler.rs:249 compiling general bytecode)
+# --------------------------------------------------------------------------- #
+
+def test_turbine_2d_read_write_parity():
+    s = run("A = magic(40); B = zeros(40, 40); t = 0; "
+            "for k = 1:64, for i = 1:40, for j = 1:40, "
+            "B(i, j) = A(i, j) * 2 + i - j; t = t + A(i, j); "
+            "end, end, end")
+    A = s.get("A").host()
+    ref = A * 2 + (np.arange(1, 41)[:, None] - np.arange(1, 41)[None, :])
+    np.testing.assert_allclose(s.get("B").host(), ref)
+    assert float(np.asarray(s.get("t").host()).reshape(-1)[0]) == \
+        64 * float(A.sum())
+
+
+def test_turbine_gauss_seidel_native_speed():
+    # a doubly-nested A(i,j) stencil must run native end-to-end
+    import time
+    t0 = time.perf_counter()
+    s = run("n = 80; A = ones(n, n); "
+            "for sweep = 1:200, for i = 2:n-1, for j = 2:n-1, "
+            "A(i, j) = 0.25 * (A(i-1, j) + A(i+1, j) + A(i, j-1) "
+            "+ A(i, j+1)); end, end, end")
+    dt = time.perf_counter() - t0
+    assert dt < 3.0   # ~2.4M stencil updates; interpreter takes minutes
+    A = s.get("A").host()
+    assert abs(float(A[40, 40]) - 1.0) < 1e-9   # all-ones fixed point
+
+
+def test_turbine_nested_loop_parity_with_interpreter():
+    vals = both_paths("acc = 0; "
+                      "for i = 1:100, for j = 1:i, "
+                      "acc = acc + j; end, end", ["acc", "i", "j"])
+    assert vals[0] == sum(j for i in range(1, 101)
+                          for j in range(1, i + 1))
+
+
+def test_turbine_nested_float_range_endpoint_parity():
+    # endpoint clamp of the native counting loop must mirror _make_range
+    vals = both_paths("last = -1; c = 0; "
+                      "for k = 1:100, for x = 0:0.1:1, "
+                      "last = x; c = c + 1; end, end", ["last", "c"])
+    assert vals[0] == 1.0          # clamped endpoint, not 0.1*10 rounding
+    assert vals[1] == 1100.0
+
+
+def test_turbine_nested_reverse_and_empty_ranges():
+    vals = both_paths("s = 0; e = 0; "
+                      "for k = 1:100, for d = 5:-1:1, s = s + d; end, "
+                      "for q = 3:2, e = e + 1; end, end", ["s", "e"])
+    assert vals[0] == 100 * 15.0
+    assert vals[1] == 0.0
+
+
+def test_turbine_nested_while_in_for():
+    vals = both_paths("total = 0; "
+                      "for k = 1:100, c = k; steps = 0; "
+                      "while c > 1, if mod(c, 2) == 0, c = c / 2; "
+                      "else, c = 3 * c + 1; end, steps = steps + 1; end, "
+                      "total = total + steps; end", ["total"])
+    assert vals[0] > 0
+
+
+def test_turbine_inlined_scalar_helper():
+    import time
+    src = ("s = 0; for k = 1:300000, s = s + damp(k); end\n"
+           "function y = damp(x)\n"
+           "  y = sin(x * 1e-3) * exp(-x * 1e-6);\n"
+           "end")
+    t0 = time.perf_counter()
+    s1 = run(src)
+    dt = time.perf_counter() - t0
+    assert dt < 2.0   # inlined native; interpreted call costs ~10 us each
+    lib = N._LIB
+    N._LIB = None
+    try:
+        s2 = run("s = 0; for k = 1:100, s = s + damp(k); end\n"
+                 "function y = damp(x)\n"
+                 "  y = sin(x * 1e-3) * exp(-x * 1e-6);\n"
+                 "end")
+    finally:
+        N._LIB = lib
+    ks = np.arange(1, 300001, dtype=float)
+    ref = float(np.sum(np.sin(ks * 1e-3) * np.exp(-ks * 1e-6)))
+    assert abs(float(np.asarray(s1.get("s").host()).reshape(-1)[0])
+               - ref) < 1e-9 * abs(ref)
+
+
+def test_turbine_inlined_helper_with_branches_and_return():
+    vals = both_paths(
+        "t = 0; for k = 1:1000, t = t + clampit(k - 500); end\n"
+        "function y = clampit(x)\n"
+        "  if x < 0\n"
+        "    y = 0;\n"
+        "    return\n"
+        "  end\n"
+        "  y = x;\n"
+        "end", ["t"])
+    assert vals[0] == sum(max(k - 500, 0) for k in range(1, 1001))
+
+
+def test_turbine_inlined_helper_calls_helper():
+    vals = both_paths(
+        "t = 0; for k = 1:500, t = t + f(k); end\n"
+        "function y = f(x)\n"
+        "  y = g(x) + 1;\n"
+        "end\n"
+        "function y = g(x)\n"
+        "  y = x * 2;\n"
+        "end", ["t"])
+    assert vals[0] == sum(2 * k + 1 for k in range(1, 501))
+
+
+def test_turbine_helper_shadowed_by_variable():
+    # a variable named like the helper must win (MATLAB precedence)
+    vals = both_paths(
+        "damp = 7; t = 0; for k = 1:100, t = t + damp * k; end",
+        ["t"])
+    assert vals[0] == 7 * 5050.0
+
+
+def test_turbine_user_override_of_intrinsic_not_miscompiled():
+    # user-defined sin.m-style local function shadows the libm intrinsic
+    vals = both_paths(
+        "t = 0; for k = 1:100, t = t + sin(k); end\n"
+        "function y = sin(x)\n"
+        "  y = x + 1000;\n"
+        "end", ["t"])
+    assert vals[0] == 5050.0 + 100 * 1000
+
+
+def test_turbine_multi_output_helper_falls_back():
+    vals = both_paths(
+        "t = 0; for k = 1:100, [a, b] = two(k); t = t + a + b; end\n"
+        "function [u, v] = two(x)\n"
+        "  u = x; v = 2 * x;\n"
+        "end", ["t"])
+    assert vals[0] == 3 * 5050.0
+
+
+def test_turbine_2d_oob_write_falls_back_to_growth():
+    s = run("M = zeros(3, 3); for k = 1:100, M(2, k) = k; end; "
+            "q = size(M, 2);")
+    assert float(np.asarray(s.get("q").host()).reshape(-1)[0]) == 100.0
+    assert float(s.get("M").host()[1, 99]) == 100.0
+
+
+def test_turbine_nested_loop_var_visible_after():
+    vals = both_paths("for k = 1:100, for j = 2:5, end, end", ["k", "j"])
+    assert vals == [100.0, 5.0]
