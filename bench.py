@@ -287,6 +287,18 @@ def run_roofline(sess) -> dict:
             eng.matmul_precision = prev_policy
         sess.run_source("clear mmd_B mmd_C", "roofline_clear")
 
+    # ---- Pallas streaming-histogram roofline (VERDICT r3 weak #5): the
+    # kernel is gated in on TPU for large single-precision histcounts
+    # (accel/dense.py _b_histcounts); measure its HBM rate on the real chip
+    # and pin parity against numpy, so a regression on hardware is visible
+    # in the BENCH json rather than only in interpret-mode CI.
+    if os.environ.get("BENCH_SKIP_HIST") != "1" and eng.platform == "tpu":
+        try:
+            roof_hist = _hist_roofline(eng, hbm_peak)
+            out.update(roof_hist)
+        except Exception as e:
+            log(f"  histogram roofline failed: {type(e).__name__}: {e}")
+
     if os.environ.get("BENCH_SKIP_BF16") != "1" and policy != "bf16":
         prev_policy = eng.matmul_precision
         try:
@@ -302,6 +314,62 @@ def run_roofline(sess) -> dict:
             eng.matmul_precision = prev_policy
     sess.run_source("clear mm_B mm_C", "roofline_clear")
     return out
+
+
+def _hist_roofline(eng, hbm_peak: float) -> dict:
+    """On-chip rate + parity for the Pallas streaming histogram
+    (ops/pallas/histogram.py). K chained applications inside one jit so the
+    ~30 ms tunnel round trip amortizes; the edges are perturbed by
+    `min(carry) * 0` each iteration — float-NaN semantics stop XLA from
+    folding it to zero, so the loop-invariant kernel call cannot be hoisted
+    (each iteration genuinely re-reads x: traffic = K * 4N bytes)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from runmat_tpu.ops.pallas.histogram import histcounts_pallas
+
+    N = int(os.environ.get("BENCH_HIST_N", 50_000_000))
+    B = int(os.environ.get("BENCH_HIST_B", 64))
+    K = int(os.environ.get("BENCH_HIST_K", 64))
+    log(f"  pallas histogram roofline: N={N}, B={B}, K={K}")
+    fn = histcounts_pallas(N, B)
+
+    @jax.jit
+    def many(x, e):
+        def body(c, _):
+            # f64 carry: exact to 2^53 total counts (an f32 carry silently
+            # saturates at 2^24 = 16.7M, reachable at default N*K); the
+            # min(c)*0.0 perturbation keeps float-NaN semantics so XLA
+            # cannot fold it away and hoist the loop-invariant kernel call
+            e2 = e + (jnp.min(c) * 0.0).astype(e.dtype)
+            return c + fn(x, e2).astype(jnp.float64), None
+        c0 = jnp.zeros((B,), jnp.float64)
+        outc, _ = lax.scan(body, c0, None, length=K)
+        return outc
+
+    rng = np.random.default_rng(7)
+    xh = rng.random(N, dtype=np.float32)
+    edges = np.linspace(0.0, 1.0, B + 1, dtype=np.float32)
+    x = jax.device_put(xh, eng.devices[0])
+    e = jax.device_put(edges, eng.devices[0])
+    counts = np.asarray(many(x, e))        # compile + parity gather
+    ref = np.histogram(xh, bins=edges.astype(np.float64))[0].astype(np.float64)
+    ok = bool(np.array_equal(counts, ref * K))
+    times = []
+    for _ in range(max(REPS, 5)):
+        t0 = time.perf_counter()
+        outc = many(x, e)
+        float(outc[0])                     # probe-gather: real sync
+        times.append((time.perf_counter() - t0) * 1000.0)
+    med = statistics.median(times)
+    gbps = K * 4.0 * N / 1e9 / (med / 1e3)
+    log(f"  pallas histogram: {gbps:.0f} GB/s = "
+        f"{100.0 * gbps / hbm_peak:.1f}% of HBM peak, parity "
+        f"{'OK' if ok else 'FAIL'} (median {med:.1f} ms)")
+    return {"histogram_gbps": round(gbps, 1),
+            "histogram_pct_hbm": round(100.0 * gbps / hbm_peak, 1),
+            "histogram_parity_ok": ok}
 
 
 def gemm_parity_check(sess) -> dict:

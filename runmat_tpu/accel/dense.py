@@ -841,8 +841,10 @@ def _b_histcounts(eng, opts):
         for s in x.shape:
             n *= s
         n_bins = edges.reshape(-1).shape[0] - 1
+        from ..ops.pallas.histogram import MAX_BINS
         if eng.platform == "tpu" and x.dtype == jnp.float32 and \
-                n_bins >= 1 and n * n_bins >= (1 << 22) and n_bins <= 4096:
+                n_bins >= 1 and n * n_bins >= (1 << 22) and \
+                n_bins <= MAX_BINS:
             from ..ops.pallas.histogram import histcounts_pallas
             fn = histcounts_pallas(n, n_bins)
             return fn(x.reshape(-1), edges.reshape(-1)).astype(x.dtype)
