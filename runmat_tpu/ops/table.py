@@ -44,8 +44,8 @@ UNARY = {
     "sin": lambda xp, a: xp.sin(a),
     "cos": lambda xp, a: xp.cos(a),
     "tan": lambda xp, a: xp.tan(a),
-    "asin": lambda xp, a: xp.arcsin(a),
-    "acos": lambda xp, a: xp.arccos(a),
+    "asin": lambda xp, a: _matlab_asin(xp, a),
+    "acos": lambda xp, a: _matlab_acos(xp, a),
     "atan": lambda xp, a: xp.arctan(a),
     "sinh": lambda xp, a: xp.sinh(a),
     "cosh": lambda xp, a: xp.cosh(a),
@@ -72,6 +72,38 @@ UNARY = {
 }
 
 
+def _matlab_asin(xp, a):
+    """MATLAB doc formula asin(z) = -i*log(i*z + sqrt(1-z^2)). Equals
+    numpy's arcsin everywhere except ON the branch cut (real |x| > 1
+    promoted to complex with +0 imag), where MATLAB's principal-sqrt
+    composition gives asin(2) = pi/2 - 1.3170i vs numpy's +1.3170i."""
+    import numpy as _np
+    if _np.iscomplexobj(a):
+        return -1j * xp.log(1j * a + xp.sqrt(1 - a * a))
+    return xp.arcsin(a)
+
+
+def _matlab_acos(xp, a):
+    """MATLAB doc formula acos(z) = -i*log(z + i*sqrt(1-z^2));
+    acos(2) = +1.3170i in MATLAB, -1.3170i in numpy (branch cut side)."""
+    import numpy as _np
+    if _np.iscomplexobj(a):
+        return -1j * xp.log(a + 1j * xp.sqrt(1 - a * a))
+    return xp.arccos(a)
+
+
+def _matlab_pow(xp, a, b):
+    """MATLAB power identities the underlying pow may miss (XLA's pow):
+    x^0 is 1 for EVERY x including NaN/Inf; 1^y is 1 for every y. The
+    repair applies ONLY where pow produced NaN — an unconditional
+    where(a == 1, 1, r) would zero the autodiff gradient at a == 1
+    (caught by test_dlarray.test_grad_square)."""
+    r = xp.power(a, b)
+    one = xp.asarray(1, dtype=r.dtype)
+    bad = r != r                      # NaN (real or complex)
+    return xp.where(bad & ((b == 0) | (a == 1)), one, r)
+
+
 def _gamma(xp, a):
     if xp is np:
         from math import gamma as _g
@@ -90,7 +122,7 @@ BINARY = {
     "mul": lambda xp, a, b: xp.multiply(a, b),
     "div": lambda xp, a, b: xp.divide(a, b),
     "ldiv": lambda xp, a, b: xp.divide(b, a),
-    "pow": lambda xp, a, b: xp.power(a, b),
+    "pow": lambda xp, a, b: _matlab_pow(xp, a, b),
     "atan2": lambda xp, a, b: xp.arctan2(a, b),
     "hypot": lambda xp, a, b: xp.hypot(a, b),
     "mod": lambda xp, a, b: _matlab_mod(xp, a, b),
@@ -113,15 +145,23 @@ LOGICAL_OPS = {"and", "or", "xor"}
 
 
 def _matlab_mod(xp, a, b):
-    # mod(a, 0) = a in MATLAB; sign follows b
+    # doc mod: mod(a, 0) = a; result takes the SIGN OF THE DIVISOR. With an
+    # infinite divisor and finite a: mod(a, Inf) = a when signs agree (or
+    # a == 0), otherwise ±Inf (the divisor); mod(Inf, m) stays NaN.
     r = a - xp.floor(a / b) * b
-    return xp.where(b == 0, a, r)
+    r = xp.where(b == 0, a, r)
+    inf_b = xp.isinf(b) & xp.isfinite(a)
+    same = (a >= 0) == (b > 0)
+    return xp.where(inf_b, xp.where((a == 0) | same, a, b), r)
 
 
 def _matlab_rem(xp, a, b):
-    # rem(a, 0) = NaN... MATLAB: rem(x,0) = NaN? Actually rem(x,0) = NaN for doubles
+    # doc rem: rem(a, 0) = NaN (float classes); result takes the SIGN OF
+    # THE DIVIDEND; rem(a, ±Inf) = a for finite a.
     r = a - xp.trunc(a / b) * b
-    return xp.where(b == 0, xp.full_like(r, xp.nan) if hasattr(xp, "nan") else r * 0 + float("nan"), r)
+    r = xp.where(b == 0, xp.full_like(r, float("nan")), r)
+    inf_b = xp.isinf(b) & xp.isfinite(a)
+    return xp.where(inf_b, a, r)
 
 
 # Arithmetic ops that, on MATLAB integer classes, compute in wide float and

@@ -111,6 +111,11 @@ def m_linspace(a, b, n=None):
         (isinstance(b, MatArray) and b.mclass == "single") else "double"
     if npts <= 0:
         return MatArray(np.zeros((1, 0)), "double")
+    if npts == 1:
+        # doc linspace: "linspace(x1, x2, 1) returns x2" (the ENDPOINT,
+        # not the start — np.linspace returns x1 here)
+        return MatArray(dtypes.cast_to_class(
+            np.array([[stop]], dtype=np.float64), out_class), out_class)
     eng = _engine()
     if eng is not None and eng.offload_creation(npts):
         return eng.linspace(start, stop, npts, out_class)
@@ -329,7 +334,14 @@ def m_string(x=None):
         fi, fo = h.reshape(-1), out.reshape(-1)
         from ..dispatch import _fmt_num_short
         for k in range(fi.size):
-            fo[k] = _fmt_num_short(fi[k])
+            v = fi[k]
+            fv = float(v.real) if np.iscomplexobj(h) else float(v)
+            if np.isnan(fv):
+                fo[k] = None          # doc: string(NaN) is the missing string
+            elif np.isinf(fv):
+                fo[k] = "Inf" if fv > 0 else "-Inf"
+            else:
+                fo[k] = _fmt_num_short(v)
         return StringArray(out)
     if isinstance(x, CellArray):
         out = np.empty(x.shape, dtype=object)

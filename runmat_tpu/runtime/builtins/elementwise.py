@@ -32,15 +32,36 @@ for _name in _UNARY_BUILTINS:
     _mk(_name)
 
 
-@builtin("round", category="math/elementwise", min_in=1, max_in=2,
+@builtin("round", category="math/elementwise", min_in=1, max_in=3,
          accel_op="round")
-def m_round(x, n=None):
+def m_round(x, n=None, kind=None):
     """round(X) half-away-from-zero; round(X, N) to N decimal digits
     (negative N rounds left of the decimal point) — the scaled form rides
-    the same elementwise device ops so gpuArrays stay resident."""
+    the same elementwise device ops so gpuArrays stay resident.
+    round(X, N, 'significant') rounds to N significant digits (doc:
+    N must be positive; the scale is per-element 10^(N-1-floor(log10|x|)))."""
     if n is None:
         return unary("round", x)
     digits = int(n.scalar_double())
+    if kind is not None:
+        k = kind.to_str().lower() if hasattr(kind, "to_str") else str(kind)
+        if k == "decimals":
+            pass
+        elif k == "significant":
+            if digits <= 0:
+                raise bad_arg("round", "N must be positive for 'significant'")
+            h = np.asarray(x.host(), dtype=np.float64)
+            with np.errstate(all="ignore"):
+                mag = np.floor(np.log10(np.abs(h)))
+            mag = np.where(np.isfinite(mag), mag, 0.0)
+            scale = np.power(10.0, digits - 1 - mag)
+            r = np.trunc(h * scale + np.where(h >= 0, 0.5, -0.5)) / scale
+            r = np.where(np.isfinite(h), r, h)
+            out_class = "single" if x.mclass == "single" else "double"
+            from ... import dtypes as _dt
+            return MatArray(_dt.cast_to_class(r, out_class), out_class)
+        else:
+            raise bad_arg("round", f"unknown rounding type '{k}'")
     scale = MatArray.scalar(10.0 ** digits)
     return binary("div", unary("round", binary("mul", x, scale)), scale)
 

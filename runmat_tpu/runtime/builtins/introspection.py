@@ -63,7 +63,37 @@ _pred("isvector", lambda x: len(shape_of(x)) == 2 and (shape_of(x)[0] == 1 or sh
 _pred("isrow", lambda x: len(shape_of(x)) == 2 and shape_of(x)[0] == 1)
 _pred("iscolumn", lambda x: len(shape_of(x)) == 2 and shape_of(x)[1] == 1)
 _pred("ismatrix", lambda x: len(shape_of(x)) == 2)
-_pred("issorted", lambda x: bool(np.all(np.diff(x.host().reshape(-1)) >= 0)))
+@builtin("issorted", category="introspection", min_in=1, max_in=2)
+def m_issorted(x, direction=None):
+    """issorted(A[, direction]): doc — NaN (and missing strings) are
+    treated as GREATER than all other elements, so [1 2 NaN] is sorted
+    ascending and [NaN 3 2] is sorted descending."""
+    mode = "ascend"
+    if direction is not None:
+        mode = direction.to_str().lower() if hasattr(direction, "to_str") \
+            else str(direction).lower()
+    if isinstance(x, StringArray):
+        items = [s for s in np.asarray(x.data).reshape(-1)]
+        keys = [(s is None, s if s is not None else "") for s in items]
+        ordered = sorted(keys) if mode == "ascend" else \
+            sorted(keys, key=lambda k: (not k[0], k[1]), reverse=True)
+        return MatArray.logical_scalar(keys == ordered)
+    h = np.asarray(x.host()).reshape(-1).astype(np.float64, copy=True)
+    h[np.isnan(h)] = np.inf          # NaN sorts as the largest value
+    d = np.diff(h)
+    if mode == "descend":
+        return MatArray.logical_scalar(bool(np.all(d <= 0)))
+    if mode == "monotonic":
+        return MatArray.logical_scalar(
+            bool(np.all(d >= 0)) or bool(np.all(d <= 0)))
+    if mode in ("strictascend",):
+        return MatArray.logical_scalar(bool(np.all(d > 0)))
+    if mode in ("strictdescend",):
+        return MatArray.logical_scalar(bool(np.all(d < 0)))
+    if mode == "strictmonotonic":
+        return MatArray.logical_scalar(
+            bool(np.all(d > 0)) or bool(np.all(d < 0)))
+    return MatArray.logical_scalar(bool(np.all(d >= 0)))
 _pred("iscellstr", lambda x: isinstance(x, CellArray)
       and all(is_char(e) for e in x.data.reshape(-1)))
 _pred("isobject", lambda x: False)

@@ -178,6 +178,10 @@ def m_median(x, *rest):
     dims, type_mode, nan_mode = _parse_opts(list(rest))
     axes = _axes_for(x.shape, dims)
     acc = "single" if x.mclass == "single" else "double"
+    if isinstance(x, MatArray) and all(s == 0 for s in x.shape):
+        # doc median: median([]) is NaN (np.median of a 0x0 gives a 0-size
+        # result instead)
+        return MatArray(np.full((1, 1), np.nan), acc)
     if isinstance(x, MatArray) and x.on_device and not x.is_complex:
         dv = _device_reduce("median", x, axes, acc, nan_mode)
         if dv is not None:
@@ -230,6 +234,9 @@ def _spread(x, rest, fn_biased, fn_unbiased, op_name):
         else:
             dims = tuple(int(v) for v in pos[1].host().reshape(-1))
     acc = "single" if x.mclass == "single" else "double"
+    if isinstance(x, MatArray) and all(s == 0 for s in x.shape):
+        # doc std/var: std([]) is NaN (numpy returns a 0-size result)
+        return MatArray(np.full((1, 1), np.nan), acc)
     axes = _axes_for(x.shape, dims)
     dv = _device_reduce(op_name + str(w), x, axes, acc, nan_mode)
     if dv is not None:
@@ -252,6 +259,28 @@ def m_std(x, *rest):
 @builtin("var", category="stats", min_in=1)
 def m_var(x, *rest):
     return _spread(x, rest, None, None, "var")
+
+
+def _complex_minmax(hf, axes, which, include_nan):
+    """Complex max/min per doc: ordered by abs(), ties by angle(); NaN
+    entries ignored unless include_nan. Returns (keepdims values, picked
+    index along the collapsed axis)."""
+    perm = [i for i in range(hf.ndim) if i not in axes] + list(axes)
+    ht = np.transpose(hf, perm)
+    lead = ht.shape[:hf.ndim - len(axes)]
+    ht2 = ht.reshape(lead + (-1,))
+    kabs, kang = np.abs(ht2), np.angle(ht2)
+    nanm = np.isnan(ht2.real) | np.isnan(ht2.imag)
+    fill = -np.inf if which == "max" else np.inf
+    kabs = np.where(nanm, fill, kabs)
+    kang = np.where(nanm, fill, kang)
+    order = np.lexsort((kang, kabs), axis=-1)
+    pick = order[..., -1] if which == "max" else order[..., 0]
+    vals = np.take_along_axis(ht2, pick[..., None], axis=-1)[..., 0]
+    bad = nanm.any(axis=-1) if include_nan else nanm.all(axis=-1)
+    vals = np.where(bad, complex(np.nan, np.nan), vals)
+    vals_kd = vals.reshape(lead + (1,) * len(axes))
+    return np.transpose(vals_kd, np.argsort(perm)), pick
 
 
 def _minmax(x, args, nargout, which: str):
@@ -308,6 +337,18 @@ def _minmax(x, args, nargout, which: str):
                          dtype=hf.dtype)
         if 0 in empty.shape:
             return [_norm_result(empty, x.mclass), _norm_result(empty.astype(np.float64), "double")][:max(1, nargout)]
+    if np.iscomplexobj(hf):
+        # doc max/min of complex: by abs(), ties broken by angle() — numpy
+        # compares complex lexicographically by (real, imag), which is wrong
+        vals, pick = _complex_minmax(hf, axes, which, include_nan)
+        out = _norm_result(vals.astype(h.dtype, copy=False), x.mclass)
+        if nargout <= 1:
+            return [out]
+        if len(axes) != 1:
+            raise bad_arg(which,
+                          "Index output requires a single reduction dimension.")
+        idx = np.expand_dims(pick, axes[0]).astype(np.float64) + 1.0
+        return [out, _norm_result(idx, "double")]
     with np.errstate(all="ignore"):
         vals = fn(hf, axis=axes if len(axes) > 1 else axes[0], keepdims=True)
     out = _norm_result(np.asarray(vals).astype(h.dtype, copy=False), x.mclass)

@@ -21,6 +21,30 @@ def _norm(r: np.ndarray, mclass: str) -> MatArray:
     return MatArray(r, mclass)
 
 
+def _sort_strings(x: StringArray, direction: str, dim, nargout: int):
+    """doc sort for string arrays: by code point; missing strings sort as
+    the LARGEST value (last ascending, first descending — NaN-like)."""
+    d = x.data
+    ax = (dim - 1) if dim else (0 if d.shape[0] != 1 else 1)
+    miss = np.array([[s is None for s in row] for row in d]) \
+        if d.ndim == 2 else np.vectorize(lambda s: s is None)(d)
+    txt = np.where(miss, "", d).astype(str)   # <U dtype: lexsort-able
+    # lexsort: missing-flag is the primary key so missing always lands at
+    # the "largest" end; stable within ties
+    if direction == "descend":
+        n = d.shape[ax]
+        ia = np.lexsort((np.flip(txt, axis=ax), np.flip(miss, axis=ax)),
+                        axis=ax)
+        idx = np.flip((n - 1) - ia, axis=ax)
+    else:
+        idx = np.lexsort((txt, miss), axis=ax)
+    vals = np.take_along_axis(d, idx, axis=ax)
+    out = StringArray(vals)
+    if nargout <= 1:
+        return out
+    return [out, _norm((idx + 1).astype(np.float64), "double")]
+
+
 @builtin("sort", category="array/sorting", min_in=1, pass_nargout=True)
 def m_sort(x, *rest, nargout=1):
     direction = "ascend"
@@ -58,24 +82,32 @@ def m_sort(x, *rest, nargout=1):
                 out = eng.sort(x, ax, direction == "descend", nargout >= 2)
                 if out is not None:
                     return out[0] if nargout <= 1 else out
+    if isinstance(x, StringArray):
+        return _sort_strings(x, direction, dim, nargout)
     h = x.host()
     ax = (dim - 1) if dim else (0 if h.shape[0] != 1 else 1)
-    hk = h
     if h.dtype.kind == "c":
-        key = np.abs(h)  # MATLAB sorts complex by magnitude (then angle)
-    else:
-        key = h
-    if direction == "descend":
+        # doc sort: complex sorts by abs(), TIES broken by angle() in
+        # (-pi, pi]; np.lexsort is stable and puts the NaN-abs keys last
+        kabs, kang = np.abs(h), np.angle(h)
+        if direction == "descend":
+            n = h.shape[ax]
+            ia = np.lexsort((np.flip(kang, axis=ax), np.flip(kabs, axis=ax)),
+                            axis=ax)
+            idx = np.flip((n - 1) - ia, axis=ax)
+        else:
+            idx = np.lexsort((kang, kabs), axis=ax)
+    elif direction == "descend":
         # Stable descending with MATLAB's NaN-FIRST rule (reference
         # comparator: sorting_sets/sort.rs compare_real_values): stable
         # ascending argsort of the axis-reversed key, mapped back. NaN sorts
         # last ascending, hence first descending; equal elements keep their
         # original order in both directions.
-        n = key.shape[ax]
-        ia = np.argsort(np.flip(key, axis=ax), axis=ax, kind="stable")
+        n = h.shape[ax]
+        ia = np.argsort(np.flip(h, axis=ax), axis=ax, kind="stable")
         idx = np.flip((n - 1) - ia, axis=ax)
     else:
-        idx = np.argsort(key, axis=ax, kind="stable")
+        idx = np.argsort(h, axis=ax, kind="stable")
     vals = np.take_along_axis(h, idx, axis=ax)
     out = MatArray(vals, x.mclass)
     if nargout <= 1:

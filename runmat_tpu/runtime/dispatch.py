@@ -150,6 +150,12 @@ def binary(op: str, a, b):
     # string concatenation via plus (MATLAB string class semantics)
     if op == "add" and (isinstance(a, StringArray) or isinstance(b, StringArray)):
         return _string_plus(a, b)
+    # string relational/equality operators (doc: strings compare
+    # lexicographically with < > <= >=; vs numeric the STRING side is
+    # converted with double(); missing compares like NaN)
+    if op in ("eq", "ne", "lt", "gt", "le", "ge") and \
+            (isinstance(a, StringArray) or isinstance(b, StringArray)):
+        return _string_compare(op, a, b)
     a = as_matarray(a)
     b = as_matarray(b)
 
@@ -247,6 +253,50 @@ def _string_plus(a, b):
         x, y = fa[i], fb[i]
         fo[i] = None if x is None or y is None else x + y
     return StringArray(out)
+
+
+def _string_compare(op: str, a, b):
+    """String relational/equality semantics (≙ runmat-runtime string
+    compare builtins): string vs string/char/cellstr compares text
+    lexicographically (by code point); string vs NUMERIC converts the
+    string side with double() (doc eq: '"5" == 5 is true'); a missing
+    string compares like NaN (every comparison false, ~= true)."""
+    other = b if isinstance(a, StringArray) else a
+    if isinstance(other, MatArray) and other.mclass not in ("char",):
+        # numeric/logical side: convert the string side to double
+        sv = a if isinstance(a, StringArray) else b
+        nums = np.empty(sv.shape, dtype=np.float64)
+        fn, fs = nums.reshape(-1), sv.data.reshape(-1)
+        for i in range(fn.size):
+            s = fs[i]
+            if s is None:
+                fn[i] = np.nan
+            else:
+                try:
+                    fn[i] = float(s)
+                except ValueError:
+                    fn[i] = np.nan
+        na = MatArray(nums, "double")
+        return _compare(op, na if isinstance(a, StringArray) else other,
+                        other if isinstance(a, StringArray) else na)
+    sa = _to_string_array(a)
+    sb = _to_string_array(b)
+    _broadcast_check(sa.shape, sb.shape)
+    shp = np.broadcast_shapes(sa.shape, sb.shape)
+    ra = np.broadcast_to(sa.data, shp)
+    rb = np.broadcast_to(sb.data, shp)
+    out = np.empty(shp, dtype=np.bool_)
+    fa, fb, fo = ra.reshape(-1), rb.reshape(-1), out.reshape(-1)
+    import operator as _oper
+    pyop = {"eq": _oper.eq, "ne": _oper.ne, "lt": _oper.lt,
+            "gt": _oper.gt, "le": _oper.le, "ge": _oper.ge}[op]
+    for i in range(fo.size):
+        x, y = fa[i], fb[i]
+        if x is None or y is None:
+            fo[i] = (op == "ne")      # missing: NaN-like semantics
+        else:
+            fo[i] = bool(pyop(x, y))
+    return _wrap(out, "logical")
 
 
 def _to_string_array(v) -> StringArray:

@@ -1181,6 +1181,12 @@ def _make_range(start, step, stop) -> MatArray:
     for v in (start, step, stop):
         if isinstance(v, MatArray) and v.mclass == "single":
             out_class = "single"
+    # doc colon: an integer-class endpoint makes the whole range that class
+    from .. import dtypes as _dt
+    for v in (start, step, stop):
+        if isinstance(v, MatArray) and _dt.is_integer_class(v.mclass):
+            out_class = v.mclass
+            break
     if d == 0 or (d > 0 and s > e) or (d < 0 and s < e):
         return MatArray(np.zeros((1, 0), dtype=np.float64), "double")
     n = int(np.floor((e - s) / d + 1e-10)) + 1
@@ -1191,6 +1197,9 @@ def _make_range(start, step, stop) -> MatArray:
     arr = vals.reshape(1, -1)
     if out_class == "single":
         arr = arr.astype(np.float32)
+    elif out_class != "double":
+        from .. import dtypes as _dt
+        arr = _dt.cast_to_class(arr, out_class)
     return MatArray(arr, out_class)
 
 
