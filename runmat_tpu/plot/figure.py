@@ -49,12 +49,47 @@ class Patch:
     kind = "patch"
 
     def __init__(self, polys, facecolor, edgecolor=None, label=None,
-                 depth=None):
+                 depth=None, vertexcolors=None):
         self.polys = polys          # list of (N,2) float arrays (data coords)
         self.facecolor = facecolor
         self.edgecolor = edgecolor
         self.label = label
         self.depth = depth          # painter's key for 3-D
+        # per-poly (N,3) RGB arrays -> Gouraud 'interp' face shading
+        # (≙ FaceVertexCData + FaceColor='interp';
+        #  reference: runmat-plot/src/plots/surface.rs vertex pipelines)
+        self.vertexcolors = vertexcolors
+
+
+class Surface:
+    """Full-resolution surf/mesh data: kept un-tessellated so the renderer
+    can shade (flat/Gouraud) and DECIMATE adaptively per render — the
+    interactive-orbit draft path re-renders a coarse proxy while dragging
+    (≙ runmat-plot/src/gpu/surface.rs keeping vertex buffers on device)."""
+    kind = "surface"
+
+    def __init__(self, X, Y, Z, C=None, style="faceted", alpha=1.0,
+                 label=None):
+        self.X = np.asarray(X, np.float64)
+        self.Y = np.asarray(Y, np.float64)
+        self.Z = np.asarray(Z, np.float64)
+        self.C = self.Z if C is None else np.asarray(C, np.float64)
+        self.style = style          # 'faceted' | 'flat' | 'interp' | 'mesh'
+        self.alpha = float(alpha)
+        self.label = label
+        self.depth = None
+
+
+class Light:
+    """Infinite (directional) light (≙ MATLAB light object; reference:
+    runmat-plot/src/gpu/{surface,axis}.rs lighting uniforms)."""
+    kind = "light"
+
+    def __init__(self, position=(1.0, 0.0, 1.0), color=(1.0, 1.0, 1.0),
+                 style="infinite"):
+        self.position = tuple(float(v) for v in position)
+        self.color = tuple(float(v) for v in color)
+        self.style = style
 
 
 class ImageObj:
@@ -102,6 +137,8 @@ class Axes:
         self.clim = None
         self.axis_equal = False
         self.axis_off = False
+        self.lights: list = []      # Light objects (empty = unlit render)
+        self.lighting = "flat"      # 'none' | 'flat' | 'gouraud'
 
     def next_color(self):
         c = COLOR_ORDER[self.color_idx % len(COLOR_ORDER)]
@@ -137,6 +174,10 @@ class Axes:
                 x0, x1, y0, y1 = ch.extent
                 xs.append(np.array([x0, x1]))
                 ys.append(np.array([y0, y1]))
+            elif ch.kind == "surface":
+                xs.append(ch.X.reshape(-1))
+                ys.append(ch.Y.reshape(-1))
+                zs.append(ch.Z.reshape(-1))
         def rng(vals, lim):
             if lim is not None:
                 return lim

@@ -119,6 +119,45 @@ class Canvas:
                 if b >= a:
                     self.buf[yy, a:b + 1] = col
 
+    def fill_tri(self, px, py, colors, alpha=1.0):
+        """Barycentric triangle fill with per-vertex RGB interpolation
+        (Gouraud). px/py: 3 pixel coords; colors: (3, 3) vertex RGB rows
+        (pass three identical rows for flat shading). Vectorized over the
+        triangle's bounding box."""
+        px = np.asarray(px, np.float64)
+        py = np.asarray(py, np.float64)
+        if not (np.isfinite(px).all() and np.isfinite(py).all()):
+            return
+        x0 = max(0, int(np.floor(px.min())))
+        x1 = min(self.w - 1, int(np.ceil(px.max())))
+        y0 = max(0, int(np.floor(py.min())))
+        y1 = min(self.h - 1, int(np.ceil(py.max())))
+        if x1 < x0 or y1 < y0:
+            return
+        xs = np.arange(x0, x1 + 1) + 0.5
+        ys = np.arange(y0, y1 + 1) + 0.5
+        gx, gy = np.meshgrid(xs, ys)
+        d = (py[1] - py[2]) * (px[0] - px[2]) + (px[2] - px[1]) * (py[0] - py[2])
+        if abs(d) < 1e-12:
+            return
+        w0 = ((py[1] - py[2]) * (gx - px[2]) + (px[2] - px[1]) * (gy - py[2])) / d
+        w1 = ((py[2] - py[0]) * (gx - px[2]) + (px[0] - px[2]) * (gy - py[2])) / d
+        w2 = 1.0 - w0 - w1
+        eps = -1e-7
+        inside = (w0 >= eps) & (w1 >= eps) & (w2 >= eps)
+        if not inside.any():
+            return
+        c = np.asarray(colors, np.float32)
+        rgb = (w0[..., None] * c[0] + w1[..., None] * c[1]
+               + w2[..., None] * c[2]).astype(np.float32)
+        tile = self.buf[y0:y1 + 1, x0:x1 + 1]
+        if alpha >= 1.0:
+            tile[inside] = np.clip(rgb[inside], 0.0, 1.0)
+        else:
+            a = np.float32(alpha)
+            tile[inside] = np.clip(a * rgb[inside] + (1 - a) * tile[inside],
+                                   0.0, 1.0)
+
     def blit(self, rgb: np.ndarray, x0: int, y0: int, x1: int, y1: int):
         """Nearest-neighbor image into pixel rect [x0,x1)x[y0,y1)."""
         tw, th = max(1, x1 - x0), max(1, y1 - y0)
@@ -213,17 +252,33 @@ def render_png(fig) -> bytes:
                         r = max(1.5, np.sqrt(max(s, 1)) / 2)
                         cv.line(x - r, y, x + r, y, ch.color, 2 * r)
             elif ch.kind == "patch":
-                for poly in ch.polys:
+                vcs = getattr(ch, "vertexcolors", None)
+                for pi, poly in enumerate(ch.polys):
                     poly = np.asarray(poly, np.float64)
                     if poly.shape[1] > 2:
                         px, py, _ = m.map3(poly[:, 0], poly[:, 1], poly[:, 2])
                     else:
                         px, py = m.map2(poly[:, 0], poly[:, 1])
-                    if ch.facecolor is not None:
+                    vc = (vcs[pi] if vcs is not None and pi < len(vcs)
+                          else None)
+                    if vc is not None:
+                        # Gouraud 'interp' face: fan-triangulate with
+                        # per-vertex color interpolation
+                        vc = np.asarray(vc, np.float64)
+                        for k in range(1, len(px) - 1):
+                            idx = [0, k, k + 1]
+                            cv.fill_tri(np.asarray(px)[idx],
+                                        np.asarray(py)[idx], vc[idx])
+                    elif ch.facecolor is not None:
                         cv.fill_poly(px, py, ch.facecolor)
                     if ch.edgecolor is not None:
                         cv.polyline(np.append(px, px[0]), np.append(py, py[0]),
                                     ch.edgecolor, 1)
+            elif ch.kind == "surface":
+                from .shade3d import draw_surface
+                draw_surface(cv, m, ax, ch,
+                             max_faces=(400 if getattr(fig, "draft", False)
+                                        else 6000))
             elif ch.kind == "image":
                 x0, x1, y0, y1 = ch.extent
                 pa, pb = m.map2(x0, y0)

@@ -111,13 +111,13 @@ def _polyline(px, py, color, width, style):
         f'stroke-width="{width}"{dd}/>' for s in segs if len(s) > 1)
 
 
-def render_svg(fig: Figure) -> str:
+def render_svg(fig: Figure, draft: bool = False) -> str:
     W, H = fig.size
     parts = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" height="{H}" '
              f'viewBox="0 0 {W} {H}">',
              f'<rect width="{W}" height="{H}" fill="white"/>']
     for ax in fig.axes:
-        parts.append(_render_axes(ax, W, H))
+        parts.append(_render_axes(ax, W, H, draft=draft))
     # figure-fraction annotations (textbox/line/arrow)
     for an in getattr(fig, "annotations", ()):
         p = an.get("pos", [0, 0, 0.1, 0.1])
@@ -147,7 +147,7 @@ def render_svg(fig: Figure) -> str:
     return "".join(parts)
 
 
-def _render_axes(ax: Axes, W: int, H: int) -> str:
+def _render_axes(ax: Axes, W: int, H: int, draft: bool = False) -> str:
     m = _Mapper(ax, W, H)
     out = []
     x0p, y0p = m.px0, m.py0
@@ -218,7 +218,8 @@ def _render_axes(ax: Axes, W: int, H: int) -> str:
             if ch.label:
                 legend_entries.append((ch.label, ch.color))
         elif ch.kind == "patch":
-            for poly in ch.polys:
+            vcs = getattr(ch, "vertexcolors", None)
+            for pi, poly in enumerate(ch.polys):
                 poly = np.asarray(poly, np.float64)
                 if poly.shape[1] > 2:
                     px, py, _ = m.map3(poly[:, 0], poly[:, 1], poly[:, 2])
@@ -227,11 +228,33 @@ def _render_axes(ax: Axes, W: int, H: int) -> str:
                 pts = " ".join(f"{x:.2f},{y:.2f}" for x, y in zip(px, py)
                                if math.isfinite(x) and math.isfinite(y))
                 ec = css(ch.edgecolor) if ch.edgecolor else "none"
-                fc = css(ch.facecolor) if ch.facecolor is not None else "none"
+                if vcs is not None and pi < len(vcs) and vcs[pi] is not None:
+                    # SVG has no native Gouraud fill: approximate the
+                    # 'interp' face with the mean vertex color (the PNG
+                    # path does true barycentric interpolation)
+                    fc = css(tuple(np.clip(np.mean(np.asarray(vcs[pi],
+                                                              np.float64),
+                                                   axis=0), 0, 1)))
+                elif ch.facecolor is not None:
+                    fc = css(ch.facecolor)
+                else:
+                    fc = "none"
                 out.append(f'<polygon points="{pts}" fill="{fc}" stroke="{ec}" '
                            f'stroke-width="0.5"/>')
             if ch.label:
                 legend_entries.append((ch.label, ch.facecolor))
+        elif ch.kind == "surface":
+            from .shade3d import surface_polys_svg
+            for qx, qy, face, edge in surface_polys_svg(
+                    m, ax, ch, max_faces=(240 if draft else 1500)):
+                pts = " ".join(f"{x:.2f},{y:.2f}" for x, y in zip(qx, qy)
+                               if math.isfinite(x) and math.isfinite(y))
+                fc = css(face) if face is not None else "none"
+                ec = css(edge) if edge is not None else "none"
+                out.append(f'<polygon points="{pts}" fill="{fc}" stroke="{ec}" '
+                           f'stroke-width="0.5"/>')
+            if ch.label:
+                legend_entries.append((ch.label, (0.2, 0.45, 0.7)))
         elif ch.kind == "image":
             out.append(_image_svg(m, ch))
         elif ch.kind == "text":
@@ -307,16 +330,24 @@ def probe_figure(fig, fx: float, fy: float):
         except Exception:
             continue
         for ch in ax.children:
-            if ch.kind not in ("line", "scatter"):
-                continue
-            x = np.asarray(ch.x, np.float64).reshape(-1)
-            y = np.asarray(ch.y, np.float64).reshape(-1)
-            z = None
-            if getattr(ch, "z", None) is not None and ax.is3d:
-                z = np.asarray(ch.z, np.float64).reshape(-1)
+            if ch.kind == "surface":
+                from .shade3d import stride_for
+                st = stride_for(ch.Z.shape, 4000)
+                x = ch.X[::st, ::st].reshape(-1)
+                y = ch.Y[::st, ::st].reshape(-1)
+                z = ch.Z[::st, ::st].reshape(-1)
                 sx, sy, _ = m.map3(x, y, z)
+            elif ch.kind in ("line", "scatter"):
+                x = np.asarray(ch.x, np.float64).reshape(-1)
+                y = np.asarray(ch.y, np.float64).reshape(-1)
+                z = None
+                if getattr(ch, "z", None) is not None and ax.is3d:
+                    z = np.asarray(ch.z, np.float64).reshape(-1)
+                    sx, sy, _ = m.map3(x, y, z)
+                else:
+                    sx, sy = m.map2(x, y)
             else:
-                sx, sy = m.map2(x, y)
+                continue
             d2 = (np.asarray(sx) - px) ** 2 + (np.asarray(sy) - py) ** 2
             finite = np.isfinite(d2)
             if not finite.any():

@@ -533,56 +533,148 @@ def _marching_squares(h, lev):
 # ------------------------------------------------------------------ 3-D plots #
 
 
-def _surface_impl(*args, edges):
+def _surface_impl(*args, style):
+    """surf(Z) / surf(X,Y,Z[,C]) -> full-resolution Surface scene node.
+
+    The renderer shades (flat/Gouraud per ax.lighting) and decimates
+    adaptively; the interactive-orbit draft path renders a coarse proxy
+    (≙ runmat-plot/src/gpu/surface.rs keeping vertex buffers device-side
+    and re-rasterizing per camera move)."""
     ax = _prep_ax()
     ax.is3d = True
+    C = None
     if len(args) >= 3:
         X, Y, Z = (_np2(a) for a in args[:3])
         if X.ndim == 1 or 1 in X.shape:
             X, Y = np.meshgrid(X.reshape(-1), Y.reshape(-1))
+        if len(args) >= 4:
+            C = _np2(args[3])
     else:
         Z = _np2(args[0])
-        X, Y = np.meshgrid(np.arange(1, Z.shape[1] + 1),
-                           np.arange(1, Z.shape[0] + 1))
-    lo, hi = float(np.nanmin(Z)), float(np.nanmax(Z))
-    cm = colormap(ax.cmap)
-    R, C = Z.shape
-    step = max(1, int(np.ceil(max(R, C) / 60)))
-    for r in range(0, R - step, step):
-        for c in range(0, C - step, step):
-            quad = np.array([
-                [X[r, c], Y[r, c], Z[r, c]],
-                [X[r, c + step], Y[r, c + step], Z[r, c + step]],
-                [X[r + step, c + step], Y[r + step, c + step], Z[r + step, c + step]],
-                [X[r + step, c], Y[r + step, c], Z[r + step, c]],
-            ])
-            zm = float(np.mean(quad[:, 2]))
-            t = (zm - lo) / ((hi - lo) or 1)
-            fc = tuple(cm[int(255 * np.clip(t, 0, 1))])
-            ax.add(Patch([quad], None if edges == "only" else fc,
-                         (0.3, 0.3, 0.3) if edges else None,
-                         depth=zm))
-    return None
+        X, Y = np.meshgrid(np.arange(1, Z.shape[1] + 1, dtype=np.float64),
+                           np.arange(1, Z.shape[0] + 1, dtype=np.float64))
+        if len(args) >= 2:
+            C = _np2(args[1])
+    if Z.ndim != 2 or Z.shape[0] < 2 or Z.shape[1] < 2:
+        raise MatError("MATLAB:surf:InvalidInput",
+                       "Z must be a matrix with at least 2 rows and columns.")
+    s = figmod.Surface(X, Y, Z, C, style=style)
+    ax.add(s)
+    ax.clim = ax.clim or (float(np.nanmin(s.C)), float(np.nanmax(s.C)))
+    return s
 
 
-@builtin("surf", category="plotting", min_in=1, max_in=4)
-def m_surf(*args):
-    return _surface_impl(*args, edges=True)
+def _gobj(kind, node):
+    from .plotting2 import GObj
+    return GObj(kind, node)
 
 
-@builtin("mesh", category="plotting", min_in=1, max_in=4)
-def m_mesh(*args):
-    return _surface_impl(*args, edges="only")
+@builtin("surf", category="plotting", min_in=1, max_in=6, pass_nargout=True)
+def m_surf(*args, nargout=0):
+    s = _surface_impl(*args, style="faceted")
+    return _gobj("surface", s) if nargout else None
 
 
-@builtin("surfc", category="plotting", min_in=1, max_in=4)
+@builtin("mesh", category="plotting", min_in=1, max_in=6, pass_nargout=True)
+def m_mesh(*args, nargout=0):
+    s = _surface_impl(*args, style="mesh")
+    return _gobj("surface", s) if nargout else None
+
+
+@builtin("surfc", category="plotting", min_in=1, max_in=6)
 def m_surfc(*args):
-    return _surface_impl(*args, edges=True)
+    _surface_impl(*args, style="faceted")
+    return None
 
 
 @builtin("waterfall", category="plotting", min_in=1, max_in=3)
 def m_waterfall(*args):
-    return _surface_impl(*args, edges="only")
+    _surface_impl(*args, style="mesh")
+    return None
+
+
+@builtin("surfl", category="plotting", min_in=1, max_in=4)
+def m_surfl(*args):
+    """surf with a default light (MATLAB surfl shades without lights set)."""
+    _surface_impl(*args, style="flat")
+    ax = gca()
+    if not ax.lights:
+        ax.lights.append(figmod.Light(position=(1.0, -1.0, 1.0)))
+    return None
+
+
+@builtin("shading", category="plotting", min_in=1, max_in=1)
+def m_shading(mode):
+    """shading flat|interp|faceted — applies to all surfaces in gca."""
+    mode = text_of(mode).lower()
+    if mode not in ("flat", "interp", "faceted"):
+        raise bad_arg("shading", "mode must be flat, interp, or faceted")
+    ax = gca()
+    for ch in ax.children:
+        if getattr(ch, "kind", None) == "surface" and ch.style != "mesh":
+            ch.style = mode
+    figmod.bump_rev()
+    return None
+
+
+@builtin("lighting", category="plotting", min_in=1, max_in=1)
+def m_lighting(mode):
+    mode = text_of(mode).lower()
+    if mode not in ("none", "flat", "gouraud"):
+        raise bad_arg("lighting", "mode must be none, flat, or gouraud")
+    gca().lighting = mode
+    figmod.bump_rev()
+    return None
+
+
+@builtin("light", category="plotting", min_in=0, max_in=None,
+         pass_nargout=True)
+def m_light(*args, nargout=0):
+    """light('Position',[x y z],'Color',[r g b],'Style','infinite')."""
+    pos, col, style = (1.0, 0.0, 1.0), (1.0, 1.0, 1.0), "infinite"
+    i = 0
+    while i + 1 < len(args):
+        name = text_of(args[i]).lower()
+        v = args[i + 1]
+        if name == "position":
+            pos = tuple(_np1(v)[:3])
+        elif name == "color":
+            col = tuple(_np1(v)[:3]) if not is_text(v) else \
+                NAMED.get(text_of(v), (1.0, 1.0, 1.0))
+        elif name == "style":
+            style = text_of(v).lower()
+        i += 2
+    li = figmod.Light(pos, col, style)
+    ax = gca()
+    ax.lights.append(li)
+    figmod.bump_rev()
+    return _gobj("light", li) if nargout else None
+
+
+@builtin("camlight", category="plotting", min_in=0, max_in=2,
+         pass_nargout=True)
+def m_camlight(*args, nargout=0):
+    """camlight [headlight|left|right] — light positioned relative to the
+    camera direction derived from ax.view (az, el)."""
+    mode = text_of(args[0]).lower() if args and is_text(args[0]) else "right"
+    ax = gca()
+    az, el = ax.view if getattr(ax, "view", None) else (-37.5, 30.0)
+    daz = {"headlight": 0.0, "left": -30.0, "right": 30.0}.get(mode, 30.0)
+    a, e = np.deg2rad(az + daz), np.deg2rad(el + (0 if mode == "headlight"
+                                                  else 30))
+    pos = (float(np.cos(e) * np.sin(a)), float(-np.cos(e) * np.cos(a)),
+           float(np.sin(e)))
+    li = figmod.Light(pos)
+    ax.lights.append(li)
+    if ax.lighting == "none":
+        ax.lighting = "flat"
+    figmod.bump_rev()
+    return _gobj("light", li) if nargout else None
+
+
+@builtin("material", category="plotting", min_in=1, max_in=4)
+def m_material(*args):
+    return None   # reflectance presets: accepted, renderer uses defaults
 
 
 # ---------------------------------------------------------------- decorations #

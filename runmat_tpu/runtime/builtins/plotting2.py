@@ -470,12 +470,6 @@ def m_yscale(s):
     return None
 
 
-@builtin("shading", category="plotting/ops", min_in=1, max_in=1)
-def m_shading(mode):
-    figmod.gca().shading = text_of(mode)
-    return None
-
-
 @builtin("hidden", category="plotting/ops", min_in=0, max_in=1)
 def m_hidden(state=None):
     figmod.gca().hidden = (text_of(state) == "on") if state is not None else True
@@ -527,30 +521,127 @@ def m_line(x, y, *rest):
     return GObj("line", ln)
 
 
-@builtin("patch", category="plotting/ops", min_in=2, pass_nargout=True)
-def m_patch(x, y, c=None, *rest, nargout=0):
-    ax = _prep_ax()
-    px, py = _np1(x), _np1(y)
-    poly = np.column_stack([px, py])
-    p = type("Patch", (), {})()
-    p.kind = "patch"
-    p.polys = [poly]
-    p.color = (0.2, 0.4, 0.8)
+def _patch_colors(ax, c, ncols, nvert):
+    """Resolve patch CData -> (facecolor, per-poly vertexcolors or None).
+
+    MATLAB semantics (≙ runmat-plot/src/plots/patch.rs FaceVertexCData):
+    color spec / RGB triple -> solid; per-face scalars -> flat colormap
+    faces; per-vertex matrix (nvert x ncols) -> Gouraud 'interp' faces."""
+    from ...plot.colors import NAMED, colormap
+    if c is None:
+        return (0.2, 0.4, 0.8), None, None
+    if is_text(c):
+        return NAMED.get(text_of(c), (0.2, 0.4, 0.8)), None, None
+    cd = c.host().astype(np.float64)
+    if cd.size == 3 and cd.ndim <= 2 and 3 not in (ncols, nvert):
+        return tuple(cd.reshape(-1)), None, None
+    cm = colormap(figmod.gca().cmap)
+    lo, hi = float(np.nanmin(cd)), float(np.nanmax(cd))
+    ax.clim = ax.clim or (lo, hi)
+    lo, hi = ax.clim
+
+    def map1(v):
+        t = (v - lo) / ((hi - lo) or 1.0)
+        idx = np.clip(np.where(np.isfinite(t), t, 0) * 255, 0, 255)
+        return cm[idx.astype(int)]
+    if cd.size == ncols:                       # per-face scalar CData
+        return None, [tuple(map1(v)) for v in cd.reshape(-1)], None
+    if cd.shape == (nvert, ncols) or (ncols == 1 and cd.size == nvert):
+        cd = cd.reshape(nvert, ncols)          # per-vertex -> interp
+        return None, None, [map1(cd[:, j]) for j in range(ncols)]
+    return (0.2, 0.4, 0.8), None, None
+
+
+def _patch_impl(ax, cols_xyz, c, rest, nargout):
+    """cols_xyz: list of (nvert, ncols) coordinate matrices [X, Y(, Z)]."""
+    mats = [np.atleast_2d(a) for a in cols_xyz]
+    # MATLAB: column vectors are single polygons; matrices are one
+    # polygon per column
+    mats = [m.reshape(-1, 1) if 1 in m.shape else m for m in mats]
+    nvert, ncols = mats[0].shape
+    face, percol, vcols = _patch_colors(ax, c, ncols, nvert)
+    edge = (0.0, 0.0, 0.0)
+    alpha = 1.0
+    i = 0
+    rest = list(rest)
+    while i + 1 < len(rest):
+        name = text_of(rest[i]).lower() if is_text(rest[i]) else ""
+        v = rest[i + 1]
+        if name == "facecolor":
+            if is_text(v):
+                t = text_of(v).lower()
+                if t == "none":
+                    face, percol, vcols = None, None, None
+                elif t not in ("flat", "interp"):
+                    from ...plot.colors import NAMED
+                    face, percol, vcols = NAMED.get(t, face), None, None
+            else:
+                face, percol, vcols = tuple(_np1(v)[:3]), None, None
+        elif name == "edgecolor":
+            if is_text(v):
+                from ...plot.colors import NAMED
+                edge = None if text_of(v).lower() == "none" else \
+                    NAMED.get(text_of(v).lower(), edge)
+            else:
+                edge = tuple(_np1(v)[:3])
+        elif name == "facealpha":
+            alpha = float(_np1(v)[0])
+        i += 2
+    polys = [np.column_stack([m[:, j] for m in mats]) for j in range(ncols)]
+    if percol is not None:
+        # flat per-face colors: one Patch per face keeps the painter sort
+        nodes = []
+        for j, poly in enumerate(polys):
+            p = figmod.Patch([poly], percol[j], edge,
+                             depth=(float(np.mean(poly[:, 2]))
+                                    if poly.shape[1] > 2 else None))
+            p.alpha = alpha
+            ax.add(p)
+            nodes.append(p)
+        return GObj("patch", nodes[0]) if nargout else None
+    p = figmod.Patch(polys, face, edge, vertexcolors=vcols,
+                     depth=(float(np.mean(polys[0][:, 2]))
+                            if polys[0].shape[1] > 2 else None))
+    p.alpha = alpha
     ax.add(p)
     return GObj("patch", p) if nargout else None
 
 
-@builtin("fill3", category="plotting/ops", min_in=3)
-def m_fill3(x, y, z, c=None, *rest):
+@builtin("patch", category="plotting/ops", min_in=2, pass_nargout=True)
+def m_patch(x, y, *rest, nargout=0):
+    ax = _prep_ax()
+    rest = list(rest)
+    c = None
+    # patch(X,Y,Z,C,...) vs patch(X,Y,C,...): Z present when the 3rd
+    # positional is numeric AND the 4th is too (or is a color spec)
+    xs = [x.host().astype(np.float64), y.host().astype(np.float64)]
+
+    def is_prop(a):
+        return is_text(a) and text_of(a).lower() in _PATCH_PROPS
+
+    # patch(X,Y,Z,C,...): 3rd arg numeric with X's shape and a 4th
+    # non-property arg follows
+    if (len(rest) >= 2 and not is_text(rest[0]) and not is_prop(rest[1])
+            and np.atleast_2d(rest[0].host()).shape
+            == np.atleast_2d(xs[0]).shape):
+        xs.append(rest[0].host().astype(np.float64))
+        ax.is3d = True
+        c, rest = rest[1], rest[2:]
+    elif rest and not is_prop(rest[0]):      # patch(X,Y,C,...)
+        c, rest = rest[0], rest[1:]
+    return _patch_impl(ax, xs, c, rest, nargout)
+
+
+_PATCH_PROPS = {"facecolor", "edgecolor", "facealpha", "linewidth",
+                "displayname", "facevertexcdata", "edgealpha", "linestyle"}
+
+
+@builtin("fill3", category="plotting/ops", min_in=3, pass_nargout=True)
+def m_fill3(x, y, z, c=None, *rest, nargout=0):
     ax = _prep_ax()
     ax.is3d = True
-    poly = np.column_stack([_np1(x), _np1(y), _np1(z)])
-    p = type("Patch", (), {})()
-    p.kind = "patch"
-    p.polys = [poly]
-    p.color = (0.2, 0.4, 0.8)
-    ax.add(p)
-    return GObj("patch", p)
+    xs = [a.host().astype(np.float64) for a in (x, y, z)]
+    return _patch_impl(ax, xs, c, rest, nargout)
 
 
 @builtin("quiver3", category="plotting/ops", min_in=6)
@@ -883,13 +974,20 @@ def _scene_dict(f) -> dict:
                 v = getattr(c, a, None)
                 if v is not None and not isinstance(v, (str, float)):
                     d[a] = np.asarray(v).tolist()
+            if d["kind"] == "surface":
+                for a in ("X", "Y", "Z", "C"):
+                    d[a] = np.asarray(getattr(c, a)).tolist()
             for a in ("color", "style", "marker", "s"):
                 v = getattr(c, a, None)
                 if v is not None:
                     d[a] = list(v) if isinstance(v, tuple) else v
             chs.append(d)
         axes.append({"title": ax.title, "xlabel": ax.xlabel, "ylabel": ax.ylabel,
-                     "children": chs})
+                     "children": chs,
+                     "is3d": ax.is3d, "lighting": ax.lighting,
+                     "lights": [{"position": list(li.position),
+                                 "color": list(li.color), "style": li.style}
+                                for li in ax.lights]})
     return {"num": f.num, "axes": axes}
 
 
@@ -921,12 +1019,24 @@ def _load_fig(path: str):
         ax.title = axd.get("title", "")
         ax.xlabel = axd.get("xlabel", "")
         ax.ylabel = axd.get("ylabel", "")
+        ax.is3d = bool(axd.get("is3d", False))
+        ax.lighting = axd.get("lighting", "flat")
+        for lid in axd.get("lights", ()):
+            ax.lights.append(figmod.Light(tuple(lid["position"]),
+                                          tuple(lid["color"]),
+                                          lid.get("style", "infinite")))
         for chd in axd["children"]:
             if chd.get("kind") in ("line", "scatter") and "x" in chd:
                 ln = figmod.Line(np.asarray(chd["x"]), np.asarray(chd["y"]),
                                  color=tuple(chd.get("color", (0, 0.35, 0.74))))
                 ln.kind = chd["kind"]
                 ax.add(ln)
+            elif chd.get("kind") == "surface" and "Z" in chd:
+                ax.add(figmod.Surface(np.asarray(chd["X"]),
+                                      np.asarray(chd["Y"]),
+                                      np.asarray(chd["Z"]),
+                                      np.asarray(chd["C"]),
+                                      style=chd.get("style", "faceted")))
         f.axes.append(ax)
     if not f.axes:
         f.axes = [figmod.Axes()]

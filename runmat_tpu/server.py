@@ -198,8 +198,14 @@ def handle_request(sess, req: dict) -> dict:
             for ax in f.axes:
                 ax.view = (az, el)
             figmod.bump_rev()
+            # draft=true while the mouse is down: surfaces render a
+            # decimated proxy (≙ runmat-plot's GPU orbit redraw staying
+            # interactive by re-using device vertex buffers; here the
+            # cheap path is fewer faces, with a full-fidelity render
+            # following on mouseup)
+            draft = bool(req.get("draft", False))
             return {"id": rid, "ok": True, "num": num, "az": az, "el": el,
-                    "svg": render_svg(f)}
+                    "svg": render_svg(f, draft=draft)}
         if op == "probe":
             # data cursor: nearest data vertex to a figure-fraction point
             from .plot import figure as figmod
@@ -466,11 +472,15 @@ let drag=null,moved=false,orbitTimer=null;
 async function orbit(dx,dy){const c=cams[f.num];
 c.az-=dx*0.5;c.el=Math.max(-90,Math.min(90,c.el+dy*0.5));
 if(orbitTimer)return;orbitTimer=setTimeout(async()=>{orbitTimer=null;
-const r=await api({op:'view',fig:f.num,az:c.az,el:c.el});
+const r=await api({op:'view',fig:f.num,az:c.az,el:c.el,draft:true});
 if(r.ok)box.innerHTML=r.svg;},50);}
 d.addEventListener('mousedown',e=>{drag={x:e.clientX,y:e.clientY};
 moved=false;d.style.cursor='grabbing';e.preventDefault();});
-window.addEventListener('mouseup',()=>{drag=null;d.style.cursor='grab';});
+window.addEventListener('mouseup',async()=>{const was=drag;drag=null;
+d.style.cursor='grab';
+if(was&&moved&&f.is3d&&cams[f.num]){const c=cams[f.num];
+const r=await api({op:'view',fig:f.num,az:c.az,el:c.el});
+if(r.ok)box.innerHTML=r.svg;}});
 d.addEventListener('mousemove',e=>{if(!drag)return;moved=true;
 const dx=e.clientX-drag.x,dy=e.clientY-drag.y;
 drag={x:e.clientX,y:e.clientY};
