@@ -26,12 +26,13 @@ export class RunMatError extends Error {
   }
 }
 
-export class RunMatSession {
-  constructor(options = {}) {
+/** Child process speaking JSON-lines on stdio (node hosts). */
+export class SubprocessTransport {
+  constructor(args, options = {}) {
     const python = options.python ?? "python";
     this.nextId = 1;
     this.pending = new Map();
-    this.proc = spawn(python, ["-m", "runmat_tpu.cli", "serve"], {
+    this.proc = spawn(python, args, {
       cwd: options.cwd,
       env: { ...process.env, ...options.env },
       stdio: ["pipe", "pipe", "inherit"],
@@ -52,12 +53,80 @@ export class RunMatSession {
     });
   }
 
-  request(body) {
+  send(body) {
     const id = this.nextId++;
     return new Promise((resolve, reject) => {
       this.pending.set(id, { resolve, reject });
       this.proc.stdin.write(JSON.stringify({ id, ...body }) + "\n");
     });
+  }
+
+  async close() {
+    await this.send({ op: "shutdown" });
+    this.proc.kill();
+  }
+}
+
+/** HTTP transport to a running TPU web server (POST /api + token auth). */
+export class HttpTransport {
+  constructor(url, token) {
+    this.url = url.replace(/\/$/, "");
+    this.token = token;
+    this.nextId = 1;
+  }
+
+  async send(body) {
+    const r = await fetch(`${this.url}/api`, {
+      method: "POST",
+      headers: {
+        "Content-Type": "application/json",
+        "X-Runmat-Token": this.token,
+      },
+      body: JSON.stringify({ id: this.nextId++, ...body }),
+    });
+    if (!r.ok) throw new RunMatError("RunMat:server:Http", `HTTP ${r.status}`);
+    return r.json();
+  }
+
+  async close() {}
+}
+
+/**
+ * In-browser transport: Pyodide running the pure-Python client wheel
+ * (runmat_tpu/client.py, jax-free) — MATLAB executes entirely
+ * client-side with the numpy host provider.
+ */
+export class PyodideTransport {
+  constructor(pyodide, wheelUrl) {
+    this.pyodide = pyodide;
+    this.nextId = 1;
+    this.ready = (async () => {
+      await pyodide.loadPackage(["numpy", "micropip"]);
+      const micropip = pyodide.pyimport("micropip");
+      await micropip.install(wheelUrl);
+      pyodide.runPython("from runmat_tpu import client as _rm_client");
+    })();
+  }
+
+  async send(body) {
+    await this.ready;
+    const line = JSON.stringify({ id: this.nextId++, ...body });
+    const handle = this.pyodide.globals.get("_rm_client").handle_json(line);
+    return JSON.parse(String(handle));
+  }
+
+  async close() {}
+}
+
+export class RunMatSession {
+  constructor(options = {}) {
+    this.transport =
+      options.transport ??
+      new SubprocessTransport(["-m", "runmat_tpu.cli", "serve"], options);
+  }
+
+  request(body) {
+    return this.transport.send(body);
   }
 
   async execute(source, name = "<ts>") {
@@ -118,9 +187,31 @@ export class RunMatSession {
   }
 
   async close() {
-    await this.request({ op: "shutdown" });
-    this.proc.kill();
+    await this.transport.close();
   }
+}
+
+/**
+ * Client-side session: MATLAB executes in the host process, no TPU
+ * server. Browser: pass { pyodide, wheelUrl }. Node: subprocess running
+ * the jax-free client profile (`python -m runmat_tpu.client`).
+ */
+export function createLocalSession(options = {}) {
+  if (options.pyodide) {
+    const wheel =
+      options.wheelUrl ?? "./runmat_tpu_client-0.4.0-py3-none-any.whl";
+    return new RunMatSession({
+      transport: new PyodideTransport(options.pyodide, wheel),
+    });
+  }
+  return new RunMatSession({
+    transport: new SubprocessTransport(["-m", "runmat_tpu.client"], options),
+  });
+}
+
+/** Session against a running TPU web server (`runmat-tpu serve --http`). */
+export function connect(url, token) {
+  return new RunMatSession({ transport: new HttpTransport(url, token) });
 }
 
 export default RunMatSession;

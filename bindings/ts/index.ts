@@ -2,11 +2,19 @@
  * runmat-tpu TypeScript host bindings.
  *
  * Reference parity: the reference's npm `runmat` package
- * (bindings/ts/src/index.ts over the wasm session API). This client speaks
- * the JSON-lines session protocol of `python -m runmat_tpu.cli serve`
- * (runmat_tpu/server.py) over a child process, giving TS hosts the same
- * typed session surface: execute, workspace previews, value extraction,
- * provider telemetry.
+ * (bindings/ts/src/index.ts over the wasm session API,
+ * crates/runmat-wasm/src/api/{init,session}.rs). One typed session surface
+ * over three interchangeable transports, all speaking the same JSON op
+ * protocol (runmat_tpu/server.py handle_request):
+ *
+ *  - createLocalSession()        browser: Pyodide + the pure-Python client
+ *                                wheel (runmat_tpu/client.py, jax-free) —
+ *                                MATLAB executes entirely client-side;
+ *                                node: falls back to a subprocess running
+ *                                `python -m runmat_tpu.client` (same
+ *                                host-only engine profile)
+ *  - connect(url, token)         remote TPU server over HTTP (POST /api)
+ *  - new RunMatSession()         local subprocess with the full TPU engine
  */
 
 import { spawn, ChildProcess } from "node:child_process";
@@ -99,15 +107,26 @@ interface Pending {
   reject: (e: Error) => void;
 }
 
-export class RunMatSession {
+/**
+ * A transport delivers one protocol request object and resolves with the
+ * response object. All three transports speak the identical op surface
+ * (server.py handle_request ≙ client.py handle_json).
+ */
+export interface Transport {
+  send(body: Record<string, unknown>): Promise<any>;
+  close(): Promise<void>;
+}
+
+/** Child process speaking JSON-lines on stdio (node hosts). */
+export class SubprocessTransport implements Transport {
   private proc: ChildProcess;
   private rl: Interface;
   private nextId = 1;
   private pending = new Map<number, Pending>();
 
-  constructor(options: { python?: string; cwd?: string; env?: Record<string, string> } = {}) {
+  constructor(args: string[], options: { python?: string; cwd?: string; env?: Record<string, string> } = {}) {
     const python = options.python ?? "python";
-    this.proc = spawn(python, ["-m", "runmat_tpu.cli", "serve"], {
+    this.proc = spawn(python, args, {
       cwd: options.cwd,
       env: { ...process.env, ...options.env },
       stdio: ["pipe", "pipe", "inherit"],
@@ -128,12 +147,87 @@ export class RunMatSession {
     });
   }
 
-  private request(body: Record<string, unknown>): Promise<any> {
+  send(body: Record<string, unknown>): Promise<any> {
     const id = this.nextId++;
     return new Promise((resolve, reject) => {
       this.pending.set(id, { resolve, reject });
       this.proc.stdin!.write(JSON.stringify({ id, ...body }) + "\n");
     });
+  }
+
+  async close(): Promise<void> {
+    await this.send({ op: "shutdown" });
+    this.proc.kill();
+  }
+}
+
+/** HTTP transport to a running TPU web server (POST /api + token auth). */
+export class HttpTransport implements Transport {
+  private nextId = 1;
+
+  constructor(private url: string, private token: string) {
+    this.url = url.replace(/\/$/, "");
+  }
+
+  async send(body: Record<string, unknown>): Promise<any> {
+    const r = await fetch(`${this.url}/api`, {
+      method: "POST",
+      headers: {
+        "Content-Type": "application/json",
+        "X-Runmat-Token": this.token,
+      },
+      body: JSON.stringify({ id: this.nextId++, ...body }),
+    });
+    if (!r.ok) throw new RunMatError("RunMat:server:Http", `HTTP ${r.status}`);
+    return r.json();
+  }
+
+  async close(): Promise<void> {}
+}
+
+/**
+ * In-browser transport: Pyodide running the pure-Python client wheel.
+ * MATLAB executes entirely client-side with the numpy host provider —
+ * no server, no jax (≙ runmat-wasm in-browser engine, api/init.rs).
+ *
+ * `pyodide` is a loaded Pyodide instance (the host calls loadPyodide());
+ * `wheelUrl` points at the runmat_tpu_client wheel built by
+ * scripts/build_client_wheel.py.
+ */
+export class PyodideTransport implements Transport {
+  private ready: Promise<void>;
+  private nextId = 1;
+
+  constructor(private pyodide: any, wheelUrl: string) {
+    this.ready = (async () => {
+      await pyodide.loadPackage(["numpy", "micropip"]);
+      const micropip = pyodide.pyimport("micropip");
+      await micropip.install(wheelUrl);
+      pyodide.runPython("from runmat_tpu import client as _rm_client");
+    })();
+  }
+
+  async send(body: Record<string, unknown>): Promise<any> {
+    await this.ready;
+    const line = JSON.stringify({ id: this.nextId++, ...body });
+    const handle = this.pyodide.globals.get("_rm_client").handle_json(line);
+    return JSON.parse(String(handle));
+  }
+
+  async close(): Promise<void> {}
+}
+
+export class RunMatSession {
+  protected transport: Transport;
+
+  constructor(options: { python?: string; cwd?: string; env?: Record<string, string>; transport?: Transport } = {}) {
+    this.transport =
+      options.transport ??
+      new SubprocessTransport(["-m", "runmat_tpu.cli", "serve"], options);
+  }
+
+  private request(body: Record<string, unknown>): Promise<any> {
+    return this.transport.send(body);
   }
 
   /** Execute MATLAB source in the persistent workspace. */
@@ -211,11 +305,41 @@ export class RunMatSession {
     await this.request({ op: "reset" });
   }
 
-  /** Shut the session process down. */
+  /** Shut the session down (kills the child process if there is one). */
   async close(): Promise<void> {
-    await this.request({ op: "shutdown" });
-    this.proc.kill();
+    await this.transport.close();
   }
+}
+
+/**
+ * Client-side session: MATLAB executes in the host process, no TPU
+ * server involved (≙ the reference npm package's default in-browser
+ * mode). In a browser pass a Pyodide instance + wheel URL; in node the
+ * fallback is a subprocess running the jax-free client profile
+ * (`python -m runmat_tpu.client`).
+ */
+export function createLocalSession(
+  options: {
+    pyodide?: any;
+    wheelUrl?: string;
+    python?: string;
+    cwd?: string;
+  } = {},
+): RunMatSession {
+  if (options.pyodide) {
+    const wheel = options.wheelUrl ?? "./runmat_tpu_client-0.4.0-py3-none-any.whl";
+    return new RunMatSession({
+      transport: new PyodideTransport(options.pyodide, wheel),
+    });
+  }
+  return new RunMatSession({
+    transport: new SubprocessTransport(["-m", "runmat_tpu.client"], options),
+  });
+}
+
+/** Session against a running TPU web server (`runmat-tpu serve --http`). */
+export function connect(url: string, token: string): RunMatSession {
+  return new RunMatSession({ transport: new HttpTransport(url, token) });
 }
 
 export default RunMatSession;
