@@ -199,8 +199,12 @@ def try_native_loop(interp, frame, code, for_next_pc: int, iterable):
     # non-uniform iterables never hit the cache (or the translator)
     it = h.reshape(-1)
     if it.size >= 2:
+        # uniformity via min/max spread (orders of magnitude cheaper than
+        # np.allclose on multi-million-element ranges; NaN steps make the
+        # comparison false and fall back)
         steps = np.diff(it)
-        if not np.allclose(steps, steps[0], rtol=1e-12, atol=1e-300):
+        mn, mx = steps.min(), steps.max()
+        if not (mx - mn <= 1e-12 * max(abs(mn), abs(mx)) + 1e-300):
             return None
         step = float(steps[0])
     else:

@@ -9,7 +9,22 @@ Symbolic-Toolbox semantics — the same layering as arrays-on-numpy.
 from __future__ import annotations
 
 import numpy as np
-import sympy as sp
+
+
+class _LazySympy:
+    """Defers the ~0.9 s sympy import until the first symbolic builtin runs
+    (it dominates Session() cold-start otherwise; every `sp.` use below is
+    inside a function body, so module import stays cheap)."""
+    _mod = None
+
+    def __getattr__(self, name):
+        if _LazySympy._mod is None:
+            import sympy
+            _LazySympy._mod = sympy
+        return getattr(_LazySympy._mod, name)
+
+
+sp = _LazySympy()
 
 from ...errors import MatError, bad_arg
 from ...values import CellArray, MatArray, is_text, normalize_shape, text_of
