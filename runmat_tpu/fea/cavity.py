@@ -102,15 +102,39 @@ def _orient_positive(verts_ld: np.ndarray, arr: np.ndarray) -> np.ndarray:
     return arr[vol != 0]
 
 
+def _delaunay_qhull(pts: np.ndarray) -> np.ndarray:
+    """Qhull fast path for large clouds: same contract as the cavity
+    kernel (jittered predicates break exact cosphericity; output indexes
+    the caller's unperturbed points; flat tets dropped)."""
+    from scipy.spatial import Delaunay  # C-speed; exact-BW covers small n
+    span = float(np.max(pts.max(axis=0) - pts.min(axis=0))) or 1.0
+    rng = np.random.default_rng(0x5EED)
+    jit = pts + (rng.random(pts.shape) - 0.5) * (1e-9 * span)
+    tets = np.asarray(Delaunay(jit).simplices, dtype=np.int64)
+    a = pts[tets[:, 0]]
+    vol = np.einsum("ij,ij->i",
+                    np.cross(pts[tets[:, 1]] - a, pts[tets[:, 2]] - a),
+                    pts[tets[:, 3]] - a)
+    flip = vol < 0
+    tets[flip, 0], tets[flip, 1] = tets[flip, 1].copy(), tets[flip, 0].copy()
+    return tets[np.abs(vol) > 1e-12 * span ** 3]
+
+
 def bowyer_watson(points: np.ndarray) -> np.ndarray:
     """Delaunay tetrahedralization by cavity insertion. Returns (M, 4) tet
     indices into `points` (positive orientation). The kernel is the
     reference's generate/cavity pipeline: for each point, collect the tets
     whose circumsphere contains it (the cavity), delete them, and star the
     cavity's boundary faces to the new point. In-sphere tests run in
-    extended precision so slivers are carved, not skipped."""
+    extended precision so slivers are carved, not skipped. Clouds past the
+    quadratic-kernel knee route to Qhull with the same jitter contract."""
     pts = np.asarray(points, np.float64)
     n = pts.shape[0]
+    if n >= 500:
+        try:
+            return _delaunay_qhull(pts)
+        except Exception:
+            pass  # degenerate cloud: fall through to the exact kernel
     lo = pts.min(axis=0)
     hi = pts.max(axis=0)
     span = float(np.max(hi - lo)) or 1.0
@@ -177,21 +201,23 @@ def bowyer_watson(points: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------- #
 
 def _tet_face_set(tets: np.ndarray) -> set:
-    faces = set()
-    for (i, j, k) in _FACES:
-        for f in np.stack([tets[:, i], tets[:, j], tets[:, k]], axis=1):
-            faces.add(tuple(sorted(int(v) for v in f)))
-    return faces
+    if not len(tets):
+        return set()
+    faces = np.concatenate([
+        np.stack([tets[:, i], tets[:, j], tets[:, k]], axis=1)
+        for (i, j, k) in _FACES])
+    faces = np.unique(np.sort(faces, axis=1), axis=0)
+    return set(map(tuple, faces.tolist()))
 
 
 def _tet_edge_set(tets: np.ndarray) -> set:
-    edges = set()
+    if not len(tets):
+        return set()
     pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
-    for (i, j) in pairs:
-        for e in np.stack([tets[:, i], tets[:, j]], axis=1):
-            a, b = int(e[0]), int(e[1])
-            edges.add((a, b) if a < b else (b, a))
-    return edges
+    edges = np.concatenate([
+        np.stack([tets[:, i], tets[:, j]], axis=1) for (i, j) in pairs])
+    edges = np.unique(np.sort(edges, axis=1), axis=0)
+    return set(map(tuple, edges.tolist()))
 
 
 def recover_boundary(points: np.ndarray, faces: np.ndarray,
@@ -239,6 +265,9 @@ def recover_boundary(points: np.ndarray, faces: np.ndarray,
     def _tri_area(p):
         return 0.5 * np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))
 
+    n0 = protected.shape[0]
+    best_missing = None
+    stall = 0
     for _ in range(max_rounds):
         pts = np.vstack([protected, free]) if free.size else protected
         tets = bowyer_watson(pts)
@@ -246,6 +275,17 @@ def recover_boundary(points: np.ndarray, faces: np.ndarray,
         missing = [f for f in tris if tuple(sorted(f)) not in have_f]
         if not missing:
             return pts, tets, np.array(tris, dtype=np.int64)
+        # termination budget: curved shells (every facet its own plane)
+        # can resist exact recovery — Ruppert splitting then diverges.
+        # Best-effort is sound downstream: carve() decides by watertight
+        # point-in-surface tests, not by facet identity.
+        if best_missing is not None and len(missing) >= best_missing:
+            stall += 1
+        else:
+            stall = 0
+            best_missing = len(missing)
+        if stall >= 3 or protected.shape[0] > 4 * n0 + 512:
+            break
         # region conformity: coplanar facet groups may re-triangulate —
         # a region is satisfied when the tet faces lying on its plane
         # with centroids inside the region tile its full area
@@ -257,49 +297,60 @@ def recover_boundary(points: np.ndarray, faces: np.ndarray,
             r = regions.setdefault(key, {"facets": [], "area": 0.0})
             r["facets"].append(f)
             r["area"] += _tri_area(protected[list(f)])
-        plane_faces = {k: [] for k in regions}
-        for fk in have_f:
-            fv = pts[list(fk)]
-            for key, r in regions.items():
-                n = np.array(key[:3])
-                d = key[3] * scale
-                if np.all(np.abs(fv @ n - d) < ctol):
-                    plane_faces[key].append(fk)
+        # vectorized plane membership: onplane[f, r] = all 3 verts of tet
+        # face f lie within ctol of region plane r (curved shells make
+        # every facet its own region, so this pairing is the hot loop)
+        keys = list(regions.keys())
+        face_arr = np.array(sorted(have_f), dtype=np.int64)
+        fpts = pts[face_arr]                                   # (F,3,3)
+        Nrm = np.array([k[:3] for k in keys], np.float64)      # (R,3)
+        Dpl = np.array([k[3] * scale for k in keys])           # (R,)
+        F = face_arr.shape[0]
+        onplane = np.zeros((F, len(keys)), dtype=bool)
+        step = max(1, int(4e6 // max(len(keys), 1)))
+        for s in range(0, F, step):
+            dist = np.abs(np.einsum("fvj,rj->frv", fpts[s:s + step], Nrm)
+                          - Dpl[None, :, None])
+            onplane[s:s + step] = (dist < ctol).all(axis=2)
+        fareas = 0.5 * np.linalg.norm(
+            np.cross(fpts[:, 1] - fpts[:, 0], fpts[:, 2] - fpts[:, 0]),
+            axis=1)
+        fcens = fpts.mean(axis=1)
         region_ok = {}
         covering: dict = {}
-        for key, r in regions.items():
+        for ri, key in enumerate(keys):
+            r = regions[key]
+            cand = np.nonzero(onplane[:, ri])[0]
+            if cand.size == 0:
+                region_ok[key] = r["area"] < 1e-7 * scale * scale
+                covering[key] = []
+                continue
             n = np.array(key[:3])
             # 2-D basis on the plane
             x = _any_perp(n)
             y = np.cross(n, x)
-            fac2 = [np.stack([(protected[list(f)] @ x),
-                              (protected[list(f)] @ y)], axis=1)
-                    for f in r["facets"]]
-            cover = 0.0
-            cov_faces = []
-            for fk in plane_faces[key]:
-                cen = pts[list(fk)].mean(axis=0)
-                c2 = np.array([cen @ x, cen @ y])
-                inside = False
-                for p2 in fac2:
-                    v0, v1, v2 = p2
-                    den = (v1[1] - v2[1]) * (v0[0] - v2[0]) + \
-                        (v2[0] - v1[0]) * (v0[1] - v2[1])
-                    if abs(den) < 1e-300:
-                        continue
-                    l1 = ((v1[1] - v2[1]) * (c2[0] - v2[0])
-                          + (v2[0] - v1[0]) * (c2[1] - v2[1])) / den
-                    l2 = ((v2[1] - v0[1]) * (c2[0] - v2[0])
-                          + (v0[0] - v2[0]) * (c2[1] - v2[1])) / den
-                    if l1 >= -1e-9 and l2 >= -1e-9 and \
-                            l1 + l2 <= 1 + 1e-9:
-                        inside = True
-                        break
-                if inside:
-                    cover += _tri_area(pts[list(fk)])
-                    cov_faces.append(fk)
+            fac = protected[np.array(r["facets"], dtype=np.int64)]
+            fac2 = np.stack([fac @ x, fac @ y], axis=2)        # (M,3,2)
+            c2 = np.stack([fcens[cand] @ x, fcens[cand] @ y],
+                          axis=1)                              # (C,2)
+            v0, v1, v2 = fac2[:, 0], fac2[:, 1], fac2[:, 2]    # (M,2)
+            den = ((v1[:, 1] - v2[:, 1]) * (v0[:, 0] - v2[:, 0])
+                   + (v2[:, 0] - v1[:, 0]) * (v0[:, 1] - v2[:, 1]))
+            good = np.abs(den) >= 1e-300
+            dsafe = np.where(good, den, 1.0)
+            dx = c2[:, 0, None] - v2[None, :, 0]               # (C,M)
+            dy = c2[:, 1, None] - v2[None, :, 1]
+            l1 = ((v1[:, 1] - v2[:, 1])[None] * dx
+                  + (v2[:, 0] - v1[:, 0])[None] * dy) / dsafe
+            l2 = ((v2[:, 1] - v0[:, 1])[None] * dx
+                  + (v0[:, 0] - v2[:, 0])[None] * dy) / dsafe
+            inside = ((l1 >= -1e-9) & (l2 >= -1e-9)
+                      & (l1 + l2 <= 1 + 1e-9) & good[None]).any(axis=1)
+            cov = cand[inside]
+            cover = float(fareas[cov].sum())
             region_ok[key] = abs(cover - r["area"]) < 1e-7 * scale * scale
-            covering[key] = cov_faces
+            covering[key] = [tuple(int(v) for v in face_arr[i])
+                             for i in cov]
         if all(region_ok.values()):
             # conforming via regions: return the covering faces as the
             # recovered surface triangulation

@@ -1,18 +1,23 @@
-"""STEP (ISO-10303-21) subset importer: tessellated B-rep shells from
-analytic surfaces.
+"""STEP (ISO-10303-21) importer: tessellated B-rep shells with face IDs.
 
 Reference parity: runmat-geometry/io/src/{occt,cad,import} — the reference
-links OCCT for full STEP; this TPU-build subset parses Part-21 files
-directly (pure python, no FFI) and tessellates the analytic-surface subset
-that covers prismatic engineering parts:
+links OCCT for STEP import (occt/occt_bridge.cc) and flows face-selection
+IDs into meshing and analysis. This build parses Part-21 directly (pure
+python, no FFI) and routes every face through the B-rep kernel
+(``fea/brep.py``), which covers the analytic+freeform subset that spans
+engineering parts:
 
-  * ADVANCED_FACE over PLANE with straight (LINE) and circular (CIRCLE)
-    edge loops — polygon faces, arcs sampled;
-  * CYLINDRICAL_SURFACE side walls bounded by two circular edges — lateral
-    quad strips.
+  * surfaces: PLANE, CYLINDRICAL_SURFACE, CONICAL_SURFACE,
+    SPHERICAL_SURFACE, TOROIDAL_SURFACE, B_SPLINE_SURFACE_WITH_KNOTS;
+  * edge curves: LINE, CIRCLE, ELLIPSE, B_SPLINE_CURVE_WITH_KNOTS;
+  * topology: ADVANCED_FACE bounds (outer + holes), EDGE_LOOP /
+    VERTEX_LOOP (cone apex, sphere pole), shared EDGE_CURVE
+    discretization so adjacent faces stay watertight.
 
-Output is a welded triangle shell (vertices, faces) feeding the same
-surface-bounded meshing pipeline as OBJ/PLY/STL imports.
+``load_step`` returns the welded (vertices, faces) shell;
+``load_step_brep`` additionally returns per-triangle face IDs and a
+face-info table — the selection surface that lets FEA boundary
+conditions address ``face:N``.
 """
 
 from __future__ import annotations
@@ -22,8 +27,10 @@ import re
 import numpy as np
 
 from ..errors import MatError
+from . import brep as B
 
 _ENT = re.compile(r"#(\d+)\s*=\s*([A-Z0-9_]+)\s*\((.*)\)\s*$", re.S)
+_NUM = re.compile(r"[-+]?[0-9]*\.?[0-9]+(?:[Ee][-+]?[0-9]+)?")
 
 
 def _split_args(s: str) -> list:
@@ -79,10 +86,34 @@ def _refs(tok: str) -> list:
     return [int(t) for t in re.findall(r"#(\d+)", tok)]
 
 
-class _Step:
+def _floats(tok: str) -> list:
+    return [float(x) for x in _NUM.findall(tok)]
+
+
+def _ref_rows(tok: str) -> list:
+    """Nested ref list ((#a,#b),(#c,#d)) -> [[a,b],[c,d]]."""
+    tok = tok.strip()
+    if tok.startswith("("):
+        tok = tok[1:-1]
+    return [_refs(part) for part in _split_args(tok)]
+
+
+def _bool(tok: str) -> bool:
+    return tok.strip() == ".T."
+
+
+class _StepReader:
+    """Entity graph -> brep objects, with shared caches so every curve /
+    edge instance is built once (edge sharing = watertight shells)."""
+
     def __init__(self, ents: dict):
         self.e = ents
+        self.curves: dict = {}
+        self.edges: dict = {}
+        self.surfaces: dict = {}
         self.unsupported: set = set()
+
+    # -- geometry primitives ---------------------------------------------- #
 
     def point(self, i: int) -> np.ndarray:
         t, a = self.e[i]
@@ -90,223 +121,203 @@ class _Step:
             return self.point(_ref(a[1]))
         if t != "CARTESIAN_POINT":
             raise MatError("RunMat:step:BadRef", f"#{i} is {t}, not a point")
-        nums = re.findall(r"[-+0-9.Ee]+", a[1])
-        v = [float(x) for x in nums[:3]]
+        v = _floats(a[1])[:3]
         while len(v) < 3:
             v.append(0.0)
         return np.array(v)
 
     def direction(self, i: int) -> np.ndarray:
-        t, a = self.e[i]
-        nums = re.findall(r"[-+0-9.Ee]+", a[1])
-        v = np.array([float(x) for x in (nums + ["0", "0", "0"])[:3]])
+        _t, a = self.e[i]
+        v = np.array((_floats(a[1]) + [0.0, 0.0, 0.0])[:3])
         n = np.linalg.norm(v)
         return v / (n or 1.0)
 
-    def placement(self, i: int):
-        """AXIS2_PLACEMENT_3D -> (origin, z, x)."""
-        t, a = self.e[i]
+    def frame(self, i: int) -> B.Frame:
+        """AXIS2_PLACEMENT_3D -> Frame(origin, z, x)."""
+        _t, a = self.e[i]
         origin = self.point(_ref(a[1]))
-        z = self.direction(_ref(a[2])) if len(a) > 2 and "#" in a[2] \
-            else np.array([0.0, 0.0, 1.0])
-        x = self.direction(_ref(a[3])) if len(a) > 3 and "#" in a[3] \
-            else _any_perp(z)
-        return origin, z, x
+        z = self.direction(_ref(a[2])) if len(a) > 2 and "#" in a[2] else None
+        x = self.direction(_ref(a[3])) if len(a) > 3 and "#" in a[3] else None
+        return B.Frame(origin, z, x)
 
-    # -- edges ---------------------------------------------------------------
+    # -- curves ------------------------------------------------------------ #
 
-    def edge_points(self, edge_id: int, sense: bool, arc_n: int = 16):
-        """Polyline of an EDGE_CURVE from start to end (honoring sense)."""
-        t, a = self.e[edge_id]
-        assert t == "EDGE_CURVE", t
+    def curve(self, i: int):
+        if i in self.curves:
+            return self.curves[i]
+        try:
+            cv = self._curve(i)
+        except Exception:
+            # malformed geometry (real exporters vary): edge() falls back
+            # to the straight p0-p1 chord
+            self.unsupported.add(self.e[i][0] + "(malformed)")
+            cv = None
+        self.curves[i] = cv
+        return cv
+
+    def _curve(self, i: int):
+        t, a = self.e[i]
+        if t == "LINE":
+            p0 = self.point(_ref(a[1]))
+            vt, va = self.e[_ref(a[2])]          # VECTOR
+            if vt != "VECTOR":
+                raise ValueError(f"LINE #{i} direction is {vt}")
+            d = self.direction(_ref(va[1]))
+            mag = _floats(va[2])[0] if len(va) > 2 and _NUM.search(va[2]) \
+                else 1.0
+            cv = B.LineCurve(p0, d * mag)
+        elif t == "CIRCLE":
+            cv = B.CircleCurve(self.frame(_ref(a[1])), _floats(a[2])[0])
+        elif t == "ELLIPSE":
+            cv = B.EllipseCurve(self.frame(_ref(a[1])),
+                                _floats(a[2])[0], _floats(a[3])[0])
+        elif t == "B_SPLINE_CURVE_WITH_KNOTS":
+            deg = int(_floats(a[1])[0])
+            ctrl = np.array([self.point(p) for p in _refs(a[2])])
+            mults = [int(x) for x in _floats(a[6])]
+            knots = _floats(a[7])
+            kv = np.repeat(knots, mults)
+            cv = B.BSplineCurve(deg, kv, ctrl)
+        else:
+            self.unsupported.add(t)
+            cv = None
+        return cv
+
+    # -- surfaces ----------------------------------------------------------- #
+
+    def surface(self, i: int):
+        if i in self.surfaces:
+            return self.surfaces[i]
+        try:
+            s = self._surface(i)
+        except Exception:
+            self.unsupported.add(self.e[i][0] + "(malformed)")
+            s = None
+        self.surfaces[i] = s
+        return s
+
+    def _surface(self, i: int):
+        t, a = self.e[i]
+        if t == "PLANE":
+            s = B.Plane(self.frame(_ref(a[1])))
+        elif t == "CYLINDRICAL_SURFACE":
+            s = B.Cylinder(self.frame(_ref(a[1])), _floats(a[2])[0])
+        elif t == "CONICAL_SURFACE":
+            s = B.Cone(self.frame(_ref(a[1])), _floats(a[2])[0],
+                       _floats(a[3])[0])
+        elif t == "SPHERICAL_SURFACE":
+            s = B.SphereSurf(self.frame(_ref(a[1])), _floats(a[2])[0])
+        elif t == "TOROIDAL_SURFACE":
+            s = B.Torus(self.frame(_ref(a[1])), _floats(a[2])[0],
+                        _floats(a[3])[0])
+        elif t == "B_SPLINE_SURFACE_WITH_KNOTS":
+            du, dv = int(_floats(a[1])[0]), int(_floats(a[2])[0])
+            rows = _ref_rows(a[3])
+            ctrl = np.array([[self.point(p) for p in row] for row in rows])
+            umult = [int(x) for x in _floats(a[8])]
+            vmult = [int(x) for x in _floats(a[9])]
+            uk = np.repeat(_floats(a[10]), umult)
+            vk = np.repeat(_floats(a[11]), vmult)
+            s = B.BSplineSurface(du, dv, uk, vk, ctrl)
+        else:
+            self.unsupported.add(t)
+            s = None
+        return s
+
+    # -- topology ----------------------------------------------------------- #
+
+    def edge(self, i: int):
+        """EDGE_CURVE -> shared BrepEdge (or None if the curve type is
+        outside the subset: falls back to the straight p0-p1 chord)."""
+        if i in self.edges:
+            return self.edges[i]
+        _t, a = self.e[i]
         p0 = self.point(_ref(a[1]))
         p1 = self.point(_ref(a[2]))
-        curve = _ref(a[3])
-        same_sense = a[4].strip() == ".T."
-        ct, ca = self.e[curve]
-        if ct == "LINE":
-            pts = [p0, p1]
-        elif ct == "CIRCLE":
-            origin, z, x = self.placement(_ref(ca[1]))
-            r = float(re.findall(r"[-+0-9.Ee]+", ca[2])[0])
-            y = np.cross(z, x)
+        cv = self.curve(_ref(a[3]))
+        same_sense = _bool(a[4])
+        if cv is None:
+            cv = B.LineCurve(p0, p1 - p0)
+            same_sense = True
+        e = B.BrepEdge(i, cv, p0, p1, forward=same_sense)
+        self.edges[i] = e
+        return e
 
-            def ang(p):
-                d = p - origin
-                return np.arctan2(d @ y, d @ x)
-
-            a0, a1 = ang(p0), ang(p1)
-            if np.allclose(p0, p1):            # full circle
-                a1 = a0 + 2 * np.pi
-            else:
-                if not same_sense:
-                    a0, a1 = a1, a0
-                if a1 <= a0:
-                    a1 += 2 * np.pi
-            ts = np.linspace(a0, a1, arc_n)
-            pts = [origin + r * (np.cos(t_) * x + np.sin(t_) * y)
-                   for t_ in ts]
-            if not same_sense:
-                pts = pts[::-1]
-            pts[0], pts[-1] = p0, p1           # exact endpoints
-        else:
-            self.unsupported.add(ct)
-            pts = [p0, p1]
-        if not sense:
-            pts = pts[::-1]
-        return pts
-
-    def loop_polygon(self, loop_id: int) -> np.ndarray:
-        """EDGE_LOOP -> ordered polygon vertices (last != first)."""
-        t, a = self.e[loop_id]
-        assert t == "EDGE_LOOP", t
-        poly: list = []
+    def loop(self, i: int):
+        """EDGE_LOOP -> [(BrepEdge, sense)]; VERTEX_LOOP -> 3-D point."""
+        t, a = self.e[i]
+        if t == "VERTEX_LOOP":
+            return self.point(_ref(a[1]))
+        out = []
         for oe in _refs(a[1]):
             ot, oa = self.e[oe]
-            assert ot == "ORIENTED_EDGE", ot
-            edge = _ref(oa[3])
-            sense = oa[4].strip() == ".T."
-            pts = self.edge_points(edge, sense)
-            if poly and np.allclose(poly[-1], pts[0], atol=1e-9):
-                poly.extend(pts[1:])
-            else:
-                poly.extend(pts)
-        # drop the closing duplicate
-        if len(poly) > 1 and np.allclose(poly[0], poly[-1], atol=1e-9):
-            poly.pop()
-        return np.array(poly)
-
-
-def _any_perp(z: np.ndarray) -> np.ndarray:
-    v = np.array([1.0, 0.0, 0.0])
-    if abs(z @ v) > 0.9:
-        v = np.array([0.0, 1.0, 0.0])
-    v = v - (v @ z) * z
-    return v / np.linalg.norm(v)
-
-
-def _ear_clip(poly2: np.ndarray) -> list:
-    """Triangulate a simple polygon (2-D, either winding) by ear clipping."""
-    n = poly2.shape[0]
-    idx = list(range(n))
-    # ensure CCW
-    area2 = 0.0
-    for i in range(n):
-        x1, y1 = poly2[i]
-        x2, y2 = poly2[(i + 1) % n]
-        area2 += x1 * y2 - x2 * y1
-    if area2 < 0:
-        idx.reverse()
-    tris = []
-    guard = 0
-    while len(idx) > 3 and guard < 10 * n:
-        guard += 1
-        found = False
-        m = len(idx)
-        for k in range(m):
-            a, b, c = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
-            pa, pb, pc = poly2[a], poly2[b], poly2[c]
-            cross = (pb[0] - pa[0]) * (pc[1] - pa[1]) - \
-                (pb[1] - pa[1]) * (pc[0] - pa[0])
-            if cross <= 1e-14:
-                continue                       # reflex or degenerate
-            # no other vertex inside OR ON the ear (a reflex vertex sitting
-            # exactly on the ear's hypotenuse must block it — the L-shape
-            # notch case)
-            ok = True
-            for j in idx:
-                if j in (a, b, c):
-                    continue
-                p = poly2[j]
-                d1 = (pb[0] - pa[0]) * (p[1] - pa[1]) - (pb[1] - pa[1]) * (p[0] - pa[0])
-                d2 = (pc[0] - pb[0]) * (p[1] - pb[1]) - (pc[1] - pb[1]) * (p[0] - pb[0])
-                d3 = (pa[0] - pc[0]) * (p[1] - pc[1]) - (pa[1] - pc[1]) * (p[0] - pc[0])
-                if d1 >= -1e-12 and d2 >= -1e-12 and d3 >= -1e-12:
-                    ok = False
-                    break
-            if ok:
-                tris.append((a, b, c))
-                idx.pop(k)
-                found = True
-                break
-        if not found:
-            break
-    if len(idx) == 3:
-        tris.append(tuple(idx))
-    elif len(idx) > 3:       # numerically stuck: fan the remainder
-        for k in range(1, len(idx) - 1):
-            tris.append((idx[0], idx[k], idx[k + 1]))
-    return tris
-
-
-def load_step(text: str, arc_n: int = 16):
-    """Parse + tessellate a STEP file. Returns (vertices, faces) triangle
-    shell (welded). Raises RunMat:step:Unsupported listing surface types
-    outside the subset."""
-    from .surface import weld_vertices
-    ents = _parse(text)
-    st = _Step(ents)
-    tris: list = []
-    unsupported: set = set()
-    for i, (t, a) in ents.items():
-        if t != "ADVANCED_FACE":
-            continue
-        bounds = _refs(a[1])
-        surf = _ref(a[2])
-        same_sense = a[3].strip() == ".T."
-        stype, sa = ents[surf]
-        loops = []
-        for b in bounds:
-            bt, ba = ents[b]
-            if bt in ("FACE_OUTER_BOUND", "FACE_BOUND"):
-                loops.append((bt, _ref(ba[1]), ba[2].strip() == ".T."))
-        if stype == "PLANE":
-            outer = [lp for lp in loops if lp[0] == "FACE_OUTER_BOUND"] \
-                or loops[:1]
-            poly = st.loop_polygon(outer[0][1])
-            if poly.shape[0] < 3:
+            if ot != "ORIENTED_EDGE":
                 continue
-            origin, z, x = st.placement(_ref(sa[1]))
-            y = np.cross(z, x)
-            p2 = np.stack([(poly - origin) @ x, (poly - origin) @ y], axis=1)
-            for (ia, ib, ic) in _ear_clip(p2):
-                tri = np.array([poly[ia], poly[ib], poly[ic]])
-                if not same_sense:
-                    tri = tri[::-1]
-                tris.append(tri)
-        elif stype == "CYLINDRICAL_SURFACE":
-            # side wall bounded by two circular rims: sample both rims and
-            # stitch a quad strip
-            rims = []
-            for _, lp, _s in loops[:2]:
-                rims.append(st.loop_polygon(lp))
-            if len(rims) == 2 and rims[0].shape[0] >= 3:
-                n = min(rims[0].shape[0], rims[1].shape[0])
-                r0, r1 = rims[0][:n], rims[1][:n]
-                # align rims by nearest starting vertex
-                k = int(np.argmin(np.linalg.norm(r1 - r0[0], axis=1)))
-                r1 = np.roll(r1, -k, axis=0)
-                if np.linalg.norm(r1[1] - r0[1]) > \
-                        np.linalg.norm(r1[-1] - r0[1]):
-                    r1 = np.roll(r1[::-1], 1, axis=0)
-                for j in range(n):
-                    j2 = (j + 1) % n
-                    tris.append(np.array([r0[j], r0[j2], r1[j]]))
-                    tris.append(np.array([r1[j], r0[j2], r1[j2]]))
-            else:
-                unsupported.add("CYLINDRICAL_SURFACE(bounds)")
-        else:
-            unsupported.add(stype)
-    unsupported |= st.unsupported
-    if not tris:
+            out.append((self.edge(_ref(oa[3])), _bool(oa[4])))
+        return out
+
+    def faces(self):
+        fid = 0
+        faces = []
+        info = []
+        for i in sorted(self.e):
+            t, a = self.e[i]
+            if t != "ADVANCED_FACE":
+                continue
+            surf = self.surface(_ref(a[2]))
+            if surf is None:
+                continue
+            same_sense = _bool(a[3])
+            loops = []
+            for b in _refs(a[1]):
+                bt, ba = self.e[b]
+                if bt in ("FACE_OUTER_BOUND", "FACE_BOUND"):
+                    loops.append(self.loop(_ref(ba[1])))
+            fid += 1
+            stype = self.e[_ref(a[2])][0]
+            faces.append(B.BrepFace(fid, surf, loops, same_sense,
+                                    stype=stype))
+            info.append({"id": fid, "entity": i, "type": stype})
+        return faces, info
+
+
+def load_step_brep(text: str, rel_tol: float = 0.004):
+    """Parse + tessellate a STEP file through the B-rep kernel.
+
+    Returns (vertices, faces, face_ids, face_info): the welded triangle
+    shell, the 1-based B-rep face ID of every triangle, and a list of
+    per-face dicts {id, entity, type, area, centroid}."""
+    ents = _parse(text)
+    rd = _StepReader(ents)
+    faces, info = rd.faces()
+    if not faces:
         raise MatError(
             "RunMat:step:Unsupported",
-            "No faces in the supported STEP subset (PLANE, "
-            "CYLINDRICAL_SURFACE); found: "
-            + (", ".join(sorted(unsupported)) or "nothing"))
-    if unsupported:
+            "No faces in the supported STEP subset (PLANE, CYLINDRICAL/"
+            "CONICAL/SPHERICAL/TOROIDAL_SURFACE, B_SPLINE_SURFACE_WITH_"
+            "KNOTS); found: "
+            + (", ".join(sorted(rd.unsupported)) or "nothing"))
+    if rd.unsupported:
         import sys
-        print("runmat-tpu: step import skipped unsupported surfaces: "
-              + ", ".join(sorted(unsupported)), file=sys.stderr)
-    flat = np.vstack(tris)
-    return weld_vertices(flat.reshape(-1, 3, 3))
+        print("runmat-tpu: step import skipped unsupported entities: "
+              + ", ".join(sorted(rd.unsupported)), file=sys.stderr)
+    v, f, ids = B.BrepModel(faces).tessellate(rel_tol=rel_tol)
+    for rec in info:
+        sel = ids == rec["id"]
+        if sel.any():
+            tri = v[f[sel]]
+            n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+            areas = 0.5 * np.linalg.norm(n, axis=1)
+            rec["area"] = float(areas.sum())
+            rec["centroid"] = (tri.mean(axis=1) * areas[:, None]
+                               ).sum(axis=0) / max(areas.sum(), 1e-300)
+        else:
+            rec["area"] = 0.0
+            rec["centroid"] = np.zeros(3)
+    return v, f, ids, info
+
+
+def load_step(text: str, rel_tol: float = 0.004):
+    """Back-compat surface import: welded (vertices, faces) only."""
+    v, f, _ids, _info = load_step_brep(text, rel_tol=rel_tol)
+    return v, f

@@ -13,6 +13,7 @@ fea.trends work across sessions (≙ the reference's evidence artifacts).
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 
@@ -214,8 +215,32 @@ def m_fea_load_doc(path):
 
 # ------------------------------------------------------------------ running --- #
 
-def _geometry_mesh(geom):
+def _geometry_mesh_with_surface(geom):
+    """Mesh a geometry struct. Returns (TetMesh, surf) where surf is
+    (verts, faces, face_ids) for tessellated B-rep geometries (enables
+    face:N boundary-condition selection) or None for box specs."""
     from ...fea.mesh import box_mesh
+    if isinstance(geom, StructArray) and geom.is_scalar \
+            and "vertices" in geom.fields:
+        v = _f(geom.get_scalar_field("vertices"))
+        f = _f(geom.get_scalar_field("faces")).astype(np.int64) - 1
+        fids = None
+        if "faceIds" in geom.fields:
+            fids = fortran_ravel(
+                _f(geom.get_scalar_field("faceIds"))).astype(np.int64)
+        ext = float((v.max(axis=0) - v.min(axis=0)).max())
+        h = ext / 6.0
+        if "resolution" in geom.fields:
+            h = _sc(geom.get_scalar_field("resolution")) or h
+        try:
+            from ...fea.cavity import mesh_plc
+            mesh = mesh_plc(v, f, h=h)
+            if mesh.tets.size == 0:
+                raise ValueError("empty cavity mesh")
+        except Exception:
+            from ...fea import surface as surf_mod
+            mesh = surf_mod.mesh_surface(v, f, h)
+        return mesh, (v, f, fids)
     box = [1.0, 1.0, 1.0]
     res = 4
     if isinstance(geom, StructArray) and geom.is_scalar:
@@ -224,7 +249,111 @@ def _geometry_mesh(geom):
                    fortran_ravel(_f(geom.get_scalar_field("box")))]
         if "resolution" in geom.fields:
             res = int(_sc(geom.get_scalar_field("resolution")))
-    return box_mesh(tuple(box[:3]), (res, res, res))
+    return box_mesh(tuple(box[:3]), (res, res, res)), None
+
+
+def _geometry_mesh(geom):
+    return _geometry_mesh_with_surface(geom)[0]
+
+
+class _Selector:
+    """Resolve BC/load 'where' selectors to mesh node sets.
+
+    Supported: 'face:N' (B-rep face identity from STEP import — the
+    selection tier of ≙ runmat-geometry/core diagnostics), plane
+    selectors 'x=0' / 'x=min' / 'x=max' (likewise y, z), and explicit
+    1-based node index arrays."""
+
+    def __init__(self, mesh, surf):
+        self.mesh = mesh
+        self.surf = surf
+        self._face_sets = None
+
+    def face_sets(self):
+        if self._face_sets is None:
+            if self.surf is None or self.surf[2] is None:
+                raise MatError(
+                    "RunMat:fea:NoFaceIds",
+                    "face:N selectors need a geometry with B-rep face "
+                    "identities (geometry.load of a STEP part).")
+            from ...fea.select import face_node_sets
+            v, f, fids = self.surf
+            self._face_sets = face_node_sets(self.mesh.nodes, v, f, fids)
+        return self._face_sets
+
+    def nodes(self, where):
+        if is_text(where):
+            txt = text_of(where).strip().lower()
+            if txt.startswith("face:"):
+                fid = int(txt[5:])
+                sets = self.face_sets()
+                if fid not in sets:
+                    raise MatError(
+                        "RunMat:fea:UnknownFace",
+                        f"No mesh nodes on face:{fid}; known faces: "
+                        + ", ".join(str(k) for k in sorted(sets)))
+                return sets[fid]
+            m = re.match(r"^([xyz])\s*={1,2}\s*(min|max|[-+0-9.eE]+)$", txt)
+            if m:
+                ax = "xyz".index(m.group(1))
+                col = self.mesh.nodes[:, ax]
+                span = float(col.max() - col.min()) or 1.0
+                val = {"min": col.min(), "max": col.max()}.get(
+                    m.group(2), None)
+                if val is None:
+                    val = float(m.group(2))
+                return np.where(np.abs(col - val) < 1e-9 * span + 1e-12)[0]
+            raise MatError("RunMat:fea:BadSelector",
+                           f"Unrecognized selector '{text_of(where)}'.")
+        idx = fortran_ravel(_f(where)).astype(np.int64) - 1
+        return idx
+
+
+def _authored_conditions(model, sel):
+    """Collect user-authored BCs/loads off the model; None per slot means
+    'not authored' (callers keep the canonical defaults)."""
+    out = {"fixed": None, "forces": None, "temp": None, "volt": None}
+    bcs = model.get_scalar_field("boundaryConditions")
+    for bc in bcs.data.reshape(-1):
+        kind = text_of(bc.get_scalar_field("kind")).lower()
+        nodes = sel.nodes(bc.get_scalar_field("where"))
+        val = bc.get_scalar_field("value")
+        if kind in ("fixed", "clamp", "displacement"):
+            prev = out["fixed"] if out["fixed"] is not None \
+                else np.array([], dtype=np.int64)
+            out["fixed"] = np.unique(np.concatenate([prev, nodes]))
+        elif kind in ("temperature", "temp"):
+            t = out["temp"] or {}
+            t.update({int(i): _sc(val) for i in nodes})
+            out["temp"] = t
+        elif kind in ("voltage", "potential"):
+            vdict = out["volt"] or {}
+            vdict.update({int(i): _sc(val) for i in nodes})
+            out["volt"] = vdict
+    loads = model.get_scalar_field("loads")
+    items = []
+    for ld in loads.data.reshape(-1):
+        if _tag_of(ld) == "loadCase":
+            items += list(ld.get_scalar_field("loads").data.reshape(-1))
+        else:
+            items.append(ld)
+    for ld in items:
+        kind = text_of(ld.get_scalar_field("kind")).lower()
+        if kind not in ("force", "traction", "pressure"):
+            continue
+        nodes = sel.nodes(ld.get_scalar_field("where"))
+        if nodes.size == 0:
+            continue
+        vec = fortran_ravel(_f(ld.get_scalar_field("value")))
+        if vec.size < 3:
+            vec = np.array([0.0, 0.0, float(vec[0]) if vec.size else 0.0])
+        per = vec[:3] / nodes.size
+        f = out["forces"] or {}
+        for i in nodes:
+            old = f.get(int(i), (0.0, 0.0, 0.0))
+            f[int(i)] = (old[0] + per[0], old[1] + per[1], old[2] + per[2])
+        out["forces"] = f
+    return out
 
 
 def _run_registry_path() -> str:
@@ -304,7 +433,8 @@ def m_fea_run(study, opts=None, ctx=None):
     _require(study, "study", "run")
     model = study.get_scalar_field("model")
     physics = study.get_scalar_field("physics").to_str()
-    mesh = _geometry_mesh(model.get_scalar_field("geometry"))
+    mesh, surf = _geometry_mesh_with_surface(
+        model.get_scalar_field("geometry"))
     mat = _first_material(model)
     E = _sc(mat.get_scalar_field("E"))
     nu = _sc(mat.get_scalar_field("nu"))
@@ -312,12 +442,21 @@ def m_fea_run(study, opts=None, ctx=None):
     kth = _sc(mat.get_scalar_field("k"))
     t0 = time.perf_counter()
     # canonical study boundary conditions: clamp the x=0 face, load the
-    # free-end nodes (x = max) downward — the .fea documents refine these.
+    # free-end nodes (x = max) downward — authored BCs/loads on the model
+    # (including face:N selectors against B-rep face IDs) override these.
     fixed_nodes = np.where(mesh.nodes[:, 0] < 1e-12)[0]
     free_end = np.where(mesh.nodes[:, 0] >= mesh.nodes[:, 0].max() - 1e-12)[0]
     forces = {int(i): (0.0, 0.0, -1e4 / max(free_end.size, 1))
               for i in free_end}
     fixed_temp = {int(i): 300.0 for i in fixed_nodes}
+    sel = _Selector(mesh, surf)
+    authored = _authored_conditions(model, sel)
+    if authored["fixed"] is not None:
+        fixed_nodes = authored["fixed"]
+    if authored["forces"] is not None:
+        forces = authored["forces"]
+    if authored["temp"] is not None:
+        fixed_temp = authored["temp"]
     if physics in ("linear_static", "static"):
         r = P.run_linear_static(mesh, E, nu, fixed_nodes, forces)
         fields = {"displacement": MatArray(r["displacement"], "double")}
@@ -350,6 +489,8 @@ def m_fea_run(study, opts=None, ctx=None):
     elif physics in ("electromagnetic", "electrostatic"):
         em_fixed = {int(i): 0.0 for i in fixed_nodes}
         em_fixed.update({int(i): 1.0 for i in free_end})
+        if authored["volt"] is not None:
+            em_fixed = authored["volt"]
         r = P.run_electromagnetic(mesh, 8.854e-12, em_fixed)
         fields = {"potential": MatArray(
             np.asarray(r["potential"]).reshape(-1, 1), "double")}
@@ -636,10 +777,32 @@ def m_geometry_load(path):
     elif p.endswith(".ply"):
         v, f = surf.load_ply(raw)
     elif p.endswith((".step", ".stp")):
-        # Part-21 B-rep subset tessellation (≙ runmat-geometry-io OCCT
-        # import, re-homed to a pure-python analytic-surface parser)
-        from ...fea.step_import import load_step
-        v, f = load_step(raw.decode("utf-8", "replace"))
+        # Part-21 B-rep tessellation with face identities (≙ runmat-
+        # geometry-io OCCT import; the B-rep kernel is fea/brep.py)
+        from ...fea.step_import import load_step_brep
+        v, f, fids, finfo = load_step_brep(raw.decode("utf-8", "replace"))
+        rows = len(finfo)
+        cols = {"id": [], "type": [], "area": [], "centroid": []}
+        for rec in finfo:
+            cols["id"].append(MatArray.scalar(float(rec["id"])))
+            cols["type"].append(MatArray.char_from_str(rec["type"]))
+            cols["area"].append(MatArray.scalar(float(rec["area"])))
+            cols["centroid"].append(
+                MatArray(np.asarray(rec["centroid"]).reshape(1, 3),
+                         "double"))
+        fields = {}
+        for k, vals in cols.items():
+            arr = np.empty((rows, 1), dtype=object)
+            for i, x in enumerate(vals):
+                arr[i, 0] = x
+            fields[k] = arr
+        return StructArray.scalar({
+            "vertices": MatArray(v, "double"),
+            "faces": MatArray(f.astype(np.float64) + 1, "double"),
+            "faceIds": MatArray(fids.astype(np.float64).reshape(-1, 1),
+                                "double"),
+            "faceInfo": StructArray(fields, (rows, 1)),
+            "watertight": MatArray.logical_scalar(surf.is_watertight(f))})
     else:
         raise bad_arg("geometry.load", f"Unsupported geometry format: {p}")
     return StructArray.scalar({
@@ -668,8 +831,16 @@ def m_geometry_inspect(g):
 
 @builtin("geometry_listRegions", category="geometry", min_in=1, max_in=1)
 def m_geometry_list_regions(g):
-    data = np.empty((1, 1), dtype=object)
-    data[0, 0] = MatArray.char_from_str("domain")
+    """Addressable regions: 'domain' plus one 'face:N' selector per B-rep
+    face when the geometry carries face identities (STEP import)."""
+    names = ["domain"]
+    if isinstance(g, StructArray) and g.is_scalar and "faceIds" in g.fields:
+        fids = np.unique(fortran_ravel(
+            _f(g.get_scalar_field("faceIds"))).astype(np.int64))
+        names += [f"face:{int(i)}" for i in fids if i > 0]
+    data = np.empty((len(names), 1), dtype=object)
+    for i, n in enumerate(names):
+        data[i, 0] = MatArray.char_from_str(n)
     return CellArray(data)
 
 
