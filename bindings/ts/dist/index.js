@@ -134,6 +134,11 @@ export class RunMatSession {
     return { ok: r.ok, output: r.output, wallMs: r.wall_ms, error: r.error };
   }
 
+  async executeAbi(source, name = "<ts>") {
+    const r = await this.request({ op: "execute_abi", source, name });
+    return r;
+  }
+
   async run(source, name = "<ts>") {
     const r = await this.execute(source, name);
     if (!r.ok && r.error) throw new RunMatError(r.error.identifier, r.error.message);

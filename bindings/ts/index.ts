@@ -27,6 +27,55 @@ export interface ExecuteResult {
   error?: { identifier: string; message: string };
 }
 
+/** One ordered console chunk from the typed execution protocol. */
+export interface StreamEntry {
+  kind: "stdout" | "stderr";
+  text: string;
+  t_ms: number;
+}
+
+/** A value display event (unsuppressed expression / disp). */
+export interface DisplayEvent {
+  label: string;
+  class: string;
+  size?: number[];
+  on_device?: boolean;
+  preview?: string;
+}
+
+export interface WorkspaceUpsert {
+  name: string;
+  class: string;
+  size?: number[];
+  on_device?: boolean;
+  bytes?: number;
+  device_bytes?: number;
+  preview?: string;
+}
+
+export interface ExecutionError {
+  identifier: string;
+  message: string;
+  stack?: { name: string; line: number }[];
+}
+
+/**
+ * Typed execution outcome (the execute_request ABI): ordered stdout/stderr
+ * streams, display events, a workspace delta, structured warnings, touched
+ * figures, and acceleration-engine dispatch deltas for the run.
+ */
+export interface ExecutionOutcome {
+  ok: boolean;
+  error?: ExecutionError | null;
+  streams: StreamEntry[];
+  display_events: DisplayEvent[];
+  workspace_delta: { upserts: WorkspaceUpsert[]; removals: string[] };
+  warnings: { identifier: string; message: string }[];
+  figures_touched: number[];
+  wall_ms: number;
+  engine?: Record<string, number> | null;
+}
+
 export interface ValuePreview {
   class: string;
   size?: number[];
@@ -234,6 +283,15 @@ export class RunMatSession {
   async execute(source: string, name = "<ts>"): Promise<ExecuteResult> {
     const r = await this.request({ op: "execute", source, name });
     return { ok: r.ok, output: r.output, wallMs: r.wall_ms, error: r.error };
+  }
+
+  /**
+   * Execute with the typed event protocol: ordered streams, display
+   * events, workspace delta, warnings, figures touched, engine deltas.
+   */
+  async executeAbi(source: string, name = "<ts>"): Promise<ExecutionOutcome> {
+    const r = await this.request({ op: "execute_abi", source, name });
+    return r as ExecutionOutcome;
   }
 
   /** Like execute(), but throws a typed RunMatError on failure. */

@@ -91,3 +91,22 @@ test("check returns analysis findings", async () => {
     await s.close();
   }
 });
+
+test("executeAbi returns the typed event protocol", async () => {
+  const s = new RunMatSession({ env });
+  try {
+    const o = await s.executeAbi(
+      "x = [1 2; 3 4]\nwarning('TS:demo:id', 'note'); clear ans;");
+    assert.equal(o.ok, true);
+    assert.ok(o.streams.length >= 2);
+    assert.ok(o.streams.some((e) => e.kind === "stderr"));
+    assert.equal(o.display_events[0].label, "x");
+    assert.deepEqual(o.display_events[0].size, [2, 2]);
+    const names = o.workspace_delta.upserts.map((u) => u.name);
+    assert.ok(names.includes("x"));
+    assert.deepEqual(o.warnings, [{ identifier: "TS:demo:id", message: "note" }]);
+    assert.equal(typeof o.wall_ms, "number");
+  } finally {
+    await s.close();
+  }
+});

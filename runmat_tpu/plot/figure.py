@@ -269,8 +269,26 @@ _CURRENT: list[int] = [1]
 _REV: list[int] = [0]
 
 
+_TOUCH: list = []        # figure numbers touched, in order (bounded)
+_TOUCH_BASE = [0]        # entries trimmed off the front (keeps marks valid)
+
+
 def bump_rev() -> None:
     _REV[0] += 1
+    _TOUCH.append(_CURRENT[0])
+    if len(_TOUCH) > 4096:
+        del _TOUCH[:2048]
+        _TOUCH_BASE[0] += 2048
+
+
+def touch_log_len() -> int:
+    return _TOUCH_BASE[0] + len(_TOUCH)
+
+
+def touched_since(mark: int) -> list:
+    """Figure numbers mutated since the mark (for the execution ABI's
+    figures_touched; ≙ SessionExecutionResult.figures_touched)."""
+    return sorted(set(_TOUCH[max(mark - _TOUCH_BASE[0], 0):]))
 
 
 def scene_rev() -> int:

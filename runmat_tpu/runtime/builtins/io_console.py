@@ -95,7 +95,8 @@ def m_warning(*args, ctx=None):
         msg = format_matlab(first, rest)
     _WARN_STATE["last"] = (ident, msg)
     if _WARN_STATE["enabled"]:
-        ctx.session.write(f"Warning: {msg}\n")
+        ctx.session.note_warning(ident, msg)
+        ctx.session.write(f"Warning: {msg}\n", kind="stderr")
     return None
 
 

@@ -77,6 +77,13 @@ def handle_request(sess, req: dict) -> dict:
                         "output": r.output}
             return {"id": rid, "ok": True, "output": r.output,
                     "wall_ms": round(r.wall_time * 1000, 3)}
+        if op == "execute_abi":
+            # typed execution protocol (≙ runmat-core execute_request ABI,
+            # run.rs:330-385): ordered streams, display events, workspace
+            # delta, warnings, figures touched, engine dispatch deltas
+            outcome = sess.execute_request(req.get("source", ""),
+                                           req.get("name", "<remote>"))
+            return {"id": rid, "ok": outcome.ok, **outcome.to_dict()}
         if op == "workspace":
             names = sess.workspace_names()
             return {"id": rid, "ok": True,

@@ -156,23 +156,58 @@ class Session:
 
     # -- output ---------------------------------------------------------------
 
-    def write(self, text: str) -> None:
+    def write(self, text: str, kind: str = "stdout") -> None:
         self.stdout.write(text)
         d = getattr(self, "_diary", None)
         if d is not None:  # diary tee (≙ runmat-runtime/src/console.rs diary)
             d.write(text)
+        rec = getattr(self, "_recorder", None)
+        if rec is not None:
+            rec.on_write(text, kind)
 
     def display_value(self, name: str, v) -> None:
         from .utils.display import format_value
+        rec = getattr(self, "_recorder", None)
+        if rec is not None:
+            rec.on_display(name, v)
         self.write(format_value(name, v))
+
+    def note_warning(self, identifier: str, message: str) -> None:
+        """Structured-warning hook for the execution ABI (≙ RuntimeWarning
+        entries on SessionExecutionResult, runmat-core execution/types.rs)."""
+        rec = getattr(self, "_recorder", None)
+        if rec is not None:
+            rec.on_warning(identifier, message)
 
     # -- execution -------------------------------------------------------------
 
     def execute(self, source: str, name: str = "<input>") -> ExecutionResult:
-        """Execute MATLAB source in the base workspace, capturing output."""
+        """Execute MATLAB source in the base workspace, capturing output.
+        Legacy surface: hosts that want the typed event protocol use
+        execute_request()."""
+        outcome = self.execute_request(source, name)
+        err = self.last_error if not outcome.ok else None
+        return ExecutionResult(outcome.output, err, outcome.wall_ms / 1e3)
+
+    def execute_request(self, source: str, name: str = "<input>"):
+        """Typed execution ABI (≙ runmat-core execute_request,
+        run.rs:330-385): returns an ExecutionOutcome with ordered stream
+        entries, display events, a workspace delta, structured warnings,
+        figures touched, and engine dispatch deltas."""
+        from .execution import (ExecutionOutcome, Recorder, workspace_delta,
+                                workspace_signature)
+        outcome = ExecutionOutcome()
+        rec = Recorder()
         buf = io.StringIO()
         old = self.stdout
         self.stdout = buf
+        self._recorder = rec
+        before = workspace_signature(self.base_frame.vars)
+        from .plot import figure as figmod
+        fig_mark = figmod.touch_log_len()
+        from .accel import active_engine
+        eng = active_engine()
+        stats0 = dict(eng.stats) if eng is not None else None
         t0 = time.perf_counter()
         err = None
         self.events.emit("runtime.run.started", unit=name,
@@ -184,16 +219,32 @@ class Session:
             self.last_error = e
         finally:
             self.stdout = old
+            self._recorder = None
         wall = time.perf_counter() - t0
+        outcome.wall_ms = wall * 1e3
+        outcome.streams = rec.streams
+        outcome.display_events = rec.display_events
+        outcome.warnings = rec.warnings
+        outcome.workspace_delta = workspace_delta(before,
+                                                  self.base_frame.vars)
+        outcome.figures_touched = figmod.touched_since(fig_mark)
+        if err is not None:
+            outcome.ok = False
+            outcome.error = {"identifier": err.identifier,
+                             "message": err.message,
+                             "stack": [{"name": fn, "line": ln}
+                                       for fn, ln in err.stack]}
+        if eng is not None and stats0 is not None:
+            delta = {k: v - stats0.get(k, 0) for k, v in eng.stats.items()
+                     if isinstance(v, (int, float)) and v != stats0.get(k, 0)}
+            outcome.engine = delta or None
         if self.events.enabled:
-            from .accel import active_engine
-            eng = active_engine()
             self.events.emit(
                 "runtime.run.finished", unit=name,
                 wall_ms=round(wall * 1e3, 3), ok=err is None,
                 error=err.identifier if err else None,
                 provider=dict(eng.stats) if eng is not None else None)
-        return ExecutionResult(buf.getvalue(), err, wall)
+        return outcome
 
     def run_source(self, source: str, name: str = "<input>") -> None:
         """Execute without capturing (raises MatError)."""
