@@ -35,9 +35,14 @@ def run_linear_static(mesh: TetMesh, E: float, nu: float,
     u_free = Kff.solve(ff.reshape(-1, 1)).reshape(-1)
     u = _expand(u_free, free, u_fix)
     disp = u.reshape(-1, 3)
-    return {"displacement": disp,
-            "max_displacement": float(np.abs(disp).max()),
-            "dofs": n}
+    # recovered result fields (≙ post/fields.rs recover_result_fields)
+    from .post import structural_fields
+    out = {"displacement": disp,
+           "max_displacement": float(np.abs(disp).max()),
+           "dofs": n}
+    out.update(structural_fields(mesh, disp, E, nu, K=K, f_applied=f,
+                                 fixed_dofs=fixed_dofs))
+    return out
 
 
 def run_modal(mesh: TetMesh, E: float, nu: float, rho: float,
@@ -92,7 +97,10 @@ def run_thermal(mesh: TetMesh, k: float, fixed: dict, heat: float = 0.0) -> dict
     Kff, ff, free, u_fix = apply_dirichlet(K, f, nodes, temps)
     t_free = Kff.solve(ff.reshape(-1, 1)).reshape(-1)
     T = _expand(t_free, free, u_fix)
+    from .post import heat_flux, nodal_average
+    q = heat_flux(mesh, T, k)
     return {"temperature": T, "max_temperature": float(T.max()),
+            "flux": q, "nodal_flux": nodal_average(mesh, q),
             "min_temperature": float(T.min())}
 
 
@@ -253,13 +261,16 @@ def run_nonlinear(mesh: TetMesh, E: float, nu: float,
         total_iters += info["iterations"]
         total_cuts += info["line_search_cuts"]
     disp = u_full.reshape(-1, 3)
-    return {"displacement": disp,
-            "max_displacement": float(np.abs(disp).max()),
-            "increments": n_increments,
-            "newton_iterations": total_iters,
-            "line_search_cuts": total_cuts,
-            "residual_norm": info["residual_norm"],
-            "converged": bool(info["converged"])}
+    from .post import structural_fields
+    out = {"displacement": disp,
+           "max_displacement": float(np.abs(disp).max()),
+           "increments": n_increments,
+           "newton_iterations": total_iters,
+           "line_search_cuts": total_cuts,
+           "residual_norm": info["residual_norm"],
+           "converged": bool(info["converged"])}
+    out.update(structural_fields(mesh, disp, E, nu))
+    return out
 
 
 def run_dynamics(mesh: TetMesh, E: float, nu: float, rho: float,

@@ -420,6 +420,27 @@ def _first_material(model):
     return m
 
 
+def _structural_field_arrays(r: dict) -> dict:
+    """Recovered structural fields -> MATLAB result-struct entries
+    (≙ post/fields.rs AnalysisField names)."""
+    out = {}
+    names = {"stress": "stress", "strain": "strain",
+             "von_mises": "vonMises", "nodal_von_mises": "nodalVonMises",
+             "principal": "principalStress",
+             "strain_energy_density": "strainEnergyDensity",
+             "reactions": "reactions"}
+    for key, mname in names.items():
+        if key in r:
+            a = np.asarray(r[key], np.float64)
+            if a.ndim == 1:
+                a = a.reshape(-1, 1)
+            out[mname] = MatArray(a, "double")
+    if "total_strain_energy" in r:
+        out["totalStrainEnergy"] = MatArray.scalar(
+            float(r["total_strain_energy"]))
+    return out
+
+
 @builtin("fea_run", category="fea", min_in=1, max_in=2, pass_ctx=True)
 def m_fea_run(study, opts=None, ctx=None):
     from ...fea import pipelines as P
@@ -460,6 +481,7 @@ def m_fea_run(study, opts=None, ctx=None):
     if physics in ("linear_static", "static"):
         r = P.run_linear_static(mesh, E, nu, fixed_nodes, forces)
         fields = {"displacement": MatArray(r["displacement"], "double")}
+        fields.update(_structural_field_arrays(r))
     elif physics == "modal":
         r = P.run_modal(mesh, E, nu, rho, fixed_nodes, n_modes=4)
         fields = {"frequencies": MatArray(
@@ -467,7 +489,9 @@ def m_fea_run(study, opts=None, ctx=None):
     elif physics == "thermal":
         r = P.run_thermal(mesh, kth, fixed_temp, heat=100.0)
         fields = {"temperature": MatArray(
-            np.asarray(r["temperature"]).reshape(-1, 1), "double")}
+            np.asarray(r["temperature"]).reshape(-1, 1), "double"),
+            "flux": MatArray(np.asarray(r["flux"]), "double"),
+            "nodalFlux": MatArray(np.asarray(r["nodal_flux"]), "double")}
     elif physics == "transient":
         r = P.run_transient(mesh, kth, rho * 450.0, fixed_temp,
                             T0=300.0, t_end=1.0, dt=0.1)
@@ -476,6 +500,7 @@ def m_fea_run(study, opts=None, ctx=None):
     elif physics == "nonlinear":
         r = P.run_nonlinear(mesh, E, nu, fixed_nodes, forces, n_increments=3)
         fields = {"displacement": MatArray(r["displacement"], "double")}
+        fields.update(_structural_field_arrays(r))
     elif physics in ("thermomechanical", "thermo_mechanical", "coupled"):
         hot_end = {int(i): 400.0 for i in free_end}
         temps = dict(fixed_temp)
