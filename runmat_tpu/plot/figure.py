@@ -80,6 +80,26 @@ class Surface:
         self.depth = None
 
 
+class TriMesh:
+    """Indexed triangle soup: isosurfaces, trisurf/trimesh, FEA results.
+    Rendered lit + painter-sorted like Surface, but over arbitrary
+    connectivity (≙ runmat-plot patch/volume vertex pipelines)."""
+    kind = "trimesh"
+
+    def __init__(self, verts, faces, cvals=None, facecolor=None,
+                 edgecolor=None, style="flat", alpha=1.0, label=None):
+        self.verts = np.asarray(verts, np.float64)       # (N, 3)
+        self.faces = np.asarray(faces, np.int64)         # (M, 3)
+        # per-vertex scalars -> colormap; None -> solid facecolor
+        self.cvals = None if cvals is None else \
+            np.asarray(cvals, np.float64).reshape(-1)
+        self.facecolor = facecolor
+        self.edgecolor = edgecolor
+        self.style = style          # 'flat' | 'interp' | 'mesh'
+        self.alpha = float(alpha)
+        self.label = label
+
+
 class Light:
     """Infinite (directional) light (≙ MATLAB light object; reference:
     runmat-plot/src/gpu/{surface,axis}.rs lighting uniforms)."""
@@ -178,6 +198,10 @@ class Axes:
                 xs.append(ch.X.reshape(-1))
                 ys.append(ch.Y.reshape(-1))
                 zs.append(ch.Z.reshape(-1))
+            elif ch.kind == "trimesh":
+                xs.append(ch.verts[:, 0])
+                ys.append(ch.verts[:, 1])
+                zs.append(ch.verts[:, 2])
         def rng(vals, lim):
             if lim is not None:
                 return lim

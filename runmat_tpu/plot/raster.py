@@ -279,6 +279,17 @@ def render_png(fig) -> bytes:
                 draw_surface(cv, m, ax, ch,
                              max_faces=(400 if getattr(fig, "draft", False)
                                         else 6000))
+            elif ch.kind == "trimesh":
+                from .shade3d import trimesh_polys
+                for qx, qy, face, edge in trimesh_polys(
+                        m, ax, ch,
+                        max_faces=(800 if getattr(fig, "draft", False)
+                                   else 8000)):
+                    if face is not None:
+                        cv.fill_poly(np.asarray(qx), np.asarray(qy), face)
+                    if edge is not None:
+                        cv.polyline(np.append(qx, qx[0]),
+                                    np.append(qy, qy[0]), edge, 1)
             elif ch.kind == "image":
                 x0, x1, y0, y1 = ch.extent
                 pa, pb = m.map2(x0, y0)

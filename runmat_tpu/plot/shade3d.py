@@ -186,3 +186,59 @@ def surface_polys_svg(m, ax, s, max_faces=1500):
             ((0.25, 0.25, 0.3) if edges else None)
         out.append((qx, qy, face, edge))
     return out
+
+
+def trimesh_polys(m, ax, t, max_faces=4000):
+    """Painter-sorted shaded triangles for a figure.TriMesh:
+    [(xs, ys, face_rgb_or_None, edge_rgb_or_None), ...]. Decimates to
+    max_faces by uniform face stride (the draft-orbit proxy path)."""
+    from .colors import colormap
+
+    V, F = t.verts, t.faces
+    if F.shape[0] == 0:
+        return []
+    if F.shape[0] > max_faces:
+        F = F[::int(np.ceil(F.shape[0] / max_faces))]
+    # per-vertex base colors
+    if t.cvals is not None:
+        cm = colormap(ax.cmap)
+        clim = ax.clim or (float(np.nanmin(t.cvals)),
+                           float(np.nanmax(t.cvals)))
+        vcol = _vertex_colors(t.cvals, cm, clim)         # (N, 3)
+    else:
+        base = t.facecolor if t.facecolor is not None else (0.3, 0.5, 0.8)
+        vcol = np.tile(np.asarray(base, np.float64), (V.shape[0], 1))
+    px, py, depth = m.map3(V[:, 0], V[:, 1], V[:, 2])
+    lit = ax.lights and ax.lighting != "none"
+    fshade = None
+    if lit:
+        lims = m.lims
+        P = np.stack([
+            (V[:, 0] - lims[0][0]) / ((lims[0][1] - lims[0][0]) or 1),
+            (V[:, 1] - lims[1][0]) / ((lims[1][1] - lims[1][0]) or 1),
+            (V[:, 2] - lims[2][0]) / ((lims[2][1] - lims[2][0]) or 1)],
+            axis=-1)
+        tp = P[F]
+        n = np.cross(tp[:, 1] - tp[:, 0], tp[:, 2] - tp[:, 0])
+        ln = np.linalg.norm(n, axis=1, keepdims=True)
+        n = n / np.where(ln == 0, 1.0, ln)
+        fshade = AMBIENT + DIFFUSE * np.clip(
+            np.abs(n @ _light_dir(ax.lights)), 0, 1)     # (M,)
+    fdepth = depth[F].mean(axis=1)
+    order = np.argsort(fdepth)
+    mesh_only = t.style == "mesh"
+    out = []
+    for fi in order:
+        tri = F[fi]
+        qx = [float(px[i]) for i in tri]
+        qy = [float(py[i]) for i in tri]
+        base = vcol[tri].mean(axis=0)
+        if fshade is not None:
+            base = base * fshade[fi]
+        face = None if mesh_only else tuple(np.clip(base, 0, 1))
+        if mesh_only:
+            edge = tuple(np.clip(vcol[tri].mean(axis=0), 0, 1))
+        else:
+            edge = t.edgecolor
+        out.append((qx, qy, face, edge))
+    return out

@@ -255,6 +255,19 @@ def _render_axes(ax: Axes, W: int, H: int, draft: bool = False) -> str:
                            f'stroke-width="0.5"/>')
             if ch.label:
                 legend_entries.append((ch.label, (0.2, 0.45, 0.7)))
+        elif ch.kind == "trimesh":
+            from .shade3d import trimesh_polys
+            for qx, qy, face, edge in trimesh_polys(
+                    m, ax, ch, max_faces=(600 if draft else 4000)):
+                pts = " ".join(f"{x:.2f},{y:.2f}" for x, y in zip(qx, qy)
+                               if math.isfinite(x) and math.isfinite(y))
+                fc = css(face) if face is not None else "none"
+                ec = css(edge) if edge is not None else "none"
+                out.append(f'<polygon points="{pts}" fill="{fc}" stroke="{ec}" '
+                           f'stroke-width="0.4"/>')
+            if ch.label:
+                legend_entries.append((ch.label, ch.facecolor
+                                       or (0.3, 0.5, 0.8)))
         elif ch.kind == "image":
             out.append(_image_svg(m, ch))
         elif ch.kind == "text":

@@ -439,6 +439,9 @@ def m_ind2sub(sz, ind, nargout=1):
 def m_meshgrid(x, y=None, z=None, nargout=1):
     xv = x.host().reshape(-1)
     yv = y.host().reshape(-1) if y is not None else xv
+    if z is None and y is None and nargout >= 3:
+        # [X,Y,Z] = meshgrid(x): 3-D grid from the single vector
+        z = x
     if z is None:
         X, Y = np.meshgrid(xv, yv)
         res = [MatArray(X.astype(np.float64), "double"), MatArray(Y.astype(np.float64), "double")]

@@ -607,8 +607,80 @@ def _patch_impl(ax, cols_xyz, c, rest, nargout):
     return GObj("patch", p) if nargout else None
 
 
-@builtin("patch", category="plotting/ops", min_in=2, pass_nargout=True)
-def m_patch(x, y, *rest, nargout=0):
+def _patch_fv(verts, faces, rest, nargout):
+    """patch from a face-vertex set: renders through the lit TriMesh
+    pipeline (isosurface/trisurf share it)."""
+    ax = _prep_ax()
+    ax.is3d = True
+    V = verts.host().astype(np.float64)
+    F = faces.host().astype(np.int64) - 1
+    if V.shape[1] == 2:
+        V = np.column_stack([V, np.zeros(V.shape[0])])
+        ax.is3d = False
+    t = figmod.TriMesh(V, F, facecolor=(0.3, 0.5, 0.8))
+    i = 0
+    rest = list(rest)
+    while i + 1 < len(rest):
+        name = text_of(rest[i]).lower() if is_text(rest[i]) else ""
+        val = rest[i + 1]
+        if name == "facecolor":
+            if is_text(val):
+                tname = text_of(val).lower()
+                if tname == "none":
+                    t.style = "mesh"
+                elif tname not in ("flat", "interp"):
+                    from ...plot.colors import NAMED
+                    t.facecolor = NAMED.get(tname, t.facecolor)
+            else:
+                t.facecolor = tuple(_np1(val)[:3])
+        elif name == "edgecolor":
+            if is_text(val):
+                from ...plot.colors import NAMED
+                t.edgecolor = None if text_of(val).lower() == "none" \
+                    else NAMED.get(text_of(val).lower(), (0, 0, 0))
+            else:
+                t.edgecolor = tuple(_np1(val)[:3])
+        elif name == "facevertexcdata":
+            t.cvals = fortran_ravel(val.host().astype(np.float64))
+            t.style = "interp"
+        elif name == "facealpha":
+            t.alpha = float(_np1(val)[0])
+        i += 2
+    ax.add(t)
+    if t.cvals is not None:
+        ax.clim = ax.clim or (float(np.nanmin(t.cvals)),
+                              float(np.nanmax(t.cvals)))
+    return GObj("patch", t) if nargout else None
+
+
+@builtin("patch", category="plotting/ops", min_in=1, pass_nargout=True)
+def m_patch(x, y=None, *rest, nargout=0):
+    # patch(fv) / patch(fv, 'Prop', val, ...): face-vertex struct
+    if isinstance(x, StructArray) and x.is_scalar and \
+            "vertices" in x.fields and "faces" in x.fields:
+        pre = [] if y is None else [y]
+        return _patch_fv(x.get_scalar_field("vertices"),
+                         x.get_scalar_field("faces"),
+                         pre + list(rest), nargout)
+    # patch('Vertices', V, 'Faces', F, 'Prop', val, ...)
+    if is_text(x) and text_of(x).lower() in ("vertices", "faces"):
+        pairs = [x, y] + list(rest)
+        props = {}
+        other = []
+        i = 0
+        while i + 1 < len(pairs):
+            nm = text_of(pairs[i]).lower() if is_text(pairs[i]) else ""
+            if nm in ("vertices", "faces"):
+                props[nm] = pairs[i + 1]
+            else:
+                other += [pairs[i], pairs[i + 1]]
+            i += 2
+        if "vertices" in props and "faces" in props:
+            return _patch_fv(props["vertices"], props["faces"], other,
+                             nargout)
+    if y is None:
+        raise bad_arg("patch", "Expected coordinate matrices or a "
+                               "face-vertex struct.")
     ax = _prep_ax()
     rest = list(rest)
     c = None
