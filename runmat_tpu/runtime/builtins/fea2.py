@@ -571,16 +571,41 @@ def m_fea_field(run, name):
 
 @builtin("fea_plot", category="fea", min_in=2, max_in=2, pass_ctx=True)
 def m_fea_plot(run, name, ctx=None):
+    """Render the mesh boundary surface colored by the (nodal) field —
+    element fields are averaged to nodes first (≙ the reference's field
+    visualization through the runmat-plot patch pipeline)."""
     field = m_fea_field(run, name)
     h = field.host().astype(np.float64)
+    mesh = run.get_scalar_field("mesh")
+    nodes = mesh.get_scalar_field("nodes").host().astype(np.float64)
+    tets = mesh.get_scalar_field("elements").host().astype(np.int64) - 1
     mag = np.linalg.norm(h, axis=1) if h.ndim == 2 and h.shape[1] > 1 \
         else h.reshape(-1)
-    mesh = run.get_scalar_field("mesh")
-    nodes = mesh.get_scalar_field("nodes").host()
-    ctx.interp.call_named("scatter3", [
-        MatArray(nodes[:, 0].reshape(-1, 1), "double"),
-        MatArray(nodes[:, 1].reshape(-1, 1), "double"),
-        MatArray(nodes[:, 2].reshape(-1, 1), "double")], 0, ctx.frame)
+    if mag.size == tets.shape[0]:                 # element field -> nodal
+        from ...fea.mesh import TetMesh
+        from ...fea.post import nodal_average
+        mag = nodal_average(TetMesh(nodes, tets, None, None), mag)
+    # boundary triangles: tet faces seen exactly once
+    faces = np.concatenate([tets[:, c] for c in
+                            ((0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3))])
+    key = np.sort(faces, axis=1)
+    uniq, inv, cnt = np.unique(key, axis=0, return_inverse=True,
+                               return_counts=True)
+    bfaces = faces[np.nonzero(cnt[inv] == 1)[0]]
+    from ...plot import figure as figmod
+    from .plotting import _prep_ax
+    ax = _prep_ax()
+    ax.is3d = True
+    if mag.size == nodes.shape[0] and bfaces.size:
+        t = figmod.TriMesh(nodes, bfaces, cvals=mag, style="interp")
+        ax.add(t)
+        ax.clim = (float(np.nanmin(mag)), float(np.nanmax(mag)))
+    else:                                         # fallback: node cloud
+        ctx.interp.call_named("scatter3", [
+            MatArray(nodes[:, 0].reshape(-1, 1), "double"),
+            MatArray(nodes[:, 1].reshape(-1, 1), "double"),
+            MatArray(nodes[:, 2].reshape(-1, 1), "double")], 0, ctx.frame)
+    figmod.bump_rev()
     return MatArray(mag.reshape(-1, 1), "double")
 
 

@@ -110,3 +110,19 @@ def test_matlab_surface_exposes_recovered_fields():
     assert float(s.get("pk").host().reshape(-1)[0]) > 0
     vm = s.get("vm").host()
     assert vm.ndim == 2 and (vm >= 0).all() and vm.max() > 0
+
+
+def test_fea_plot_renders_boundary_trimesh():
+    from runmat_tpu.plot import figure as figmod
+    from runmat_tpu.plot.raster import render_png
+    s = run(
+        "geom.box = [2 1 0.5]; geom.resolution = 4;"
+        "m = fea.model(geom, fea.material('E', 210e9, 'nu', 0.3));"
+        "r = fea.run(fea.study(m, 'linear_static'));"
+        "v = fea.plot(r, 'vonMises'); mx = max(v);")
+    assert float(s.get("mx").host().reshape(-1)[0]) > 0
+    fig = figmod.current_figure()
+    tm = [ch for ax in fig.axes for ch in ax.children
+          if ch.kind == "trimesh"]
+    assert tm and tm[0].cvals is not None
+    assert render_png(fig)[:4] == b"\x89PNG"
