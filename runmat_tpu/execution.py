@@ -38,6 +38,14 @@ def value_meta(v, preview_lines: int = 8) -> dict:
         elif not v.on_device:
             h = v.host()
             d["bytes"] = int(getattr(h, "nbytes", 0) or 0)
+    if isinstance(v, MatArray) and v.on_device:
+        # NEVER gather for an implicit preview — formatting a device
+        # array materializes it to host and strips residency, silently
+        # breaking the lazy DAG after every execute (and costing a full
+        # device->host transfer per updated workspace variable)
+        shp = "x".join(str(int(s)) for s in (shape or ()))
+        d["preview"] = f"[{shp} {class_name(v)} gpuArray]"
+        return d
     try:
         from .utils.display import format_value
         text = format_value("", v)

@@ -117,3 +117,22 @@ def test_engine_delta_reported_when_accelerated():
     assert o.engine is not None
     assert any(k in o.engine for k in ("dispatches", "compiles",
                                        "cache_hits", "uploads", "gathers"))
+
+
+def test_workspace_delta_preview_never_gathers():
+    """The implicit upsert preview must not materialize device arrays:
+    residency survives execute_request and the preview is synthetic."""
+    import pytest
+    try:
+        s = Session(accelerate=True)
+    except Exception:
+        pytest.skip("no acceleration engine")
+    from runmat_tpu.accel import active_engine
+    if active_engine() is None:
+        pytest.skip("no acceleration engine")
+    o = s.execute_request("x = gpuArray(1:100); y = cumsum(x) + 1;")
+    assert o.ok
+    assert s.get("y").on_device            # preview did not gather
+    up = {u["name"]: u for u in o.workspace_delta.upserts}
+    assert up["y"]["on_device"] is True
+    assert "gpuArray" in up["y"]["preview"]
