@@ -97,6 +97,40 @@ class Surface:
     def is_planar(self):
         return False
 
+    def max_curvature(self, uv):
+        """|largest principal curvature| at each uv (n,) — drives the
+        curvature-adaptive sizing field (≙ runmat-meshing/size). The
+        generic path evaluates the fundamental forms numerically;
+        analytic surfaces override with closed forms."""
+        uv = np.asarray(uv, np.float64)
+        su, sv = self.uv_scales()
+        hu, hv = 1e-4 / max(su, 1e-12), 1e-4 / max(sv, 1e-12)
+        du = np.array([hu, 0.0])
+        dv = np.array([0.0, hv])
+        P = self.point(uv)
+        Pu = (self.point(uv + du) - self.point(uv - du)) / (2 * hu)
+        Pv = (self.point(uv + dv) - self.point(uv - dv)) / (2 * hv)
+        Puu = (self.point(uv + du) - 2 * P + self.point(uv - du)) / hu ** 2
+        Pvv = (self.point(uv + dv) - 2 * P + self.point(uv - dv)) / hv ** 2
+        Puv = (self.point(uv + du + dv) - self.point(uv + du - dv)
+               - self.point(uv - du + dv) + self.point(uv - du - dv)) \
+            / (4 * hu * hv)
+        n = np.cross(Pu, Pv)
+        nn = np.linalg.norm(n, axis=1, keepdims=True)
+        n = n / np.where(nn < 1e-300, 1.0, nn)
+        E = np.einsum("ij,ij->i", Pu, Pu)
+        F = np.einsum("ij,ij->i", Pu, Pv)
+        G = np.einsum("ij,ij->i", Pv, Pv)
+        L = np.einsum("ij,ij->i", Puu, n)
+        M = np.einsum("ij,ij->i", Puv, n)
+        N = np.einsum("ij,ij->i", Pvv, n)
+        den = E * G - F * F
+        den = np.where(np.abs(den) < 1e-300, 1.0, den)
+        H = (E * N - 2 * F * M + G * L) / (2 * den)     # mean curvature
+        K = (L * N - M * M) / den                       # Gaussian
+        disc = np.sqrt(np.maximum(H * H - K, 0.0))
+        return np.maximum(np.abs(H + disc), np.abs(H - disc))
+
 
 class Plane(Surface):
     def __init__(self, frame: Frame):
@@ -112,6 +146,9 @@ class Plane(Surface):
 
     def is_planar(self):
         return True
+
+    def max_curvature(self, uv):
+        return np.zeros(np.asarray(uv).reshape(-1, 2).shape[0])
 
 
 class Cylinder(Surface):
@@ -133,6 +170,10 @@ class Cylinder(Surface):
 
     def uv_scales(self):
         return self.r, 1.0
+
+    def max_curvature(self, uv):
+        n = np.asarray(uv).reshape(-1, 2).shape[0]
+        return np.full(n, 1.0 / max(abs(self.r), 1e-12))
 
 
 class Cone(Surface):
@@ -166,6 +207,11 @@ class Cone(Surface):
     def uv_scales(self):
         return max(abs(self.r), 1e-6), 1.0
 
+    def max_curvature(self, uv):
+        uv = np.asarray(uv, np.float64).reshape(-1, 2)
+        rad = np.abs(self.r + uv[:, 1] * np.sin(self.a))
+        return np.abs(np.cos(self.a)) / np.maximum(rad, 1e-12)
+
 
 class SphereSurf(Surface):
     """S(u,v) = o + r(cos v cos u x + cos v sin u y + sin v z)."""
@@ -198,6 +244,10 @@ class SphereSurf(Surface):
     def natural_domain(self):
         return (0.0, 2 * np.pi), (-np.pi / 2, np.pi / 2)
 
+    def max_curvature(self, uv):
+        n = np.asarray(uv).reshape(-1, 2).shape[0]
+        return np.full(n, 1.0 / max(abs(self.r), 1e-12))
+
 
 class Torus(Surface):
     """S(u,v) = o + (R + r cos v)(cos u x + sin u y) + r sin v z."""
@@ -226,6 +276,15 @@ class Torus(Surface):
 
     def natural_domain(self):
         return (0.0, 2 * np.pi), (0.0, 2 * np.pi)
+
+    def max_curvature(self, uv):
+        uv = np.asarray(uv, np.float64).reshape(-1, 2)
+        v = uv[:, 1]
+        k2 = np.abs(np.cos(v)) / np.maximum(
+            np.abs(self.R + self.r * np.cos(v)), 1e-12)
+        return np.maximum(1.0 / max(abs(self.r), 1e-12), k2)
+
+
 
 
 # --------------------------------------------------------------------------- #

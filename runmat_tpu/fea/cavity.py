@@ -468,14 +468,19 @@ def optimize_dihedral(mesh: TetMesh, min_angle: float = 5.0,
     for _ in range(iters):
         if best >= min_angle:
             break
+        # reconnect is monotone (each flip raises the LOCAL min radius-
+        # ratio, touching nothing else) — always take its result, even
+        # when the single worst dihedral is untouched by any legal flip
         m2 = reconnect(TetMesh(nodes, tets, None, None))
         q2 = float(dihedral_angles(m2.nodes, m2.tets).min()) \
             if m2.tets.size else 180.0
-        if q2 > best:
+        if m2.tets.shape != tets.shape or (m2.tets != tets).any():
             nodes, tets = m2.nodes, m2.tets
-            best = q2
             boundary = _boundary_vertices(tets)
-            continue
+            if q2 > best:
+                best = q2
+                continue
+            best = min(best, q2)
         moved = _smooth_interior(nodes, tets, boundary)
         q3 = float(dihedral_angles(moved, tets).min()) if tets.size else 180.0
         if q3 > best + 1e-9:
@@ -532,7 +537,22 @@ def mesh_plc(surf_verts: np.ndarray, surf_faces: np.ndarray,
     `h` > 0 seeds interior points on an h-grid for element sizing."""
     sv = np.asarray(surf_verts, np.float64)
     sf = np.asarray(surf_faces, np.int64)
-    pts = sv.copy()
+    if callable(h):
+        # sizing-field-driven meshing (≙ runmat-meshing/size background
+        # fields): FIRST remesh the shell to the field — a coarse B-rep
+        # tessellation next to fine interior seeds breeds spire slivers
+        # (fine seed cluster joined to a distant shell vertex) — THEN
+        # seed the interior with octree leaves sized to h(x)
+        from .sizing import adaptive_seeds
+        from .surface import refine_surface
+        sv, sf = refine_surface(sv, sf, h, iters=3)
+        pts = sv.copy()
+        seeds = adaptive_seeds(sv, sf, h)
+        if len(seeds):
+            pts = np.vstack([pts, seeds])
+        h = 0.0
+    else:
+        pts = sv.copy()
     if h and h > 0:
         from .surface import points_inside
         lo = sv.min(axis=0)
@@ -545,11 +565,13 @@ def mesh_plc(surf_verts: np.ndarray, surf_faces: np.ndarray,
             rng = np.random.default_rng(0)
             G = G + (rng.random(G.shape) - 0.5) * 0.2 * h
             inside = points_inside(sv, sf, G)
-            # keep seeds clear of the surface vertices
+            # keep seeds clear of the surface itself (exact point-to-
+            # triangle distance; vertex distance alone lets seeds graze
+            # large facets and breeds slivers)
             if inside.any():
+                from .surface import dist_to_surface
                 cand = G[inside]
-                d = np.min(np.linalg.norm(
-                    cand[:, None, :] - sv[None, :, :], axis=2), axis=1)
+                d = dist_to_surface(sv, sf, cand)
                 pts = np.vstack([pts, cand[d > 0.4 * h]])
     verts, tets, faces = recover_boundary(pts, sf,
                                           n_protected=sv.shape[0])

@@ -77,6 +77,61 @@ def points_inside(verts: np.ndarray, faces: np.ndarray,
     return inside
 
 
+def dist_to_surface(verts: np.ndarray, faces: np.ndarray,
+                    pts: np.ndarray) -> np.ndarray:
+    """Exact unsigned distance from each point to the triangulated
+    surface (vectorized closest-point-on-triangle, Ericson RTCD §5.1.5).
+    Seed-clearance tests must use this, not vertex distance — a point can
+    be far from every shell VERTEX yet touch a large facet, which is
+    exactly the sliver generator on coarsely tessellated B-rep shells."""
+    tri = np.asarray(verts, np.float64)[np.asarray(faces, np.int64)]
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]    # (F, 3)
+    ab, ac, bc = b - a, c - a, c - b
+    pts = np.atleast_2d(np.asarray(pts, np.float64))
+    out = np.empty(pts.shape[0])
+    for lo in range(0, pts.shape[0], 1024):
+        p = pts[lo:lo + 1024][:, None, :]        # (P, 1, 3)
+        ap, bp, cp = p - a, p - b, p - c         # (P, F, 3)
+        d1 = np.einsum("fj,pfj->pf", ab, ap)
+        d2 = np.einsum("fj,pfj->pf", ac, ap)
+        d3 = np.einsum("fj,pfj->pf", ab, bp)
+        d4 = np.einsum("fj,pfj->pf", ac, bp)
+        d5 = np.einsum("fj,pfj->pf", ab, cp)
+        d6 = np.einsum("fj,pfj->pf", ac, cp)
+        vc = d1 * d4 - d3 * d2
+        vb = d5 * d2 - d1 * d6
+        va = d3 * d6 - d5 * d4
+        # interior barycentric projection (generic case)
+        den = va + vb + vc
+        den = np.where(np.abs(den) < 1e-300, 1.0, den)
+        v = vb / den
+        w = vc / den
+        q = a + v[..., None] * ab + w[..., None] * ac
+        # edge AB region
+        t = d1 / np.where(np.abs(d1 - d3) < 1e-300, 1.0, d1 - d3)
+        on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+        q = np.where(on_ab[..., None],
+                     a + np.clip(t, 0, 1)[..., None] * ab, q)
+        # edge AC region
+        t = d2 / np.where(np.abs(d2 - d6) < 1e-300, 1.0, d2 - d6)
+        on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+        q = np.where(on_ac[..., None],
+                     a + np.clip(t, 0, 1)[..., None] * ac, q)
+        # edge BC region
+        num, dnm = d4 - d3, (d4 - d3) + (d5 - d6)
+        t = num / np.where(np.abs(dnm) < 1e-300, 1.0, dnm)
+        on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+        q = np.where(on_bc[..., None],
+                     b + np.clip(t, 0, 1)[..., None] * bc, q)
+        # vertex regions
+        q = np.where(((d1 <= 0) & (d2 <= 0))[..., None], a, q)
+        q = np.where(((d3 >= 0) & (d4 <= d3))[..., None], b, q)
+        q = np.where(((d6 >= 0) & (d5 <= d6))[..., None], c, q)
+        out[lo:lo + 1024] = np.linalg.norm(
+            pts[lo:lo + 1024][:, None, :] - q, axis=2).min(axis=1)
+    return out
+
+
 # --------------------------------------------------------------------------- #
 # surface-bounded Delaunay meshing
 # --------------------------------------------------------------------------- #
@@ -173,26 +228,56 @@ def smooth_pinned(mesh: TetMesh, n_pinned: int, iters: int = 5) -> TetMesh:
 # reconnection: 2-3 face flips (≙ tetrahedron/src/reconnect)
 # --------------------------------------------------------------------------- #
 
-def reconnect(mesh: TetMesh, max_flips: int = 200) -> TetMesh:
-    """Quality-driven 2-3 face flips: an interior face shared by two tets is
-    replaced by three tets around the opposite-vertex edge whenever that
-    raises the local minimum radius-ratio. Bounded passes keep it a cheap
-    cleanup after smoothing, not a full kernel."""
+def reconnect(mesh: TetMesh, max_flips: int = None) -> TetMesh:
+    """Quality-driven local reconnection: 2-3 face flips (interior face ->
+    edge) and 3-2 edge flips (3-tet interior edge -> face) accepted when
+    they raise the LOCAL minimum radius-ratio — so every flip is monotone
+    in the global minimum too. The 3-2 flip is what removes boundary
+    pancake slivers (all four vertices on the shell); 2-3 alone cannot."""
     from .delaunay import _radius_ratio, _tet_volumes
 
     nodes = mesh.nodes
     tets = [tuple(t) for t in mesh.tets]
+    if max_flips is None:
+        max_flips = max(200, len(tets))
     flips = 0
     changed = True
     while changed and flips < max_flips:
         changed = False
         face_map: dict = {}
+        edge_map: dict = {}
         for ti, t in enumerate(tets):
             for f in ((t[0], t[1], t[2]), (t[0], t[1], t[3]),
                       (t[0], t[2], t[3]), (t[1], t[2], t[3])):
                 face_map.setdefault(tuple(sorted(f)), []).append(ti)
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    e = (min(t[i], t[j]), max(t[i], t[j]))
+                    edge_map.setdefault(e, []).append(ti)
         dead: set = set()
         added: list = []
+
+        def try_swap(owners, new):
+            """Accept old->new when volume is conserved and the local min
+            radius-ratio strictly improves. Returns True on accept."""
+            old_arr = np.array([tets[ti] for ti in owners])
+            new_arr = np.array(new)
+            vol_new = _tet_volumes(nodes, new_arr)
+            if (np.abs(vol_new) < 1e-14).any():
+                return False
+            neg = vol_new < 0
+            new_arr[neg, 0], new_arr[neg, 1] = \
+                new_arr[neg, 1].copy(), new_arr[neg, 0].copy()
+            if abs(np.abs(vol_new).sum()
+                   - np.abs(_tet_volumes(nodes, old_arr)).sum()) > 1e-10:
+                return False   # would change covered volume (boundary)
+            if _radius_ratio(nodes, new_arr).min() <= \
+                    _radius_ratio(nodes, old_arr).min() + 1e-9:
+                return False
+            dead.update(owners)
+            added.extend(tuple(t) for t in new_arr)
+            return True
+
         for face, owners in face_map.items():
             if len(owners) != 2 or flips >= max_flips:
                 continue
@@ -205,24 +290,28 @@ def reconnect(mesh: TetMesh, max_flips: int = 200) -> TetMesh:
                 continue
             pa, pb = a[0], b[0]
             f0, f1, f2 = face
-            new = [(pa, pb, f0, f1), (pa, pb, f1, f2), (pa, pb, f2, f0)]
-            old_arr = np.array([tets[ta], tets[tb]])
-            new_arr = np.array(new)
-            vol_new = _tet_volumes(nodes, new_arr)
-            if (np.abs(vol_new) < 1e-14).any():
+            if try_swap(owners, [(pa, pb, f0, f1), (pa, pb, f1, f2),
+                                 (pa, pb, f2, f0)]):
+                flips += 1
+                changed = True
+        for edge, owners in edge_map.items():
+            if len(owners) != 3 or flips >= max_flips:
                 continue
-            # orient positive
-            neg = vol_new < 0
-            new_arr[neg, 0], new_arr[neg, 1] = \
-                new_arr[neg, 1].copy(), new_arr[neg, 0].copy()
-            if np.abs(vol_new).sum() - \
-                    np.abs(_tet_volumes(nodes, old_arr)).sum() > 1e-10:
-                continue   # flip would change covered volume (boundary face)
-            q_old = _radius_ratio(nodes, old_arr).min()
-            q_new = _radius_ratio(nodes, new_arr).min()
-            if q_new > q_old + 1e-9:
-                dead.update(owners)
-                added.extend(tuple(t) for t in new_arr)
+            if any(ti in dead for ti in owners):
+                continue
+            ea, eb = edge
+            ring = set()
+            for ti in owners:
+                ring.update(x for x in tets[ti] if x != ea and x != eb)
+            if len(ring) != 3:
+                continue
+            c, d, e = sorted(ring)
+            # the 3 tets around (ea,eb) become 2 around face (c,d,e);
+            # the edge must be interior: face (c,d,e) not already present
+            if tuple(sorted((c, d, e))) in face_map and \
+                    len(face_map[tuple(sorted((c, d, e)))]) >= 2:
+                continue
+            if try_swap(owners, [(c, d, e, ea), (c, e, d, eb)]):
                 flips += 1
                 changed = True
         if changed:
@@ -459,9 +548,12 @@ def refine_surface(verts: np.ndarray, faces: np.ndarray, h,
             a, b = e
             if a in touched or b in touched:
                 continue
-            if a in sharp_v and b in sharp_v:
-                continue
             L = float(np.linalg.norm(v[a] - v[b]))
+            # both-sharp edges are pinned — EXCEPT coincident vertices
+            # (midpoint collapses can land two verts on the same point;
+            # merging them moves no geometry, so sharpness is moot)
+            if a in sharp_v and b in sharp_v and L > 1e-12:
+                continue
             if L >= 0.8 * float(target((v[a] + v[b]) / 2.0)[0]):
                 continue
             # link condition: shared neighbors of a and b must be exactly
@@ -492,6 +584,64 @@ def refine_surface(verts: np.ndarray, faces: np.ndarray, h,
             ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & \
                 (f[:, 0] != f[:, 2])
             f = f[ok]
+        # ---- 2.5) edge flips (the Botsch-Kobbelt equalization step):
+        # flip a near-coplanar edge when it raises the min quality of its
+        # two triangles and creates no fold-over or duplicate edge.
+        # Without this, repeated midpoint splits accumulate skinny
+        # triangles that no amount of collapsing or smoothing repairs.
+        ef = _edge_faces(f)
+        norms = {}
+        for fi, (a, b, c) in enumerate(f):
+            n = np.cross(v[b] - v[a], v[c] - v[a])
+            nn = np.linalg.norm(n)
+            norms[fi] = n / nn if nn > 1e-300 else np.zeros(3)
+
+        def _tq(t):
+            pa, pb, pc = v[t[0]], v[t[1]], v[t[2]]
+            ar = 0.5 * np.linalg.norm(np.cross(pb - pa, pc - pa))
+            s = ((pb - pa) ** 2).sum() + ((pc - pa) ** 2).sum() \
+                + ((pc - pb) ** 2).sum()
+            return 4.0 * math.sqrt(3.0) * ar / s if s > 1e-300 else 0.0
+
+        edge_set = set(ef.keys())
+        consumed: set = set()
+        fmut = [tuple(map(int, t)) for t in f]
+        for e, fl in ef.items():
+            if len(fl) != 2:
+                continue
+            f1, f2 = fl
+            if f1 in consumed or f2 in consumed:
+                continue
+            # a degenerate (zero-area) face has no meaningful normal and
+            # may ALWAYS be flipped — flipping it away changes no geometry
+            degen = np.linalg.norm(norms[f1]) < 0.5 \
+                or np.linalg.norm(norms[f2]) < 0.5
+            if not degen and float(norms[f1] @ norms[f2]) \
+                    < math.cos(math.radians(10)):
+                continue                       # curved/sharp: leave alone
+            a, b = e
+            t1, t2 = fmut[f1], fmut[f2]
+            c = next(x for x in t1 if x not in e)
+            d = next(x for x in t2 if x not in e)
+            if c == d or tuple(sorted((c, d))) in edge_set:
+                continue
+            i = t1.index(a)
+            if t1[(i + 1) % 3] != b:           # orient t1 as a->b
+                a, b = b, a
+            new1, new2 = (a, d, c), (d, b, c)
+            if min(_tq(new1), _tq(new2)) <= min(_tq(t1), _tq(t2)) + 1e-12:
+                continue
+            base = norms[f1] + norms[f2]
+            n1 = np.cross(v[d] - v[a], v[c] - v[a])
+            n2 = np.cross(v[b] - v[d], v[c] - v[d])
+            if float(n1 @ base) <= 0 or float(n2 @ base) <= 0:
+                continue                       # fold-over
+            fmut[f1], fmut[f2] = new1, new2
+            consumed.update((f1, f2))
+            edge_set.discard(tuple(sorted((a, b))))
+            edge_set.add(tuple(sorted((c, d))))
+        if consumed:
+            f = np.array(fmut, dtype=np.int64)
         # ---- 3) tangential smoothing, feature edges pinned
         ef = _edge_faces(f)
         normals = {}
@@ -529,6 +679,18 @@ def refine_surface(verts: np.ndarray, faces: np.ndarray, h,
         pin = np.zeros(v.shape[0], dtype=bool)
         pin[list(sharp)] = True
         v = np.where(pin[:, None], v, v + move)
+        # ---- 4) weld exactly-coincident vertices (midpoint collapses on
+        # structured grids can land two verts on the same point without an
+        # edge between them) and drop the then-degenerate faces
+        wtol = max(float((v.max(axis=0) - v.min(axis=0)).max()), 1.0) * 1e-9
+        key = np.round(v / wtol).astype(np.int64)
+        _, first, inv = np.unique(key, axis=0, return_index=True,
+                                  return_inverse=True)
+        if first.size < v.shape[0]:
+            f = first[inv][f]
+            ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & \
+                (f[:, 0] != f[:, 2])
+            f = f[ok]
         # compact unused vertices
         used = np.unique(f)
         remap = -np.ones(v.shape[0], dtype=np.int64)

@@ -905,7 +905,13 @@ def m_geometry_meshes(g, res=None):
         v = _f(g.get_scalar_field("vertices"))
         f = _f(g.get_scalar_field("faces")).astype(np.int64) - 1
         ext = float((v.max(axis=0) - v.min(axis=0)).max())
-        h = _sc(res) if res is not None else ext / 6.0
+        if res is not None and is_text(res) \
+                and text_of(res).lower() == "adaptive":
+            # curvature-adaptive sizing field (≙ runmat-meshing/size)
+            from ...fea.sizing import discrete_curvature_sizing
+            h = discrete_curvature_sizing(v, f)
+        else:
+            h = _sc(res) if res is not None else ext / 6.0
         # cavity pipeline first (boundary recovery + dihedral optimization,
         # ≙ tetrahedron generate/cavity/recover/optimize); the earlier
         # surface-bounded mesher stays as the fallback
@@ -915,7 +921,8 @@ def m_geometry_meshes(g, res=None):
             if mesh.tets.size == 0:
                 raise ValueError("empty cavity mesh")
         except Exception:
-            mesh = surf.mesh_surface(v, f, h)
+            mesh = surf.mesh_surface(
+                v, f, h.hmax if callable(h) else h)
         return StructArray.scalar({
             "nodes": MatArray(mesh.nodes, "double"),
             "elements": MatArray(mesh.tets.astype(np.float64) + 1,

@@ -94,6 +94,7 @@ def test_loop_writes_all_touched_vars():
 
 def test_native_loop_is_fast():
     import time
+    run("z = 1;")      # warm imports/session init out of the measurement
     t0 = time.perf_counter()
     run("s = 0; for i = 1:2000000, s = s + sqrt(i); end")
     dt = time.perf_counter() - t0
