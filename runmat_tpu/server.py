@@ -188,6 +188,22 @@ def handle_request(sess, req: dict) -> dict:
             if changed:
                 out["figures"] = _render_figures()
             return out
+        if op == "figure_webgl":
+            # typed-geometry scene for client-side WebGL rendering: the
+            # browser gets vertex/index buffers once and orbits locally
+            # with zero server round trips per frame (≙ runmat-plot's GPU
+            # scene graph consumed by wgpu pipelines,
+            # crates/runmat-plot/src/gpu/*.rs — re-homed to the client GPU)
+            from .plot import figure as figmod
+            from .plot.webgl import export_scene
+            num = int(req.get("fig", 0))
+            f = figmod._FIGURES.get(num)
+            if f is None:
+                return {"id": rid, "ok": False,
+                        "error": {"identifier": "RunMat:server:NoSuchFigure",
+                                  "message": f"No figure {num}."}}
+            return {"id": rid, "ok": True, "num": num,
+                    "scene": export_scene(f)}
         if op == "view":
             # 3-D camera orbit: update az/el and return the re-rendered
             # scene for that figure (≙ runmat-plot GUI camera controller)
@@ -211,6 +227,12 @@ def handle_request(sess, req: dict) -> dict:
             # cheap path is fewer faces, with a full-fidelity render
             # following on mouseup)
             draft = bool(req.get("draft", False))
+            if req.get("nosvg"):
+                # camera-sync only (the WebGL client renders locally;
+                # keeping the server camera in step makes PNG/SVG exports
+                # and probes match what the user sees)
+                return {"id": rid, "ok": True, "num": num, "az": az,
+                        "el": el}
             return {"id": rid, "ok": True, "num": num, "az": az, "el": el,
                     "svg": render_svg(f, draft=draft)}
         if op == "probe":
@@ -252,8 +274,9 @@ def _render_figures() -> list:
     for num in sorted(figmod._FIGURES):
         f = figmod._FIGURES[num]
         try:
+            is3d = any(ax.is3d for ax in f.axes)
             figs.append({"num": num, "svg": render_svg(f),
-                         "is3d": any(ax.is3d for ax in f.axes),
+                         "is3d": is3d, "webgl": is3d,
                          "view": list(f.ax.view), "size": list(f.size)})
         except Exception:
             pass
@@ -463,21 +486,139 @@ refreshVars();refreshFigs();});
 function applyView(num,box){const v=view[num]||(view[num]={x:0,y:0,s:1});
 box.style.transform=`translate(${v.x}px,${v.y}px) scale(${v.s})`;}
 let sceneRev=-1;const cams={};
+// --- base64 -> typed arrays (WebGL scene buffers) ---
+function b64bytes(s){const b=atob(s);const u=new Uint8Array(b.length);
+for(let i=0;i<b.length;i++)u[i]=b.charCodeAt(i);return u;}
+const b64f32=s=>new Float32Array(b64bytes(s).buffer);
+const b64u32=s=>new Uint32Array(b64bytes(s).buffer);
+// Client-side WebGL renderer: geometry arrives once per scene revision;
+// orbit/zoom/pan are pure-local (zero server round trips per frame).
+async function buildGL(f,box,cam){
+const r=await api({op:'figure_webgl',fig:f.num});
+if(!r.ok||!r.scene||!r.scene.axes.length)return null;
+const sc=r.scene,W=sc.size[0],H=sc.size[1],dpr=window.devicePixelRatio||1;
+const cv=document.createElement('canvas');
+cv.width=W*dpr;cv.height=H*dpr;
+cv.style.cssText='display:block;width:100%;height:auto;background:#fff';
+const ov=document.createElement('canvas');
+ov.width=W*dpr;ov.height=H*dpr;
+ov.style.cssText='position:absolute;left:0;top:0;width:100%;height:auto;pointer-events:none';
+const gl=cv.getContext('webgl',{antialias:true});
+if(!gl||!gl.getExtension('OES_element_index_uint'))return null;
+box.innerHTML='';box.style.position='relative';
+box.appendChild(cv);box.appendChild(ov);
+const mk=(t,src)=>{const s=gl.createShader(t);gl.shaderSource(s,src);
+gl.compileShader(s);return s;};
+const pr=gl.createProgram();
+gl.attachShader(pr,mk(gl.VERTEX_SHADER,'attribute vec3 p;attribute vec3 c;'+
+'uniform mat4 M;uniform float ps;varying vec3 vc;void main(){'+
+'gl_Position=M*vec4(p,1.0);gl_PointSize=ps;vc=c;}'));
+gl.attachShader(pr,mk(gl.FRAGMENT_SHADER,'precision mediump float;'+
+'varying vec3 vc;uniform float al;void main(){gl_FragColor=vec4(vc,al);}'));
+gl.linkProgram(pr);gl.useProgram(pr);
+const aP=gl.getAttribLocation(pr,'p'),aC=gl.getAttribLocation(pr,'c'),
+uM=gl.getUniformLocation(pr,'M'),uPS=gl.getUniformLocation(pr,'ps'),
+uA=gl.getUniformLocation(pr,'al');
+gl.enable(gl.DEPTH_TEST);gl.enable(gl.POLYGON_OFFSET_FILL);
+gl.polygonOffset(1.0,1.0);
+gl.enableVertexAttribArray(aP);gl.enableVertexAttribArray(aC);
+function vbo(data){const b=gl.createBuffer();
+gl.bindBuffer(gl.ARRAY_BUFFER,b);
+gl.bufferData(gl.ARRAY_BUFFER,data,gl.STATIC_DRAW);return b;}
+const axes=sc.axes.map(a=>{
+const draws=a.draws.map(dr=>{
+const o={kind:dr.kind,nv:dr.nv,ni:dr.ni||0,alpha:dr.alpha||1,
+width:dr.width||1,size:dr.size||4,
+pb:vbo(b64f32(dr.pos)),cb:vbo(b64bytes(dr.col))};
+if(dr.kind==='tris'){o.ib=gl.createBuffer();
+gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,o.ib);
+gl.bufferData(gl.ELEMENT_ARRAY_BUFFER,b64u32(dr.idx),gl.STATIC_DRAW);}
+return o;});
+const E=[];
+for(const u of[-0.5,0.5])for(const v of[-0.5,0.5]){
+E.push(-0.5,u,v,0.5,u,v, u,-0.5,v,u,0.5,v, u,v,-0.5,u,v,0.5);}
+return {a,draws,bb:vbo(new Float32Array(E)),
+bc:vbo(new Uint8Array(E.length).fill(170)),nbox:E.length/3};});
+function mat(){const az=cam.az*Math.PI/180,el=cam.el*Math.PI/180;
+const ca=Math.cos(az),sa=Math.sin(az),ce=Math.cos(el),se=Math.sin(el);
+const z=cam.zoom/0.75;
+return {m:new Float32Array([ca*z,sa*se*z,0.9*sa*ce,0,
+sa*z,-ca*se*z,-0.9*ca*ce,0, 0,ce*z,-0.9*se,0,
+cam.px/0.75,cam.py/0.75,0,1]),ca,sa,ce,se};}
+function proj(M,x,y,z){return [M[0]*x+M[4]*y+M[8]*z+M[12],
+M[1]*x+M[5]*y+M[9]*z+M[13]];}
+function draw(){
+gl.viewport(0,0,cv.width,cv.height);
+gl.clearColor(1,1,1,1);gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
+const ctx=ov.getContext('2d');ctx.clearRect(0,0,ov.width,ov.height);
+for(const rec of axes){const a=rec.a;
+const vx=a.rect[0]*W*dpr,vy=a.rect[1]*H*dpr,
+vw=a.rect[2]*W*dpr,vh=a.rect[3]*H*dpr;
+gl.viewport(vx,vy,vw,vh);
+const mm=mat();gl.uniformMatrix4fv(uM,false,mm.m);
+const bind=(o)=>{gl.bindBuffer(gl.ARRAY_BUFFER,o.pb);
+gl.vertexAttribPointer(aP,3,gl.FLOAT,false,0,0);
+gl.bindBuffer(gl.ARRAY_BUFFER,o.cb);
+gl.vertexAttribPointer(aC,3,gl.UNSIGNED_BYTE,true,0,0);};
+if(!a.axis_off){bind({pb:rec.bb,cb:rec.bc});gl.uniform1f(uA,1);
+gl.drawArrays(gl.LINES,0,rec.nbox);}
+for(const o of rec.draws){bind(o);gl.uniform1f(uA,o.alpha);
+gl.uniform1f(uPS,o.size*dpr);
+if(o.kind==='tris'){gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,o.ib);
+gl.drawElements(gl.TRIANGLES,o.ni,gl.UNSIGNED_INT,0);}
+else if(o.kind==='lines'){gl.lineWidth(o.width);
+gl.drawArrays(gl.LINES,0,o.nv);}
+else gl.drawArrays(gl.POINTS,0,o.nv);}
+if(!a.axis_off)drawLabels(ctx,a,mm,vx,vy,vw,vh);}}
+function drawLabels(ctx,a,mm,vx,vy,vw,vh){
+const px=(q)=>{const s=proj(mm.m,q[0],q[1],q[2]);
+return [vx+(s[0]+1)/2*vw, ov.height-(vy+(s[1]+1)/2*vh)];};
+ctx.fillStyle='#333';ctx.font=(10*dpr)+'px ui-monospace,monospace';
+ctx.textAlign='center';
+const ye=mm.ca>=0?-0.5:0.5, xe=mm.sa<=0?-0.5:0.5;
+for(const t of a.ticks.x){const p=px([t[0],ye,-0.5]);
+ctx.fillText(t[1],p[0],p[1]+14*dpr);}
+for(const t of a.ticks.y){const p=px([xe,t[0],-0.5]);
+ctx.fillText(t[1],p[0],p[1]+14*dpr);}
+ctx.textAlign='right';
+// z ticks on the leftmost vertical edge
+let best=null,bu=1e9;
+for(const cx of[-0.5,0.5])for(const cy of[-0.5,0.5]){
+const u=proj(mm.m,cx,cy,0)[0];if(u<bu){bu=u;best=[cx,cy];}}
+for(const t of a.ticks.z){const p=px([best[0],best[1],t[0]]);
+ctx.fillText(t[1],p[0]-6*dpr,p[1]+3*dpr);}
+ctx.textAlign='center';
+if(a.title){ctx.font='bold '+(12*dpr)+'px ui-monospace,monospace';
+ctx.fillText(a.title,vx+vw/2,ov.height-(vy+vh)-6*dpr);}
+const lbl=(s,q,dy)=>{if(!s)return;
+ctx.font=(11*dpr)+'px ui-monospace,monospace';
+const p=px(q);ctx.fillText(s,p[0],p[1]+dy*dpr);};
+lbl(a.xlabel,[0,ye,-0.5],30);lbl(a.ylabel,[xe,0,-0.5],30);
+lbl(a.zlabel,[best[0],best[1],0.55],-8);}
+draw();
+return {draw,canvas:cv};}
 function buildFig(f){
 const h=document.createElement('h4');
 h.textContent='Figure '+f.num+(f.is3d?'  (drag to orbit)':'');
 const d=document.createElement('div');d.className='fig';d.dataset.num=f.num;
 const box=document.createElement('div');box.className='zoombox';
 box.innerHTML=f.svg;d.appendChild(box);applyView(f.num,box);
+let glr=null;
+if(f.webgl&&f.is3d){
+const c=cams[f.num]=cams[f.num]||{az:f.view[0],el:f.view[1]};
+c.zoom=c.zoom||1;c.px=c.px||0;c.py=c.py||0;
+buildGL(f,box,c).then(g=>{glr=g;}).catch(()=>{});}
 const tip=document.createElement('div');
 tip.style.cssText='position:absolute;display:none;background:#14161a;'+
 'color:#e8e8e3;font:11px ui-monospace,monospace;padding:3px 6px;'+
 'border-radius:3px;pointer-events:none;z-index:5;white-space:pre';
 d.style.position='relative';d.appendChild(tip);
 if(f.is3d)cams[f.num]=cams[f.num]||{az:f.view[0],el:f.view[1]};
-let drag=null,moved=false,orbitTimer=null;
+let drag=null,moved=false,orbitTimer=null,raf=0;
 async function orbit(dx,dy){const c=cams[f.num];
 c.az-=dx*0.5;c.el=Math.max(-90,Math.min(90,c.el+dy*0.5));
+if(glr){if(!raf)raf=requestAnimationFrame(()=>{raf=0;glr.draw();});
+return;}
 if(orbitTimer)return;orbitTimer=setTimeout(async()=>{orbitTimer=null;
 const r=await api({op:'view',fig:f.num,az:c.az,el:c.el,draft:true});
 if(r.ok)box.innerHTML=r.svg;},50);}
@@ -486,6 +627,7 @@ moved=false;d.style.cursor='grabbing';e.preventDefault();});
 window.addEventListener('mouseup',async()=>{const was=drag;drag=null;
 d.style.cursor='grab';
 if(was&&moved&&f.is3d&&cams[f.num]){const c=cams[f.num];
+if(glr){api({op:'view',fig:f.num,az:c.az,el:c.el,nosvg:true});return;}
 const r=await api({op:'view',fig:f.num,az:c.az,el:c.el});
 if(r.ok)box.innerHTML=r.svg;}});
 d.addEventListener('mousemove',e=>{if(!drag)return;moved=true;
@@ -493,15 +635,21 @@ const dx=e.clientX-drag.x,dy=e.clientY-drag.y;
 drag={x:e.clientX,y:e.clientY};
 if(f.is3d&&!e.shiftKey){orbit(dx,dy);return;}
 const v=view[f.num];v.x+=dx;v.y+=dy;applyView(f.num,box);});
-d.addEventListener('wheel',e=>{e.preventDefault();const v=view[f.num];
+d.addEventListener('wheel',e=>{e.preventDefault();
+const k=e.deltaY<0?1.2:1/1.2;
+if(glr){const c=cams[f.num];c.zoom*=k;
+if(!raf)raf=requestAnimationFrame(()=>{raf=0;glr.draw();});return;}
+const v=view[f.num];
 const rect=d.getBoundingClientRect();
 const px=e.clientX-rect.left,py=e.clientY-rect.top;
-const k=e.deltaY<0?1.2:1/1.2;
 v.x=px-(px-v.x)*k;v.y=py-(py-v.y)*k;v.s*=k;applyView(f.num,box);});
 d.addEventListener('dblclick',()=>{view[f.num]={x:0,y:0,s:1};
-applyView(f.num,box);tip.style.display='none';});
+applyView(f.num,box);tip.style.display='none';
+if(glr){const c=cams[f.num];c.az=f.view[0];c.el=f.view[1];
+c.zoom=1;c.px=0;c.py=0;glr.draw();
+api({op:'view',fig:f.num,az:c.az,el:c.el,nosvg:true});}});
 d.addEventListener('click',async e=>{if(moved)return;
-const svg=box.querySelector('svg');if(!svg)return;
+const svg=glr?glr.canvas:box.querySelector('svg');if(!svg)return;
 const r0=svg.getBoundingClientRect();
 const fx=(e.clientX-r0.left)/r0.width,fy=(e.clientY-r0.top)/r0.height;
 const r=await api({op:'probe',fig:f.num,fx:fx,fy:fy});
