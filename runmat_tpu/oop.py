@@ -92,6 +92,56 @@ class ClassRef:
         return f"<class {self.cls.name}>"
 
 
+# builtin class names that support the hidden `.empty` static constructor
+# (≙ the reference's `string.empty` registration, runmat-runtime name list)
+BUILTIN_EMPTY_CLASSES = frozenset((
+    "double", "single", "int8", "int16", "int32", "int64", "uint8",
+    "uint16", "uint32", "uint64", "logical", "char", "string", "cell",
+    "struct", "datetime", "duration",
+))
+
+
+class BuiltinClassRef:
+    """A BUILTIN class name used as a value (string.empty, double.empty(0, 3)):
+    carries just the class name; the static surface is `.empty`."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __repr__(self):  # pragma: no cover
+        return f"<builtin class {self.name}>"
+
+    def empty(self, dims=()):
+        import numpy as np
+        from .values import CellArray, MatArray, StringArray, StructArray
+        from .errors import MatError
+        shape = tuple(int(d) for d in dims) if dims else (0, 0)
+        if len(shape) == 1:
+            shape = (shape[0], shape[0])
+        if all(d > 0 for d in shape):
+            raise MatError("MATLAB:class:emptyMustBeEmpty",
+                           "At least one dimension must be zero.")
+        nm = self.name
+        if nm == "string":
+            return StringArray(np.empty(shape, dtype=object))
+        if nm == "cell":
+            return CellArray(np.empty(shape, dtype=object))
+        if nm == "struct":
+            return StructArray({}, shape)
+        if nm == "char":
+            return MatArray(np.zeros(shape, dtype=np.uint32), "char")
+        if nm in ("datetime", "duration"):
+            from .runtime.builtins.datetime_builtins import (MatDatetime,
+                                                             MatDuration)
+            dt = "datetime64[us]" if nm == "datetime" else "timedelta64[us]"
+            ctor = MatDatetime if nm == "datetime" else MatDuration
+            return ctor(np.empty(shape, dtype=dt))
+        from . import dtypes
+        return MatArray(dtypes.cast_to_class(np.zeros(shape), nm), nm)
+
+
 class MatObject:
     """Value-class instance: copy-on-write like MatArray."""
 

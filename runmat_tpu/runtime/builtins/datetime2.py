@@ -43,19 +43,41 @@ def _make_caldur(months: np.ndarray, days: np.ndarray = None) -> StructArray:
     })
 
 
+_AVG_DAYS_PER_MONTH = 30.436875     # unit-conversion constant (≙ reference)
+
+
+def _caldur_counts(cd, months_per_unit: float, days_per_unit: float):
+    """calendarDuration -> unit counts (the extraction direction of the
+    dual-mode cal* builtins, ≙ calendar_duration_unit_value)."""
+    months = cd.get_scalar_field("months").host().astype(np.float64)
+    days = cd.get_scalar_field("days").host().astype(np.float64)
+    if months_per_unit != 0.0:
+        out = months / months_per_unit \
+            + days / _AVG_DAYS_PER_MONTH / months_per_unit
+    else:
+        out = days / days_per_unit
+    return MatArray(out, "double")
+
+
 @builtin("caldays", category="datetime", min_in=1, max_in=1)
 def m_caldays(n):
+    if is_caldur(n):
+        return _caldur_counts(n, 0.0, 1.0)
     h = n.host().astype(np.float64)
     return _make_caldur(np.zeros_like(h), h)
 
 
 @builtin("calmonths", category="datetime", min_in=1, max_in=1)
 def m_calmonths(n):
+    if is_caldur(n):
+        return _caldur_counts(n, 1.0, 0.0)
     return _make_caldur(n.host().astype(np.float64))
 
 
 @builtin("calyears", category="datetime", min_in=1, max_in=1)
 def m_calyears(n):
+    if is_caldur(n):
+        return _caldur_counts(n, 12.0, 0.0)
     return _make_caldur(n.host().astype(np.float64) * 12)
 
 

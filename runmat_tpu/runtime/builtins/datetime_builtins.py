@@ -66,6 +66,15 @@ class MatDuration:
     def seconds_array(self) -> np.ndarray:
         return self.data.astype("timedelta64[us]").astype(np.int64) / 1e6
 
+    def _mat_unop_(self, op: str):
+        if op == "neg":
+            return MatDuration(-self.data)
+        if op == "uplus":
+            return MatDuration(self.data.copy())
+        if op == "abs":
+            return MatDuration(np.abs(self.data))
+        return NotImplemented
+
 
 def _num(v) -> np.ndarray:
     return v.host().astype(np.float64)
@@ -160,7 +169,10 @@ def _dur_from(factor_us: float):
 
 
 for _name, _f in (("days", 86400e6), ("hours", 3600e6), ("minutes", 60e6),
-                  ("seconds", 1e6), ("milliseconds", 1e3)):
+                  ("seconds", 1e6), ("milliseconds", 1e3),
+                  # fixed-length calendar units (≙ duration/mod.rs years
+                  # builtin: 365.2425-day years; weeks are exact)
+                  ("years", 365.2425 * 86400e6), ("weeks", 7 * 86400e6)):
     builtin(_name, category="datetime", min_in=1, max_in=1)(_dur_from(_f))
 
 

@@ -529,3 +529,58 @@ def m_findprop(obj, name):
     if isinstance(obj, (oop.MatObject, oop.HandleObject)) and pname in obj.props:
         return StructArray.scalar({"Name": MatArray.char_from_str(pname)})
     return MatArray.empty()
+
+
+# ------------------------------------------- source-unit introspection --- #
+# mfilename / localfunctions / nargoutchk (≙ runmat-runtime/src/builtins/
+# introspection/{mfilename,localfunctions}.rs reading the source_context +
+# SourceFunctionInfo catalog; here the compiler stamps each Code with its
+# execution-unit path and sibling function names, vm/compiler.py).
+
+@builtin("mfilename", category="introspection", max_in=1, pass_ctx=True)
+def m_mfilename(opt=None, ctx=None):
+    import os as _os
+    path = getattr(ctx.frame.code, "source_path", "") or ""
+    if path.startswith("<"):            # <input>/<script>: not file-backed
+        path = ""
+    mode = text_of(opt).lower() if opt is not None else ""
+    if mode == "fullpath":
+        if not path:
+            return MatArray.char_from_str("")
+        full = _os.path.abspath(path)
+        root, ext = _os.path.splitext(full)
+        return MatArray.char_from_str(root if ext.lower() == ".m" else full)
+    if mode == "class":
+        return MatArray.char_from_str("")
+    base = _os.path.basename(path)
+    if base.lower().endswith(".m"):
+        base = base[:-2]
+    return MatArray.char_from_str(base)
+
+
+@builtin("localfunctions", category="introspection", max_in=0, pass_ctx=True)
+def m_localfunctions(ctx=None):
+    code = ctx.frame.code
+    names = list(getattr(code, "unit_functions", ()) or ())
+    if not getattr(code, "is_script", True) and names \
+            and names[0] == code.name:
+        # in a function file the primary function is not "local"
+        names = names[1:]
+    handles = np.empty((len(names), 1), dtype=object)
+    for i, nm in enumerate(names):
+        handles[i, 0] = FunctionHandle("named", name=nm, src=f"@{nm}")
+    return CellArray(handles)
+
+
+@builtin("nargoutchk", category="control", min_in=2, max_in=2, pass_ctx=True)
+def m_nargoutchk(lo, hi, ctx=None):
+    n = ctx.frame.nargout
+    lo_v = float(lo.host().reshape(-1)[0])
+    hi_v = float(hi.host().reshape(-1)[0])
+    if n < lo_v:
+        raise MatError("MATLAB:nargoutchk:notEnoughOutputs",
+                       "Not enough output arguments.")
+    if n > hi_v:
+        raise MatError("MATLAB:nargoutchk:tooManyOutputs",
+                       "Too many output arguments.")
+    return None

@@ -188,16 +188,26 @@ class DelaunayTriValue:
             fb = self.free_boundary()
             return [MatArray(fb.astype(np.float64) + 1, "double")]
         if fname == "nearestNeighbor":
-            q = args[0].host().astype(np.float64)
-            _d, idx = self.tree.query(np.atleast_2d(q))
+            _d, idx = self.tree.query(self._query_points(args,
+                                                         "nearestNeighbor"))
             return [MatArray(np.asarray(idx, dtype=np.float64).reshape(-1, 1) + 1,
                              "double")]
         if fname == "pointLocation":
-            q = np.atleast_2d(args[0].host().astype(np.float64))
+            q = self._query_points(args, "pointLocation")
             s = self.tri.find_simplex(q).astype(np.float64)
             s = np.where(s < 0, np.nan, s + 1)
             return [MatArray(s.reshape(-1, 1), "double")]
         return NotImplemented
+
+    def _query_points(self, args, name: str) -> np.ndarray:
+        """Query points from either an (N, d) matrix or per-coordinate
+        vectors: method(dt, P) or method(dt, qx, qy[, qz])."""
+        if len(args) == 1:
+            return np.atleast_2d(args[0].host().astype(np.float64))
+        cols = [fortran_ravel(a.host().astype(np.float64)) for a in args]
+        if len({c.size for c in cols}) != 1:
+            raise bad_arg(name, "Coordinate inputs must have equal sizes.")
+        return np.column_stack(cols)
 
 
 def _points_from(args) -> np.ndarray:
@@ -224,18 +234,18 @@ def m_free_boundary(dt, ctx=None):
     return dt._mat_call_method_(None, None, "freeBoundary", [], 1)[0]
 
 
-@builtin("nearestNeighbor", category="geometry", min_in=2, max_in=2)
-def m_nearest_neighbor(dt, q):
+@builtin("nearestNeighbor", category="geometry", min_in=2, max_in=4)
+def m_nearest_neighbor(dt, *q):
     if not isinstance(dt, DelaunayTriValue):
         raise bad_arg("nearestNeighbor", "Expected a triangulation.")
-    return dt._mat_call_method_(None, None, "nearestNeighbor", [q], 1)[0]
+    return dt._mat_call_method_(None, None, "nearestNeighbor", list(q), 1)[0]
 
 
-@builtin("pointLocation", category="geometry", min_in=2, max_in=2)
-def m_point_location(dt, q):
+@builtin("pointLocation", category="geometry", min_in=2, max_in=4)
+def m_point_location(dt, *q):
     if not isinstance(dt, DelaunayTriValue):
         raise bad_arg("pointLocation", "Expected a triangulation.")
-    return dt._mat_call_method_(None, None, "pointLocation", [q], 1)[0]
+    return dt._mat_call_method_(None, None, "pointLocation", list(q), 1)[0]
 
 
 # ---------------------------------------------------------- interpolation --- #

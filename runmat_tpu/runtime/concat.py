@@ -69,6 +69,15 @@ def _cat_arrays(parts: list, axis: int):
         return CellArray(_np_cat([p.data for p in parts], axis))
     if any(isinstance(p, StructArray) for p in parts):
         return _cat_structs(parts, axis)
+    if any(type(p).__name__ in ("MatDatetime", "MatDuration") for p in parts):
+        # datetime64/timedelta64 arrays concatenate natively; classes must
+        # match (≙ datetime horzcat/vertcat method builtins)
+        kinds = {type(p).__name__ for p in parts}
+        if len(kinds) != 1:
+            raise MatError("MATLAB:concatenation:classMismatch",
+                           "Cannot concatenate datetime/duration with "
+                           "other classes.")
+        return type(parts[0])(_np_cat([p.data for p in parts], axis))
     for p in parts:
         if not isinstance(p, MatArray):
             raise MatError("MATLAB:concatenation:classMismatch",

@@ -580,6 +580,11 @@ def transpose(a):
     from ..sparse import SparseMatrix
     if isinstance(a, SparseMatrix):
         return a.transpose()
+    if type(a).__name__ in ("MatDatetime", "MatDuration"):
+        if a.data.ndim > 2:
+            raise MatError("MATLAB:transpose:NDArray",
+                           "Transpose on ND array is not defined. Use PERMUTE instead.")
+        return type(a)(a.data.T.copy())
     a = as_matarray(a)
     if len(a.shape) > 2:
         raise MatError("MATLAB:transpose:NDArray",
@@ -594,6 +599,8 @@ def ctranspose(a):
     from ..sparse import SparseMatrix
     if isinstance(a, SparseMatrix):
         return a.transpose()   # sparse is real double: ' == .'
+    if type(a).__name__ in ("MatDatetime", "MatDuration"):
+        return transpose(a)    # timelike values are real: ' == .'
     a = as_matarray(a)
     if len(a.shape) > 2:
         raise MatError("MATLAB:transpose:NDArray",

@@ -93,5 +93,5 @@ def ensure_loaded() -> None:
         file_io, handles, dl_builtins, oop_builtins, ode_optim, sparse_builtins, table_builtins, datetime_builtins, plotting, async_builtins, domains, fea_builtins, symbolic, breadth2, breadth3, breadth4, stats2, strings2, linalg2,
         signal2, graph2, io2, optim2, ml, control2, introspection2, timing2,
         dl_layers, table2, plotting2, plotting3, data_api, textanalytics,
-        misc2, fea2, validators, profiler, datetime2, itersolve,
+        misc2, fea2, validators, profiler, datetime2, itersolve, datetime3,
     )

@@ -104,6 +104,13 @@ class Code:
     # non-identifier args): powers MATLAB inputname() and table()'s
     # variable-name capture
     call_arg_names: dict = field(default_factory=dict)
+    # source-unit identity: the execution-unit name/path this Code was
+    # compiled from and the names of every function defined in the same
+    # unit — powers mfilename() / localfunctions() (≙ the reference's
+    # source_context + SourceFunctionInfo catalog,
+    # runmat-runtime/src/builtins/introspection/{mfilename,localfunctions}.rs)
+    source_path: str = ""
+    unit_functions: list = field(default_factory=list)
     # arguments-block entries: (name, field|None, dims|None, cls|None,
     #                           validators, default_code|None)
 

@@ -97,6 +97,10 @@ class Compiler:
             c.stmt(st)
         c.code.emit(B.RET)
         functions = {fname: Compiler.compile_function(fd) for fname, fd in prog.functions.items()}
+        unit_fns = list(functions.keys())
+        for code in (c.code, *functions.values()):
+            code.source_path = name
+            code.unit_functions = unit_fns
         return B.CompiledProgram(c.code, functions, dict(prog.classes))
 
     def _stamp_loop_facts(self, stmts: list) -> None:
@@ -530,7 +534,10 @@ class Compiler:
             # falling back to field-read + paren-index for structs
             base = e.base.base
             if isinstance(base, A.Ident):
-                c.emit(B.LOADC, base.name, line=line)
+                # b="recv": receiver position — a bare builtin class name
+                # here is a static-access receiver (string.empty(0, 3)),
+                # not a zero-arg ctor call
+                c.emit(B.LOADC, base.name, "recv", line=line)
             else:
                 self.expr(base)
             for a in e.args:

@@ -84,8 +84,13 @@ def _data_of(base):
         return base.host()
     if isinstance(base, (CellArray, StringArray)):
         return base.data
-    if type(base).__name__ == "SymValue":
+    if type(base).__name__ in ("SymValue",):
         return base.exprs
+    if type(base).__name__ in ("MatDatetime", "MatDuration"):
+        # datetime64/timedelta64 arrays index like numerics (≙ the
+        # registered datetime.subsref/duration.subsref method builtins,
+        # runmat-runtime/src/builtins/datetime/mod.rs:2850)
+        return base.data
     raise MatError("MATLAB:badsubscript", f"Cannot index value of class {type(base).__name__}.")
 
 
@@ -98,6 +103,8 @@ def _rewrap(base, data: np.ndarray):
         return StringArray(data)
     if type(base).__name__ == "SymValue":
         return type(base)(data, data.shape)
+    if type(base).__name__ in ("MatDatetime", "MatDuration"):
+        return type(base)(data)
     raise AssertionError
 
 
@@ -355,6 +362,8 @@ def write_paren(base, args: list, rhs, in_place: bool = False):
     """
     if _is_empty_literal(rhs) and not isinstance(rhs, CellArray):
         return _delete_elements(base, args)
+    if type(base).__name__ in ("MatDatetime", "MatDuration"):
+        return _write_timelike(base, args, rhs)
     if isinstance(base, StructArray) or isinstance(rhs, StructArray):
         return _write_struct_paren(base, args, rhs)
     if isinstance(base, CellArray):
@@ -533,15 +542,20 @@ def _write_object_paren(base, args: list, rdata: np.ndarray, ctor):
         grow_to = int(idx.max()) + 1 if idx.size else 0
         if grow_to > data.size:
             if data.size == 0 or (data.ndim == 2 and data.shape[0] == 1):
-                new = np.empty((1, grow_to), dtype=object)
+                ns = (1, grow_to)
             elif data.ndim == 2 and data.shape[1] == 1:
-                new = np.empty((grow_to, 1), dtype=object)
+                ns = (grow_to, 1)
             else:
                 raise bad_index("Attempt to grow array along ambiguous dimension.")
-            fl = new.reshape(-1)
-            filler = MatArray.empty() if ctor is CellArray else None
-            for i in range(fl.size):
-                fl[i] = filler
+            if data.dtype == object:
+                new = np.empty(ns, dtype=object)
+                fl = new.reshape(-1)
+                filler = MatArray.empty() if ctor is CellArray else None
+                for i in range(fl.size):
+                    fl[i] = filler
+            else:                 # datetime64/timedelta64: grow fills NaT
+                new = np.full(ns, None, dtype=data.dtype)
+                fl = new.reshape(-1)
             old = fortran_ravel(data)
             fl[:old.size] = old
             data = new
@@ -582,6 +596,24 @@ def _write_object_paren(base, args: list, rdata: np.ndarray, ctor):
     else:
         raise MatError("MATLAB:subsasgn:dimmismatch", "Assignment size mismatch.")
     return ctor(data)
+
+
+def _write_timelike(base, args: list, rhs):
+    """Indexed assignment into datetime/duration arrays: same-class values
+    element-wise, NaN numerics coerce to NaT, growth fills NaT (≙ the
+    registered datetime.subsasgn/duration.subsasgn method builtins)."""
+    cls = type(base)
+    if type(rhs).__name__ == cls.__name__:
+        rdata = rhs.data.astype(base.data.dtype)
+    elif isinstance(rhs, MatArray) and not rhs.is_complex \
+            and rhs.host().size and np.isnan(rhs.host()).all():
+        rdata = np.full(rhs.host().shape, None, dtype=base.data.dtype)
+    else:
+        kind = "datetime" if base.data.dtype.kind == "M" else "duration"
+        raise MatError("MATLAB:subsasgn:classMismatch",
+                       f"Cannot assign values of class "
+                       f"{type(rhs).__name__} into a {kind} array.")
+    return _write_object_paren(base, args, rdata, cls)
 
 
 def _write_struct_paren(base, args: list, rhs):

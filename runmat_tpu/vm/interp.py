@@ -209,6 +209,13 @@ class Interp:
         if b.max_in is not None and len(args) > b.max_in:
             raise MatError("MATLAB:TooManyInputs",
                            f"Too many input arguments for '{b.name}'.")
+        from ..runtime import timelike
+        if timelike.applies(b.name, args):
+            # datetime/duration args ride the numeric library via the
+            # microseconds encode/decode shim (runtime/timelike.py)
+            return timelike.shim(
+                b, args, nargout,
+                lambda enc: self.call_builtin(b, enc, nargout, frame))
         kw = {}
         if b.pass_nargout:
             kw["nargout"] = nargout
@@ -457,7 +464,18 @@ class Interp:
                             if pkg is not None:
                                 stack.append(pkg)
                             else:
-                                stack.append(self._call_or_undef(a, frame))
+                                from ..oop import (BUILTIN_EMPTY_CLASSES,
+                                                   BuiltinClassRef)
+                                nxt = instrs[pc][0] if pc < n else None
+                                if a in BUILTIN_EMPTY_CLASSES and \
+                                        (b == "recv" or nxt == B.FIELD):
+                                    # string.empty / double.empty(0, 3):
+                                    # the bare class name is a static-
+                                    # access receiver, not a ctor call
+                                    stack.append(BuiltinClassRef(a))
+                                else:
+                                    stack.append(
+                                        self._call_or_undef(a, frame))
                     else:
                         if isinstance(v, MatArray):
                             v.shared = True
@@ -877,6 +895,13 @@ class Interp:
                                f"Unrecognized static method '{fname}' for "
                                f"class '{base.cls.name}'.")
             return self.call_user(m, args, nargout)
+        if isinstance(base, oop.BuiltinClassRef):
+            if fname == "empty":
+                dims = [int(a.host().reshape(-1)[0]) for a in args]
+                return [base.empty(dims)]
+            raise MatError("MATLAB:class:noStatic",
+                           f"Unrecognized static method '{fname}' for "
+                           f"class '{base.name}'.")
         v = self._field_read(base, fname)
         if isinstance(v, FunctionHandle):
             return self.call_value(v, args, nargout, frame)
@@ -923,6 +948,12 @@ class Interp:
             raise MatError("MATLAB:class:noStatic",
                            f"Unrecognized static method '{fname}' for class "
                            f"'{base.cls.name}'.")
+        if isinstance(base, oop.BuiltinClassRef):
+            if fname == "empty":
+                return base.empty()
+            raise MatError("MATLAB:class:noStatic",
+                           f"Unrecognized static method '{fname}' for class "
+                           f"'{base.name}'.")
         if isinstance(base, StructArray):
             if fname not in base.fields:
                 raise MatError("MATLAB:nonExistentField",
@@ -1174,6 +1205,9 @@ def _truthy_scalar(v) -> bool:
 
 
 def _make_range(start, step, stop) -> MatArray:
+    if type(start).__name__ == "MatDatetime" or \
+            type(stop).__name__ == "MatDatetime":
+        return _make_datetime_range(start, step, stop)
     s = start.scalar_double() if isinstance(start, MatArray) else float(start)
     e = stop.scalar_double() if isinstance(stop, MatArray) else float(stop)
     d = 1.0 if step is None else (step.scalar_double() if isinstance(step, MatArray) else float(step))
@@ -1201,6 +1235,63 @@ def _make_range(start, step, stop) -> MatArray:
         from .. import dtypes as _dt
         arr = _dt.cast_to_class(arr, out_class)
     return MatArray(arr, out_class)
+
+
+def _make_datetime_range(start, step, stop):
+    """t1:t2 / t1:dur:t2 / t1:caldur:t2 — MATLAB datetime colon; the
+    default step is one calendar day."""
+    from ..runtime.builtins.datetime_builtins import MatDatetime, MatDuration
+    if not (isinstance(start, MatDatetime) and isinstance(stop, MatDatetime)
+            and start.data.size == 1 and stop.data.size == 1):
+        raise MatError("MATLAB:datetime:colon",
+                       "Colon endpoints must be scalar datetime values.")
+    s = start.data.reshape(-1)[0].astype("datetime64[us]")
+    e = stop.data.reshape(-1)[0].astype("datetime64[us]")
+    if isinstance(step, MatDuration):
+        d = step.data.reshape(-1)[0].astype("timedelta64[us]")
+    elif step is None:
+        d = np.timedelta64(86_400_000_000, "us")        # one day
+    elif isinstance(step, MatArray) and not step.is_complex:
+        # numeric step counts days (serial-datenum convention)
+        d = np.timedelta64(
+            int(round(step.scalar_double() * 86_400_000_000)), "us")
+    else:
+        from ..runtime.builtins.datetime2 import is_caldur
+        if is_caldur(step):
+            # calendar-duration stepping: repeated caldur_add
+            from ..runtime.builtins.datetime2 import caldur_add
+            out, cur, k = [], MatDatetime(start.data.copy()), 0
+            while cur.data.reshape(-1)[0].astype("datetime64[us]") <= e:
+                out.append(cur.data.reshape(-1)[0])
+                k += 1
+                cur = caldur_add(MatDatetime(start.data.copy()),
+                                 _scale_caldur(step, k), 1.0)
+                if k > 1_000_000:
+                    raise MatError("MATLAB:pmaxsize",
+                                   "Requested range is too large.")
+            return MatDatetime(np.array(out,
+                                        dtype="datetime64[us]").reshape(1, -1))
+        raise MatError("MATLAB:datetime:colon",
+                       "Colon step must be a duration, calendarDuration, "
+                       "or numeric day count.")
+    dz = d.astype(np.int64)
+    sz, ez = s.astype(np.int64), e.astype(np.int64)
+    if dz == 0 or (dz > 0 and sz > ez) or (dz < 0 and sz < ez):
+        return MatDatetime(np.empty((1, 0), dtype="datetime64[us]"))
+    n = (ez - sz) // dz + 1
+    vals = sz + dz * np.arange(n, dtype=np.int64)
+    return MatDatetime(vals.astype("datetime64[us]").reshape(1, -1))
+
+
+def _scale_caldur(cd, k: int):
+    from ..values import MatArray as _MA, StructArray as _SA
+    months = cd.get_scalar_field("months").host() * k
+    days = cd.get_scalar_field("days").host() * k
+    return _SA.scalar({
+        "_calendarDuration": _MA.logical_scalar(True),
+        "months": _MA(months, "double"),
+        "days": _MA(days, "double"),
+    })
 
 
 def _end_value(base, dim: int, nargs: int) -> MatArray:
