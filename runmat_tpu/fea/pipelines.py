@@ -368,3 +368,180 @@ def run_electromagnetic(mesh: TetMesh, eps: float, fixed: dict) -> dict:
     Ee = -np.einsum("mai,ma->mi", grads, V[mesh.tets])
     return {"potential": V, "efield": Ee,
             "max_field": float(np.linalg.norm(Ee, axis=1).max())}
+
+
+# --------------------------------------------------------------------------- #
+# linear buckling and harmonic (frequency-response) pipelines
+# --------------------------------------------------------------------------- #
+
+def assemble_geometric(mesh: TetMesh, sigma: np.ndarray):
+    """Geometric (stress) stiffness Kg from element Cauchy stress (M, 6)
+    Voigt rows: Kg[3a+d, 3b+d] = V_e * g_a^T S g_b per element, the linear-
+    tet initial-stress matrix. (New analysis capability over the reference's
+    six pipelines; assembly mirrors assemble_elasticity.)"""
+    from ..sparse import SparseMatrix
+    from .assembly import _grads_and_vols
+    grads, vol, _ = _grads_and_vols(mesh)
+    M = mesh.n_tets
+    s = np.asarray(sigma, np.float64)
+    S = np.empty((M, 3, 3))
+    S[:, 0, 0], S[:, 1, 1], S[:, 2, 2] = s[:, 0], s[:, 1], s[:, 2]
+    S[:, 0, 1] = S[:, 1, 0] = s[:, 3]
+    S[:, 1, 2] = S[:, 2, 1] = s[:, 4]
+    S[:, 0, 2] = S[:, 2, 0] = s[:, 5]
+    kg = np.einsum("mai,mij,mbj,m->mab", grads, S, grads, vol,
+                   optimize=True)                        # (M, 4, 4)
+    Ke = np.zeros((M, 12, 12))
+    for d in range(3):
+        Ke[:, d::3, d::3] = kg
+    dofs = (3 * mesh.tets[:, :, None] + np.arange(3)[None, None, :]) \
+        .reshape(M, 12)
+    ii = np.repeat(dofs, 12, axis=1).reshape(-1)
+    jj = np.tile(dofs, (1, 12)).reshape(-1)
+    return SparseMatrix.from_triplets(ii, jj, Ke.reshape(-1),
+                                      3 * mesh.n_nodes, 3 * mesh.n_nodes)
+
+
+def run_buckling(mesh: TetMesh, E: float, nu: float,
+                 fixed_nodes: np.ndarray, forces: dict,
+                 n_modes: int = 4) -> dict:
+    """Linear (eigenvalue) buckling: pre-stress static solve, geometric
+    stiffness from the element stress state, then K phi = -lambda Kg phi on
+    the free dofs. lambda are load multipliers: lambda * applied load =
+    critical load (exact scale invariance: doubling the load halves
+    lambda)."""
+    from .post import element_stress
+    static = run_linear_static(mesh, E, nu, fixed_nodes, forces)
+    sigma = element_stress(mesh, static["displacement"].reshape(-1), E, nu) \
+        if "stress" not in static else static["stress"]
+    K, _ = assemble_elasticity(mesh, E, nu)
+    Kg = assemble_geometric(mesh, sigma)
+    fixed_dofs = (3 * np.asarray(fixed_nodes, np.int64)[:, None]
+                  + np.arange(3)[None, :]).reshape(-1)
+    n = 3 * mesh.n_nodes
+    zero = np.zeros(n)
+    Kff, _, free, _ = apply_dirichlet(K, zero, fixed_dofs)
+    Gff, _, _, _ = apply_dirichlet(Kg, zero, fixed_dofs)
+    nd = free.size
+    if nd <= 3000:
+        Kd = Kff.to_dense()
+        Gd = -Gff.to_dense()
+        L = np.linalg.cholesky((Kd + Kd.T) / 2 + 1e-9 * np.eye(nd)
+                               * float(np.abs(Kd).max()))
+        X = np.linalg.solve(L, (Gd + Gd.T) / 2)
+        A = np.linalg.solve(L, X.T)
+        mu = np.sort(np.linalg.eigvalsh((A + A.T) / 2))[::-1]
+    else:
+        mu = _subspace_largest_pencil(Kff, Gff, n_modes)
+    mu = mu[mu > 1e-12][:n_modes]
+    factors = 1.0 / mu
+    return {"load_factors": factors,
+            "critical_load_factor": float(factors[0]) if factors.size
+            else np.inf,
+            "n_modes": int(factors.size)}
+
+
+def _subspace_largest_pencil(Kff, Gff, k: int):
+    """Largest eigenvalues of K^-1 (-Kg) by subspace iteration (CG inner
+    solves; mirrors _subspace_smallest)."""
+    nd = Kff.n
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((nd, k + 4))
+    for _ in range(30):
+        GV = np.stack([-Gff.matmul(V[:, i]).reshape(-1)
+                       for i in range(V.shape[1])], axis=1)
+        W = Kff.solve(GV)
+        Q, _ = np.linalg.qr(W)
+        V = Q
+    KV = np.stack([Kff.matmul(V[:, i]).reshape(-1)
+                   for i in range(V.shape[1])], axis=1)
+    GV = np.stack([-Gff.matmul(V[:, i]).reshape(-1)
+                   for i in range(V.shape[1])], axis=1)
+    A = V.T @ GV
+    Bm = V.T @ KV
+    mu = np.real(np.linalg.eigvals(np.linalg.solve(Bm, A)))
+    return np.sort(mu)[::-1]
+
+
+def _modes_with_vectors(Kff, m: np.ndarray, k: int):
+    """Lowest-k modes of K x = w^2 M x with M-normalized vectors."""
+    nd = Kff.n
+    s = 1.0 / np.sqrt(m)
+    if nd <= 3000:
+        Kd = Kff.to_dense()
+        A = Kd * s[:, None] * s[None, :]
+        w2, Y = np.linalg.eigh((A + A.T) / 2)
+        w2, Y = w2[:k], Y[:, :k]
+        V = Y * s[:, None]                   # back to physical coords
+        return np.maximum(w2, 0), V
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((nd, k + 4))
+    for _ in range(30):
+        W = Kff.solve(m[:, None] * V)
+        G = W.T @ (m[:, None] * W)
+        L = np.linalg.cholesky(G + 1e-12 * np.eye(G.shape[0]))
+        V = np.linalg.solve(L, W.T).T
+    Kv = np.stack([Kff.matmul(V[:, i]).reshape(-1) for i in range(V.shape[1])],
+                  axis=1)
+    A = V.T @ Kv
+    B = V.T @ (m[:, None] * V)
+    w2, Y = np.linalg.eig(np.linalg.solve(B, A))
+    order = np.argsort(np.real(w2))[:k]
+    w2 = np.real(w2[order])
+    V = np.real(V @ Y[:, order])
+    # M-normalize
+    nrm = np.sqrt(np.einsum("ik,i,ik->k", V, m, V))
+    return np.maximum(w2, 0), V / nrm[None, :]
+
+
+def run_harmonic(mesh: TetMesh, E: float, nu: float, rho: float,
+                 fixed_nodes: np.ndarray, forces: dict,
+                 freqs_hz: np.ndarray, damping: float = 0.02,
+                 n_modes: int = 20, probe_node: int = None) -> dict:
+    """Steady-state harmonic response by modal superposition: FRF of
+    (K - w^2 M + 2 i zeta w wk M) over a frequency sweep with constant
+    modal damping ratio `damping`. Returns per-frequency peak displacement
+    amplitude and the complex response at `probe_node` (defaults to the
+    largest-amplitude loaded node)."""
+    K, mdiag = assemble_elasticity(mesh, E, nu, rho=rho)
+    n = 3 * mesh.n_nodes
+    f = np.zeros(n)
+    for node, vec in forces.items():
+        f[3 * int(node):3 * int(node) + 3] += np.asarray(vec, np.float64)
+    fixed_dofs = (3 * np.asarray(fixed_nodes, np.int64)[:, None]
+                  + np.arange(3)[None, :]).reshape(-1)
+    Kff, ff, free, _ = apply_dirichlet(K, f, fixed_dofs)
+    m = mdiag[free]
+    k = min(n_modes, free.size)
+    w2, V = _modes_with_vectors(Kff, m, k)
+    wk = np.sqrt(np.maximum(w2, 1e-300))
+    gen_f = V.T @ ff                                    # modal forces
+    w = 2 * np.pi * np.asarray(freqs_hz, np.float64).reshape(-1)
+    # (F, K) modal FRF denominators
+    den = (w2[None, :] - (w ** 2)[:, None]
+           + 2j * damping * wk[None, :] * w[:, None])
+    q = gen_f[None, :] / den                            # (F, K)
+    U = q @ V.T                                         # (F, nd) complex
+    # static correction (mode-acceleration residual): the truncated higher
+    # modes respond quasi-statically, so add K^-1 f minus the retained
+    # modes' static part — exact static limit at w -> 0
+    u_static = Kff.solve(ff.reshape(-1, 1)).reshape(-1)
+    resid = u_static - V @ (gen_f / np.maximum(w2, 1e-300))
+    U = U + resid[None, :]
+    amp = np.abs(U)
+    peak = amp.max(axis=1)
+    if probe_node is None and forces:
+        probe_node = int(next(iter(forces)))
+    probe = None
+    if probe_node is not None:
+        pd = 3 * int(probe_node) + np.arange(3)
+        cols = np.searchsorted(free, pd)
+        ok = (cols < free.size) & (free[np.minimum(cols, free.size - 1)] == pd)
+        probe = np.zeros((w.size, 3), dtype=complex)
+        probe[:, ok] = U[:, cols[ok]]
+    return {"frequencies_hz": np.asarray(freqs_hz, np.float64).reshape(-1),
+            "peak_amplitude": peak,
+            "probe_complex": probe,
+            "probe_amplitude": None if probe is None else np.abs(probe),
+            "modal_frequencies_hz": wk / (2 * np.pi),
+            "n_modes": int(k)}

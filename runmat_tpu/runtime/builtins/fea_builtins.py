@@ -185,3 +185,52 @@ def m_fea_node_coords(mesh):
 def m_fea_boundary_nodes(mesh, spec):
     _check_mesh(mesh)
     return MatArray((_fixed_nodes(mesh, spec) + 1.0).reshape(-1, 1), "double")
+
+
+@builtin("fea_buckling", category="fea", min_in=5, max_in=6)
+def m_fea_buckling(mesh, E, nu, fixed, loads, nmodes=None):
+    """r = fea_buckling(mesh, E, nu, 'z==0', [node fx fy fz; ...][, k]):
+    linear eigenvalue buckling — load multipliers of the applied load
+    (fea/pipelines.py run_buckling; extends the reference's six-pipeline
+    surface, runmat-analysis/fea/src/lib.rs:16-21)."""
+    _check_mesh(mesh)
+    fn = _fixed_nodes(mesh, fixed)
+    lv = _np(loads)
+    if lv.ndim != 2 or lv.shape[1] != 4:
+        raise bad_arg("fea_buckling", "Loads must be rows of [node fx fy fz].")
+    forces = {int(r[0]) - 1: (r[1], r[2], r[3]) for r in lv}
+    k = int(_sc(nmodes)) if nmodes is not None else 4
+    res = P.run_buckling(mesh, _sc(E), _sc(nu), fn, forces, k)
+    return StructArray.scalar({
+        "load_factors": MatArray(res["load_factors"].reshape(-1, 1),
+                                 "double"),
+        "critical_load_factor": MatArray.scalar(res["critical_load_factor"]),
+    })
+
+
+@builtin("fea_harmonic", category="fea", min_in=7, max_in=9)
+def m_fea_harmonic(mesh, E, nu, rho, fixed, loads, freqs,
+                   damping=None, nmodes=None):
+    """r = fea_harmonic(mesh, E, nu, rho, 'z==0', loads, freqs_hz
+    [, zeta, nmodes]): modal-superposition frequency response
+    (fea/pipelines.py run_harmonic)."""
+    _check_mesh(mesh)
+    fn = _fixed_nodes(mesh, fixed)
+    lv = _np(loads)
+    if lv.ndim != 2 or lv.shape[1] != 4:
+        raise bad_arg("fea_harmonic", "Loads must be rows of [node fx fy fz].")
+    forces = {int(r[0]) - 1: (r[1], r[2], r[3]) for r in lv}
+    fz = _np(freqs).reshape(-1)
+    zeta = _sc(damping) if damping is not None else 0.02
+    k = int(_sc(nmodes)) if nmodes is not None else 20
+    res = P.run_harmonic(mesh, _sc(E), _sc(nu), _sc(rho), fn, forces, fz,
+                         damping=zeta, n_modes=k)
+    return StructArray.scalar({
+        "frequencies_hz": MatArray(res["frequencies_hz"].reshape(-1, 1),
+                                   "double"),
+        "peak_amplitude": MatArray(res["peak_amplitude"].reshape(-1, 1),
+                                   "double"),
+        "probe_amplitude": MatArray(res["probe_amplitude"], "double"),
+        "modal_frequencies_hz": MatArray(
+            res["modal_frequencies_hz"].reshape(-1, 1), "double"),
+    })
