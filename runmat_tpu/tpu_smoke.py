@@ -386,12 +386,23 @@ def _cmp(got: np.ndarray, want, tol: float) -> bool:
         1.0, np.abs(w[m]))))
 
 
-def run(sess) -> dict:
+def run(sess, budget_s: float = None) -> dict:
     """Execute the battery through `sess` (device path); returns
-    {"passed": n, "failed": n, "cases": n, "failures": [...]}."""
-    passed = failed = 0
+    {"passed": n, "failed": n, "cases": n, "failures": [...]}.
+
+    budget_s: wall budget — remaining cases are SKIPPED (reported in
+    "cases_skipped", never counted as failures) once it is exhausted.
+    Partial counts with an honest skip tally beat a run that never emits
+    the BENCH json when the device tunnel degrades (60 s+ stalls per
+    compile have been observed)."""
+    import time as _time
+    t0 = _time.perf_counter()
+    passed = failed = skipped = 0
     failures = []
     for name, src, checks in CASES:
+        if budget_s is not None and _time.perf_counter() - t0 > budget_s:
+            skipped += 1
+            continue
         try:
             r = sess.execute(src)
             if r.error is not None:
@@ -414,5 +425,8 @@ def run(sess) -> dict:
             except Exception as e:
                 failed += 1
                 failures.append(f"{name}.{var}: {type(e).__name__}: {e}")
-    return {"passed": passed, "failed": failed, "cases": len(CASES),
-            "failures": failures[:20]}
+    out = {"passed": passed, "failed": failed, "cases": len(CASES),
+           "failures": failures[:20]}
+    if skipped:
+        out["cases_skipped"] = skipped
+    return out
