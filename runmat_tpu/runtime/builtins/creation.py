@@ -352,6 +352,39 @@ def m_string(x=None):
             fo[k] = v.to_str() if isinstance(v, MatArray) and v.mclass == "char" else \
                 (v.item() if isinstance(v, StringArray) else None)
         return StringArray(out)
+    if type(x).__name__ == "MatDatetime":
+        import datetime as _pydt
+        out = np.empty(x.shape, dtype=object)
+        fi = x.data.reshape(-1)
+        fo = out.reshape(-1)
+        for k in range(fi.size):
+            if np.isnat(fi[k]):
+                fo[k] = None                       # missing string for NaT
+                continue
+            t = fi[k].astype(_pydt.datetime)
+            fmt = "%d-%b-%Y" if (t.hour, t.minute, t.second,
+                                 t.microsecond) == (0, 0, 0, 0) \
+                else "%d-%b-%Y %H:%M:%S"
+            fo[k] = t.strftime(fmt)
+        return StringArray(out)
+    if type(x).__name__ == "MatDuration":
+        out = np.empty(x.shape, dtype=object)
+        secs = x.seconds_array().reshape(-1)
+        fo = out.reshape(-1)
+        for k in range(secs.size):
+            v = secs[k]
+            if np.isnan(v):
+                fo[k] = None
+                continue
+            sign = "-" if v < 0 else ""
+            v = abs(v)
+            hh = int(v // 3600)
+            mm = int((v % 3600) // 60)
+            ss = v - hh * 3600 - mm * 60
+            txt = f"{sign}{hh:02d}:{mm:02d}:{ss:02.0f}" if ss == int(ss) \
+                else f"{sign}{hh:02d}:{mm:02d}:{ss:07.4f}"
+            fo[k] = txt
+        return StringArray(out)
     raise bad_arg("string", "Cannot convert input to string.")
 
 

@@ -1050,6 +1050,11 @@ class Interp:
                     return cur
             from ..tables import MatTable
             if isinstance(cur, MatTable):
+                if fname == "Properties" and rest and rest[0][0][0] in (
+                        "field", "dynfield"):
+                    # T.Properties.VariableNames/RowNames = ... (≙ the
+                    # reference's table.subsasgn metadata surface)
+                    return _table_set_property(cur, rest[0][1], rhs)
                 if rest:
                     old = cur.col(fname)
                     return cur.set_col(fname, self._path_write(old, rest, rhs))
@@ -1235,6 +1240,30 @@ def _make_range(start, step, stop) -> MatArray:
         from .. import dtypes as _dt
         arr = _dt.cast_to_class(arr, out_class)
     return MatArray(arr, out_class)
+
+
+def _table_set_property(tbl, prop: str, rhs):
+    from ..values import CellArray, text_of as _tof
+    from ..tables import MatTable
+    def _names(v):
+        if isinstance(v, CellArray):
+            return [_tof(x) for x in v.data.reshape(-1, order="F")]
+        from ..values import StringArray
+        if isinstance(v, StringArray):
+            return [str(x) for x in v.data.reshape(-1, order="F")]
+        raise MatError("MATLAB:table:InvalidPropertyValue",
+                       f"Invalid value for table property '{prop}'.")
+    if prop == "VariableNames":
+        names = _names(rhs)
+        if len(names) != len(tbl.varnames):
+            raise MatError("MATLAB:table:IncorrectNumberOfVarNames",
+                           "The VariableNames property must contain one "
+                           "name for each variable in the table.")
+        return MatTable(names, list(tbl.cols), tbl.rownames)
+    if prop == "RowNames":
+        return MatTable(list(tbl.varnames), list(tbl.cols), _names(rhs))
+    raise MatError("MATLAB:table:UnknownProperty",
+                   f"Unrecognized table property '{prop}'.")
 
 
 def _make_datetime_range(start, step, stop):

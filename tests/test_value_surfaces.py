@@ -177,3 +177,27 @@ def test_datetime_colon_forms():
                 "v = datevec(t(2)); r = v(3) + numel(t)/100;") == 29.04
     assert r_of("t = datetime(2024,1,5):datetime(2024,1,1); "
                 "r = numel(t);") == 0.0
+
+
+# ----------------------------------- table metadata writes + string() coverage
+
+def test_table_properties_variablenames_write():
+    assert r_of("T = table([1;2], [10;20]); "
+                "T.Properties.VariableNames = {'k','a'}; "
+                "r = T.a(2);") == 20.0
+    assert r_of("T = table([1;2]); T.Properties.RowNames = {'r1','r2'}; "
+                "r = height(T);") == 2.0
+    # wrong count errors
+    s = run("ok = 0; T = table([1;2], [3;4]); "
+            "try, T.Properties.VariableNames = {'only'}; catch, ok = 1; end")
+    assert float(s.get("ok").host()) == 1.0
+
+
+def test_string_of_timelike():
+    assert r_of("r = double(string(hours(1.5)) == \"01:30:00\");") == 1.0
+    assert r_of("r = double(string(datetime(2024,3,15)) "
+                "== \"15-Mar-2024\");") == 1.0
+    assert r_of("r = double(string(datetime(2024,3,15,13,5,7)) "
+                "== \"15-Mar-2024 13:05:07\");") == 1.0
+    assert r_of("r = double(ismissing(string(NaT)));") == 1.0
+    assert r_of("r = double(string(-minutes(90)) == \"-01:30:00\");") == 1.0
