@@ -38,7 +38,7 @@ REPS = int(os.environ.get("BENCH_REPS", "5"))
 # the remaining budget can't cover them, so the final JSON line ALWAYS
 # prints well before any driver-side timeout. Tunnel stalls of 60s+ have
 # been observed; the guards keep one bad section from sinking the run.
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1380"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
 _T0 = time.perf_counter()
 
 
