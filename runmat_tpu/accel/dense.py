@@ -58,23 +58,31 @@ class DenseOps:
             self._note_gated(kind, "no %s lowering on %s; computing on host"
                              % (kind, self.eng.platform))
             return False
+        eff = dt
+        if kind in ("fft", "fft2", "hilbert", "spectrogram") and \
+                np.dtype(dt).kind == "f":
+            eff = np.dtype(np.complex64 if dt == np.float32
+                           else np.complex128)
         if self.eng.platform == "tpu":
             # complex128 work is gated off on TPU: no native c128 and the
             # compile service has been observed to stall rather than error
             # (precision-guard mirror of accelerate/src/precision.rs:40-60;
             # override for experiments via RUNMAT_TPU_ALLOW_C128=1)
             import os
-            eff = dt
-            if kind in ("fft", "fft2", "hilbert", "spectrogram") and \
-                    np.dtype(dt).kind == "f":
-                eff = np.dtype(np.complex64 if dt == np.float32
-                               else np.complex128)
             if np.dtype(eff) == np.complex128 and \
                     os.environ.get("RUNMAT_TPU_ALLOW_C128") != "1":
                 self._note_gated(kind + ":c128",
                                  "complex128 gated off on tpu (set "
                                  "RUNMAT_TPU_ALLOW_C128=1); host path used")
                 return False
+        if np.dtype(eff).kind == "c" and not self.eng.supports_complex:
+            # platform capability gate: the axon tunnel rejects complex
+            # TRANSFERS with UNIMPLEMENTED, so complex-valued device results
+            # could never be gathered — compute on host instead
+            self._note_gated(kind + ":complex",
+                             "platform has no complex transfer support; "
+                             "host path used")
+            return False
         return (kind, str(dt)) not in self._bad
 
     def _note_gated(self, key: str, reason: str) -> None:

@@ -193,6 +193,12 @@ class JaxEngine:
         self.matmul_precision = (mm or "highest").lower()
         from .dense import DenseOps
         self.dense = DenseOps(self)
+        # complex-dtype device support is a PLATFORM capability: the axon
+        # TPU tunnel rejects complex transfers with UNIMPLEMENTED (observed
+        # live), while jax-CPU and direct TPU runtimes accept them. Probed
+        # lazily on first complex use and persisted per device name (the
+        # failing probe costs one slow server round trip).
+        self._supports_complex: Optional[bool] = None
         self._jit_cache: dict = {}
         self.stats = {"dispatches": 0, "compiles": 0, "cache_hits": 0,
                       "uploads": 0, "gathers": 0, "upload_bytes": 0,
@@ -278,6 +284,13 @@ class JaxEngine:
         return NamedSharding(self.mesh, P())
 
     def upload(self, x: MatArray, force_shard: bool = False) -> MatArray:
+        if x.is_complex and not self.supports_complex:
+            # gpuArray(complex) on a platform without complex transfers:
+            # value semantics stay correct host-side (the gather-retry
+            # invariant — device residency is never required for
+            # correctness); surfaced via the fallback log
+            self.note_fallback("upload", "complex_unsupported_on_platform")
+            return MatArray(x.host().copy(), x.mclass)
         h = x.host()
         ps = phys_shape(h.shape)
         place = self.placement(ps)
@@ -335,7 +348,54 @@ class JaxEngine:
 
     # ------------------------------------------------------------------ routing
 
+    @property
+    def supports_complex(self) -> bool:
+        if self._supports_complex is None:
+            self._supports_complex = self._probe_complex()
+        return self._supports_complex
+
+    def _probe_complex(self) -> bool:
+        """One complex round trip through the device, persisted per device
+        name (~/.cache/runmat_tpu/platform_caps.json)."""
+        import json as _json
+        path = os.path.expanduser(os.environ.get(
+            "RUNMAT_TPU_CAPS_CACHE",
+            "~/.cache/runmat_tpu/platform_caps.json"))
+        key = f"{self.platform}:{self.device.device_kind}" \
+            if hasattr(self.device, "device_kind") else self.platform
+        caps = {}
+        try:
+            with open(path) as f:
+                caps = _json.load(f)
+            if key in caps and "complex" in caps[key]:
+                return bool(caps[key]["complex"])
+        except Exception:
+            pass
+        try:
+            z = self.jax.device_put(
+                np.array([[1 + 2j]], dtype=np.complex64), self.device)
+            ok = bool(abs(complex(np.asarray(z).reshape(-1)[0])
+                          - complex(1, 2)) < 1e-6)
+        except Exception:
+            ok = False
+        if not ok:
+            self.note_fallback("complex", "platform_complex_unsupported")
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            caps.setdefault(key, {})["complex"] = ok
+            with open(path, "w") as f:
+                _json.dump(caps, f)
+        except Exception:
+            pass
+        return ok
+
+    def _complex_ok(self, *xs: MatArray) -> bool:
+        return not any(getattr(x, "is_complex", False) for x in xs) \
+            or self.supports_complex
+
     def route_binary(self, op: str, a: MatArray, b: MatArray) -> bool:
+        if not self._complex_ok(a, b):
+            return False
         if a.on_device or b.on_device:
             return True
         if not self.auto_offload:
@@ -346,12 +406,16 @@ class JaxEngine:
         return max(a.size, b.size) >= self.offload_threshold
 
     def route_unary(self, op: str, a: MatArray) -> bool:
+        if not self._complex_ok(a):
+            return False
         if a.on_device:
             return op in table.UNARY
         return (self.auto_offload and a.size >= self.offload_threshold
                 and a.mclass in ("double", "single") and op in table.UNARY)
 
     def route_matmul(self, a: MatArray, b: MatArray) -> bool:
+        if not self._complex_ok(a, b):
+            return False
         if a.on_device or b.on_device:
             return True
         return self.auto_offload and min(a.size, b.size) >= self.offload_threshold
@@ -598,6 +662,8 @@ class JaxEngine:
         policy family as route_matmul; factorizations are O(n^3) so the
         threshold is on the matrix element count)."""
         xs = [x for x in xs if isinstance(x, MatArray)]
+        if not self._complex_ok(*xs):
+            return False
         if any(x.on_device for x in xs):
             return True
         if not self.auto_offload:

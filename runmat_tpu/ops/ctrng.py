@@ -105,6 +105,16 @@ def uniform_u32(xp, key, counter, n: int):
     return xp.concatenate([w0, w1])[:n], nb
 
 
+def _to_f64_exact(xp, w):
+    """u32 -> f64 via 16-bit halves. A direct astype is exact on host
+    numpy but TPU's emulated f64 converts >24-bit integers through f32
+    (observed: 2-ulp error in the uniform stream on a real chip); 16-bit
+    pieces convert exactly everywhere and reassemble exactly."""
+    hi = (w >> xp.uint32(16)).astype(xp.float64)
+    lo = (w & xp.uint32(0xFFFF)).astype(xp.float64)
+    return hi * np.float64(65536.0) + lo
+
+
 def uniform(xp, key, counter, n: int, dtype):
     """n uniforms in [0,1). f32: one word each (2 per block); f64: one block
     each (53 bits from the block's two words)."""
@@ -112,8 +122,8 @@ def uniform(xp, key, counter, n: int, dtype):
         bits, nb = uniform_u32(xp, key, counter, n)
         return (bits >> xp.uint32(8)).astype(xp.float32) * xp.float32(2.0 ** -24), nb
     w0, w1 = raw_words(xp, key, counter, n)
-    v = (w0 >> xp.uint32(5)).astype(xp.float64) * np.float64(2 ** 26) \
-        + (w1 >> xp.uint32(6)).astype(xp.float64)
+    v = _to_f64_exact(xp, w0 >> xp.uint32(5)) * np.float64(2 ** 26) \
+        + _to_f64_exact(xp, w1 >> xp.uint32(6))
     return v * np.float64(2.0 ** -53), n
 
 
@@ -131,8 +141,8 @@ def normal(xp, key, counter, n: int, dtype):
     else:
         w0, w1 = raw_words(xp, key, counter, 2 * m)
         f = xp.float64
-        v = (w0 >> xp.uint32(5)).astype(f) * np.float64(2 ** 26) \
-            + (w1 >> xp.uint32(6)).astype(f)
+        v = _to_f64_exact(xp, w0 >> xp.uint32(5)) * np.float64(2 ** 26) \
+            + _to_f64_exact(xp, w1 >> xp.uint32(6))
         u = v * np.float64(2.0 ** -53)
         u1 = f(1.0) - u[:m]
         u2 = u[m:]
