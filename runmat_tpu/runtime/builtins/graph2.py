@@ -509,3 +509,185 @@ def m_imhist(img, n=None, nargout=1):
     outs = [MatArray(counts.astype(np.float64).reshape(-1, 1), "double"),
             MatArray(centers.reshape(-1, 1), "double")]
     return outs[:max(1, nargout)]
+
+
+# ------------------------------------------------ flows + centralities --- #
+
+@builtin("maxflow", category="math/graph", min_in=3, max_in=3,
+         pass_nargout=True)
+def m_maxflow(g: MatGraph, s, t, nargout=1):
+    """Edmonds-Karp max flow from s to t over edge weights as capacities
+    (BFS augmenting paths; exceeds the reference's graph surface)."""
+    src, dst = _node(s), _node(t)
+    n = g.n
+    cap = {}
+    for u in range(n):
+        for v, w in g.adj[u]:
+            cap[(u, v)] = cap.get((u, v), 0.0) + float(w)
+            cap.setdefault((v, u), 0.0)
+    flow = 0.0
+    from collections import deque
+    while True:
+        parent = {src: None}
+        q = deque([src])
+        while q and dst not in parent:
+            u = q.popleft()
+            for (a, b), c in cap.items():
+                if a == u and b not in parent and c > 1e-15:
+                    parent[b] = u
+                    q.append(b)
+        if dst not in parent:
+            break
+        path = []
+        v = dst
+        while parent[v] is not None:
+            path.append((parent[v], v))
+            v = parent[v]
+        aug = min(cap[e] for e in path)
+        for (a, b) in path:
+            cap[(a, b)] -= aug
+            cap[(b, a)] += aug
+        flow += aug
+    return MatArray.scalar(flow)
+
+
+@builtin("centrality", category="math/graph", min_in=2, max_in=2)
+def m_centrality(g: MatGraph, kind):
+    """degree/indegree/outdegree/closeness/pagerank/betweenness node
+    centralities."""
+    k = text_of(kind).lower()
+    n = g.n
+    if k in ("degree", "indegree", "outdegree"):
+        out = np.zeros(n)
+        indeg = np.zeros(n)
+        for u in range(n):
+            out[u] = len(g.adj[u])
+            for v, _w in g.adj[u]:
+                indeg[v] += 1
+        if not g.directed:
+            return MatArray(out.reshape(-1, 1), "double")
+        if k == "outdegree":
+            return MatArray(out.reshape(-1, 1), "double")
+        if k == "indegree":
+            return MatArray(indeg.reshape(-1, 1), "double")
+        return MatArray((out + indeg).reshape(-1, 1), "double")
+    if k == "closeness":
+        from collections import deque
+        c = np.zeros(n)
+        for s in range(n):
+            dist = np.full(n, np.inf)
+            dist[s] = 0
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                for v, _w in g.adj[u]:
+                    if np.isinf(dist[v]):
+                        dist[v] = dist[u] + 1
+                        q.append(v)
+            reach = np.isfinite(dist) & (np.arange(n) != s)
+            tot = dist[reach].sum()
+            if tot > 0:
+                # MATLAB normalization: (R/(N-1)) * (R/total-distance)
+                R = reach.sum()
+                c[s] = (R * R) / ((n - 1) * tot)
+        return MatArray(c.reshape(-1, 1), "double")
+    if k == "pagerank":
+        d = 0.85
+        pr = np.full(n, 1.0 / n)
+        outdeg = np.array([max(len(g.adj[u]), 1) for u in range(n)],
+                          dtype=np.float64)
+        for _ in range(100):
+            nxt = np.full(n, (1 - d) / n)
+            for u in range(n):
+                share = d * pr[u] / outdeg[u]
+                for v, _w in g.adj[u]:
+                    nxt[v] += share
+                if not g.adj[u]:
+                    nxt += d * pr[u] / n
+            if np.abs(nxt - pr).max() < 1e-12:
+                pr = nxt
+                break
+            pr = nxt
+        return MatArray(pr.reshape(-1, 1), "double")
+    if k == "betweenness":
+        # Brandes' algorithm (unweighted)
+        from collections import deque
+        bc = np.zeros(n)
+        for s in range(n):
+            stack = []
+            preds = [[] for _ in range(n)]
+            sigma = np.zeros(n)
+            sigma[s] = 1
+            dist = np.full(n, -1)
+            dist[s] = 0
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                stack.append(u)
+                for v, _w in g.adj[u]:
+                    if dist[v] < 0:
+                        dist[v] = dist[u] + 1
+                        q.append(v)
+                    if dist[v] == dist[u] + 1:
+                        sigma[v] += sigma[u]
+                        preds[v].append(u)
+            delta = np.zeros(n)
+            while stack:
+                w = stack.pop()
+                for u in preds[w]:
+                    delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+                if w != s:
+                    bc[w] += delta[w]
+        if not g.directed:
+            bc /= 2.0
+        return MatArray(bc.reshape(-1, 1), "double")
+    raise bad_arg("centrality", f"Unknown centrality type '{text_of(kind)}'.")
+
+
+@builtin("addnode", category="math/graph", min_in=2, max_in=2)
+def m_addnode(g: MatGraph, k):
+    """addnode(G, k): append k isolated nodes."""
+    kk = int(_f(k).reshape(-1)[0])
+    return MatGraph(g.n + kk, [list(a) for a in g.adj] +
+                    [[] for _ in range(kk)], g.directed)
+
+
+@builtin("addedge", category="math/graph", min_in=3, max_in=4)
+def m_addedge(g: MatGraph, s, t, w=None):
+    """addedge(G, s, t[, w]): append edges (grows the node set)."""
+    si = _f(s).reshape(-1).astype(int) - 1
+    ti = _f(t).reshape(-1).astype(int) - 1
+    wi = _f(w).reshape(-1) if w is not None else np.ones(si.size)
+    if wi.size == 1:
+        wi = np.full(si.size, wi[0])
+    n = max(g.n, int(max(si.max(initial=-1), ti.max(initial=-1)) + 1))
+    adj = [list(a) for a in g.adj] + [[] for _ in range(n - g.n)]
+    for a, b, ww in zip(si, ti, wi):
+        adj[a].append((int(b), float(ww)))
+        if not g.directed:
+            adj[b].append((int(a), float(ww)))
+    return MatGraph(n, adj, g.directed)
+
+
+@builtin("rmnode", category="math/graph", min_in=2, max_in=2)
+def m_rmnode(g: MatGraph, nodes):
+    """rmnode(G, ids): drop nodes (and their edges), renumbering the rest."""
+    drop = set(int(v) - 1 for v in _f(nodes).reshape(-1))
+    keep = [u for u in range(g.n) if u not in drop]
+    remap = {u: i for i, u in enumerate(keep)}
+    adj = [[(remap[v], w) for v, w in g.adj[u] if v not in drop]
+           for u in keep]
+    return MatGraph(len(keep), adj, g.directed)
+
+
+@builtin("rmedge", category="math/graph", min_in=3, max_in=3)
+def m_rmedge(g: MatGraph, s, t):
+    """rmedge(G, s, t): drop the listed edges (all parallel copies)."""
+    si = _f(s).reshape(-1).astype(int) - 1
+    ti = _f(t).reshape(-1).astype(int) - 1
+    kill = set(zip(si.tolist(), ti.tolist()))
+    if not g.directed:
+        kill |= set(zip(ti.tolist(), si.tolist()))
+    adj = [[(v, w) for v, w in g.adj[u] if (u, v) not in kill]
+           for u in range(g.n)]
+    return MatGraph(g.n, adj, g.directed)

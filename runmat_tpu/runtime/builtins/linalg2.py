@@ -157,11 +157,15 @@ def m_eigs(a, k=None, sigma=None, nargout=1):
     if isinstance(a, SparseMatrix):
         import scipy.sparse as sps
         import scipy.sparse.linalg as spl
-        S = sps.csc_matrix((a.data, a.indices, a.indptr), shape=a.shape)
-        kk = min(kk, a.shape[0] - 2) if a.shape[0] > 2 else 1
-        w_map = {"lm": "LM", "sm": "SM", "la": "LA", "sa": "SA"}
+        S = a.to_scipy()
+        kk = min(kk, a.m - 2) if a.m > 2 else 1
+        w_map = {"lm": "LM", "sm": "SM", "la": "LA", "sa": "SA",
+                 "largestabs": "LM", "smallestabs": "SM",
+                 "largestreal": "LR", "smallestreal": "SR"}
         vals, vecs = spl.eigs(S, k=kk, which=w_map.get(which, "LM"))
-        order = np.argsort(-np.abs(vals), kind="stable")
+        small = which in ("sm", "smallestabs", "sa", "smallestreal")
+        key = np.abs(vals) if small else -np.abs(vals)
+        order = np.argsort(key, kind="stable")
         vals, vecs = vals[order], vecs[:, order]
     else:
         h = _f(a)
@@ -170,13 +174,13 @@ def m_eigs(a, k=None, sigma=None, nargout=1):
             w, v = np.linalg.eigh(h)
         else:
             w, v = np.linalg.eig(h)
-        if which == "lm":
+        if which in ("lm", "largestabs"):
             order = np.argsort(-np.abs(w), kind="stable")
-        elif which == "sm":
+        elif which in ("sm", "smallestabs"):
             order = np.argsort(np.abs(w), kind="stable")
-        elif which == "la":
+        elif which in ("la", "largestreal"):
             order = np.argsort(-np.real(w), kind="stable")
-        elif which == "sa":
+        elif which in ("sa", "smallestreal"):
             order = np.argsort(np.real(w), kind="stable")
         else:
             order = np.argsort(-np.abs(w), kind="stable")
@@ -220,7 +224,7 @@ def m_symrcm(a):
     if isinstance(a, SparseMatrix):
         import scipy.sparse as sps
         from scipy.sparse.csgraph import reverse_cuthill_mckee
-        S = sps.csr_matrix(sps.csc_matrix((a.data, a.indices, a.indptr), shape=a.shape))
+        S = sps.csr_matrix(a.to_scipy())
     else:
         import scipy.sparse as sps
         from scipy.sparse.csgraph import reverse_cuthill_mckee
@@ -327,3 +331,120 @@ def m_is_ill_conditioned(d):
             return MatArray.logical_scalar(bool(diag.max() / diag.min() > 1e12))
         return MatArray.logical_scalar(True)
     return MatArray.logical_scalar(False)
+
+
+# ------------------------------------- sparse spectral/norm estimators --- #
+
+@builtin("svds", category="math/linalg", min_in=1, max_in=3,
+         pass_nargout=True)
+def m_svds(a, k=None, sigma=None, nargout=1):
+    """k largest (or 'smallest') singular values / factors. Sparse path:
+    ARPACK via the scipy host helper; dense: full SVD then select."""
+    from ...sparse import SparseMatrix
+    kk = scalar_int(k, "k") if k is not None else 6
+    smallest = sigma is not None and is_text(sigma) and \
+        text_of(sigma).lower() in ("smallest", "smallestabs", "sm")
+    if isinstance(a, SparseMatrix) and min(a.m, a.n) > 2:
+        import scipy.sparse.linalg as spl
+        kk = min(kk, min(a.m, a.n) - 1)
+        u, s, vt = spl.svds(a.to_scipy(), k=kk,
+                            which="SM" if smallest else "LM")
+        order = np.argsort(s if smallest else -s, kind="stable")
+        u, s, vt = u[:, order], s[order], vt[order]
+    else:
+        h = a.to_matarray().host().astype(np.float64) \
+            if isinstance(a, SparseMatrix) else _f(a)
+        u, s, vt = np.linalg.svd(h, full_matrices=False)
+        if smallest:
+            u, s, vt = u[:, ::-1], s[::-1], vt[::-1]
+        kk = min(kk, s.size)
+        u, s, vt = u[:, :kk], s[:kk], vt[:kk]
+    if nargout <= 1:
+        return MatArray(s.reshape(-1, 1), "double")
+    return [MatArray(u, "double"), MatArray(np.diag(s), "double"),
+            MatArray(vt.T, "double")]
+
+
+@builtin("condest", category="math/linalg", min_in=1, max_in=2)
+def m_condest(a, t=None):
+    """1-norm condition estimate: norm1(A) * est(norm1(inv(A))) via the
+    Hager/Higham one-norm estimator (scipy host helper on sparse LU)."""
+    from ...sparse import SparseMatrix
+    if isinstance(a, SparseMatrix):
+        import scipy.sparse.linalg as spl
+        S = a.to_scipy().tocsc()
+        if S.shape[0] != S.shape[1]:
+            raise bad_arg("condest", "Matrix must be square.")
+        n1 = abs(S).sum(axis=0).max() if S.nnz else 0.0
+        try:
+            lu = spl.splu(S)
+            import scipy.sparse.linalg as _spl
+            op = _spl.LinearOperator(S.shape, matvec=lu.solve,
+                                     rmatvec=lambda v: lu.solve(v, trans="T"))
+            inv1 = _spl.onenormest(op)
+        except RuntimeError:
+            return MatArray.scalar(np.inf)
+        return MatArray.scalar(float(n1 * inv1))
+    h = _f(a)
+    if h.shape[0] != h.shape[1]:
+        raise bad_arg("condest", "Matrix must be square.")
+    try:
+        inv = np.linalg.inv(h)
+    except np.linalg.LinAlgError:
+        return MatArray.scalar(np.inf)
+    return MatArray.scalar(
+        float(np.abs(h).sum(axis=0).max() * np.abs(inv).sum(axis=0).max()))
+
+
+@builtin("sprandsym", category="math/sparse", min_in=1, max_in=2,
+         pass_ctx=True)
+def m_sprandsym(n_or_s, density=None, ctx=None):
+    """sprandsym(n, density): random symmetric sparse; sprandsym(S):
+    symmetric with the sparsity structure of S."""
+    from ...sparse import SparseMatrix
+    from ...ops import ctrng
+    if isinstance(n_or_s, SparseMatrix):
+        S = n_or_s
+        vals = ctrng.host_rand(ctx.session.rng, S.data.size, "double") * 2 - 1
+        A = SparseMatrix(S.m, S.n, S.indptr, S.rowind, vals).to_matarray()
+        h = A.host()
+        out = np.tril(h) + np.tril(h, -1).T
+        return SparseMatrix.from_dense(out)
+    n = scalar_int(n_or_s, "n")
+    d = float(density.host().reshape(-1)[0]) if density is not None else 0.1
+    nnz_target = max(1, int(round(d * n * n)))
+    m = (nnz_target + 1) // 2
+    draws = ctrng.host_rand(ctx.session.rng, 3 * m, "double")
+    ii = np.minimum((draws[:m] * n).astype(np.int64), n - 1)
+    jj = np.minimum((draws[m:2 * m] * n).astype(np.int64), n - 1)
+    vv = draws[2 * m:] * 2 - 1
+    lower = np.where(ii >= jj, True, False)
+    r = np.where(lower, ii, jj)
+    c = np.where(lower, jj, ii)
+    dense = np.zeros((n, n))
+    dense[r, c] = vv
+    out = np.tril(dense) + np.tril(dense, -1).T
+    return SparseMatrix.from_dense(out)
+
+
+@builtin("tensorprod", category="math/linalg", min_in=2, max_in=6)
+def m_tensorprod(a, b, *rest):
+    """tensorprod(A, B, dimA, dimB) contracted product; tensorprod(A, B)
+    outer product; 'all' contracts every dimension (inner product)."""
+    ha = a.host().astype(np.float64)
+    hb = b.host().astype(np.float64)
+    if rest and is_text(rest[0]) and text_of(rest[0]).lower() == "all":
+        if ha.shape != hb.shape:
+            raise bad_arg("tensorprod", "Inputs must match for 'all'.")
+        return MatArray.scalar(float((ha * hb).sum()))
+    if not rest:
+        out = np.tensordot(ha, hb, axes=0)
+        return MatArray(out if out.ndim >= 2 else out.reshape(1, -1),
+                        "double")
+    dim_a = fortran_ravel(rest[0].host()).astype(np.int64) - 1
+    dim_b = fortran_ravel(rest[1].host()).astype(np.int64) - 1 \
+        if len(rest) > 1 else dim_a
+    out = np.tensordot(ha, hb, axes=(list(dim_a), list(dim_b)))
+    if out.ndim < 2:
+        out = out.reshape((1, -1) if out.ndim else (1, 1))
+    return MatArray(out, "double")

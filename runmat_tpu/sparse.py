@@ -33,6 +33,13 @@ class SparseMatrix:
         self.mclass = mclass
         self.shared = False
 
+    def to_scipy(self):
+        """scipy.sparse CSC view (host helper bridges: ARPACK eigs/svds,
+        csgraph orderings — the system-LAPACK analog)."""
+        import scipy.sparse as sps
+        return sps.csc_matrix((self.data, self.rowind, self.indptr),
+                              shape=(self.m, self.n))
+
     # -- construction ---------------------------------------------------------
 
     @staticmethod
