@@ -81,8 +81,33 @@ def m_calyears(n):
     return _make_caldur(n.host().astype(np.float64) * 12)
 
 
-@builtin("dateshift", category="datetime", min_in=3, max_in=3)
-def m_dateshift(t, where, unit):
+@builtin("dateshift", category="datetime", min_in=3, max_in=4)
+def m_dateshift(t, where, unit, rule=None):
+    if rule is not None:
+        # dateshift(t, 'start'|'end', unit, 'next'|'previous'|'current'|k):
+        # land on the boundary of the k-th following/preceding unit
+        base = m_dateshift(t, where, unit)
+        r = text_of(rule).lower() if is_text(rule) else None
+        if r == "current":
+            return base
+        u = text_of(unit).lower().rstrip("s")
+        steps = {"next": 1.0, "previous": -1.0}.get(r)
+        if steps is None:
+            if is_text(rule):
+                raise bad_arg("dateshift", f"Unknown rule '{text_of(rule)}'.")
+            steps = float(rule.host().reshape(-1)[0])
+        if u in ("month", "year", "quarter", "week"):
+            months = {"month": 1, "year": 12, "quarter": 3}.get(u)
+            if months is not None:
+                return caldur_add(base, _make_caldur(
+                    np.full(base.shape, months * steps)), 1.0)
+            delta = (steps * 7 * 86_400_000_000)
+        else:
+            per_us = {"day": 86_400_000_000, "hour": 3_600_000_000,
+                      "minute": 60_000_000, "second": 1_000_000}[u]
+            delta = steps * per_us
+        return MatDatetime(base.data
+                           + np.timedelta64(int(round(delta)), "us"))
     d = _dt(t).data
     w = text_of(where).lower()
     u = text_of(unit).lower().rstrip("s")

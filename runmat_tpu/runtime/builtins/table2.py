@@ -657,3 +657,25 @@ def m_detect_import_options(path):
 def m_uitable(*a):
     raise MatError("MATLAB:ui:HeadlessEnvironment",
                    "uitable requires an interactive desktop session.")
+
+
+@builtin("countcats", category="data", min_in=1, max_in=2)
+def m_countcats(c, dim=None):
+    """Counts per category (undefined excluded), along dim for matrices."""
+    if not isinstance(c, CategoricalArray):
+        raise bad_arg("countcats", "Input must be categorical.")
+    ncat = len(c.cats)
+    codes = c.codes
+    if codes.ndim < 2:
+        codes = codes.reshape(1, -1)
+    d = scalar_int(dim, "dim") - 1 if dim is not None else \
+        (0 if codes.shape[0] != 1 else 1)
+    if d == 0:
+        out = np.stack([(codes == k + 1).sum(axis=0) for k in range(ncat)])
+    else:
+        out = np.stack([(codes == k + 1).sum(axis=1) for k in range(ncat)],
+                       axis=1)
+    if c.codes.ndim < 2 or 1 in c.codes.shape:
+        out = out.reshape(-1, 1) if c.codes.shape[0] != 1 else \
+            out.reshape(1, -1)
+    return MatArray(out.astype(np.float64), "double")

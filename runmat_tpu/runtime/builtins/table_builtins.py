@@ -327,3 +327,129 @@ def m_varfun(f, t, ctx=None):
         cols.append(r[0])
     names = [f"fun_{nm}" for nm in t.varnames]
     return MatTable(names, cols)
+
+
+# -------------------------------------------------------------- table joins --- #
+
+def _key_names(a: MatTable, b: MatTable, opts) -> list:
+    i = 0
+    opts = list(opts)
+    while i < len(opts):
+        if is_text(opts[i]) and text_of(opts[i]).lower() == "keys" \
+                and i + 1 < len(opts):
+            k = opts[i + 1]
+            if is_text(k):
+                return [text_of(k)]
+            if isinstance(k, CellArray):
+                return [text_of(x) for x in k.data.reshape(-1, order="F")]
+        i += 1
+    keys = [nm for nm in a.varnames if nm in b.varnames]
+    if not keys:
+        raise MatError("MATLAB:table:join:CantInferKey",
+                       "Cannot find a common key variable.")
+    return keys
+
+
+def _col_rows(col, idx, fill=False):
+    """Select rows of a table variable; idx < 0 selects a missing fill."""
+    import numpy as _np
+    if isinstance(col, MatArray):
+        h = col.host()
+        out = h[_np.maximum(idx, 0)].astype(_np.float64) \
+            if fill and h.dtype.kind in "iub" else h[_np.maximum(idx, 0)].copy()
+        if fill:
+            out = _np.asarray(out, dtype=_np.float64 if out.dtype.kind in
+                              "iufb" else out.dtype)
+            out[idx < 0] = _np.nan
+        return MatArray(out, "double" if fill and col.mclass not in
+                        ("double", "single") else col.mclass)
+    if isinstance(col, (StringArray, CellArray)):
+        data = col.data[_np.maximum(idx, 0)].copy()
+        data[idx < 0] = None if isinstance(col, StringArray) else \
+            MatArray.empty()
+        return type(col)(data)
+    raise bad_arg("join", "Unsupported table variable type for join.")
+
+
+def _key_tuples(t: MatTable, keys: list) -> list:
+    import numpy as _np
+    cols = []
+    for nm in keys:
+        c = t.col(nm)
+        if isinstance(c, MatArray):
+            cols.append([float(v) for v in
+                         _np.ravel(c.host(), order="F")])
+        elif isinstance(c, (StringArray, CellArray)):
+            cols.append([text_of(x) if not isinstance(x, str) else x
+                         for x in c.data.reshape(-1, order="F")])
+        else:
+            raise bad_arg("join", "Unsupported key variable type.")
+    return list(zip(*cols)) if cols else []
+
+
+def _join_impl(a: MatTable, b: MatTable, keys: list, outer: bool) -> MatTable:
+    import numpy as _np
+    ka, kb = _key_tuples(a, keys), _key_tuples(b, keys)
+    pairs = []
+    matched_b = set()
+    for i, key in enumerate(ka):
+        hit = False
+        for j, kB in enumerate(kb):
+            if key == kB:
+                pairs.append((i, j))
+                matched_b.add(j)
+                hit = True
+        if outer and not hit:
+            pairs.append((i, -1))
+    if outer:
+        for j in range(len(kb)):
+            if j not in matched_b:
+                pairs.append((-1, j))
+        pairs.sort(key=lambda p: (p[0] < 0, p[0], p[1]))
+    ia = _np.array([p[0] for p in pairs], dtype=_np.int64)
+    ib = _np.array([p[1] for p in pairs], dtype=_np.int64)
+    names, cols = [], []
+    for nm in keys:
+        # merged key: take from whichever side matched
+        va = _col_rows(a.col(nm), ia, fill=outer)
+        if outer:
+            vb = _col_rows(b.col(nm), ib, fill=True)
+            if isinstance(va, MatArray):
+                h = va.host().copy()
+                hb = vb.host()
+                miss = ia < 0
+                h[miss] = hb[miss]
+                va = MatArray(h, va.mclass)
+            else:
+                d = va.data.copy()
+                d[ia < 0] = vb.data[ia < 0]
+                va = type(va)(d)
+        names.append(nm)
+        cols.append(va)
+    for nm in a.varnames:
+        if nm not in keys:
+            names.append(nm)
+            cols.append(_col_rows(a.col(nm), ia, fill=outer))
+    for nm in b.varnames:
+        if nm not in keys:
+            names.append(nm if nm not in names else nm + "_right")
+            cols.append(_col_rows(b.col(nm), ib, fill=outer))
+    return MatTable(names, cols)
+
+
+@builtin("innerjoin", category="data", min_in=2, max_in=6)
+def m_innerjoin(a, b, *opts):
+    """innerjoin(A, B[, 'Keys', k]): rows with matching key values; keys
+    default to the common variable names."""
+    if not isinstance(a, MatTable) or not isinstance(b, MatTable):
+        raise bad_arg("innerjoin", "Inputs must be tables.")
+    return _join_impl(a, b, _key_names(a, b, opts), outer=False)
+
+
+@builtin("outerjoin", category="data", min_in=2, max_in=6)
+def m_outerjoin(a, b, *opts):
+    """outerjoin(A, B[, 'Keys', k]): all rows from both sides, unmatched
+    variables filled with NaN/missing (keys merged)."""
+    if not isinstance(a, MatTable) or not isinstance(b, MatTable):
+        raise bad_arg("outerjoin", "Inputs must be tables.")
+    return _join_impl(a, b, _key_names(a, b, opts), outer=True)

@@ -201,3 +201,37 @@ def test_string_of_timelike():
                 "== \"15-Mar-2024 13:05:07\");") == 1.0
     assert r_of("r = double(ismissing(string(NaT)));") == 1.0
     assert r_of("r = double(string(-minutes(90)) == \"-01:30:00\");") == 1.0
+
+
+# --------------------------------------------- joins / countcats / dateshift
+
+def test_innerjoin_outerjoin():
+    assert r_of("A = table([1;2], [10;20]); B = table([2;3], [200;300]); "
+                "A.Properties.VariableNames = {'k','a'}; "
+                "B.Properties.VariableNames = {'k','b'}; "
+                "J = innerjoin(A, B); r = height(J) * 100 + J.b(1);") == 300.0
+    assert r_of("A = table([1;2], [10;20]); B = table([2;3], [200;300]); "
+                "A.Properties.VariableNames = {'k','a'}; "
+                "B.Properties.VariableNames = {'k','b'}; "
+                "J = outerjoin(A, B); "
+                "r = height(J) * 100 + double(isnan(J.b(1)));") == 301.0
+    assert r_of("A = table([1;2], [7;8]); B = table([2;1], [5;6]); "
+                "A.Properties.VariableNames = {'id','x'}; "
+                "B.Properties.VariableNames = {'id','y'}; "
+                "J = innerjoin(A, B, 'Keys', 'id'); r = J.y(1);") == 6.0
+
+
+def test_countcats():
+    assert r_of("c = categorical({'a','b','a'}); "
+                "r = max(countcats(c));") == 2.0
+    assert r_of("c = categorical({'a','b','a'}); "
+                "n = countcats(c); r = numel(n);") == 2.0
+
+
+def test_dateshift_rule_argument():
+    assert r_of("t = dateshift(datetime(2024,1,1,10,0,0), 'start', 'day', "
+                "'next'); v = datevec(t); r = v(3) * 100 + v(4);") == 200.0
+    assert r_of("t = dateshift(datetime(2024,3,15), 'start', 'month', "
+                "'previous'); v = datevec(t); r = v(2);") == 2.0
+    assert r_of("t = dateshift(datetime(2024,3,15), 'end', 'year', 'next'); "
+                "v = datevec(t); r = v(1) * 100 + v(2);") == 202512.0
