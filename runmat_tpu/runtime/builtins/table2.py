@@ -679,3 +679,111 @@ def m_countcats(c, dim=None):
         out = out.reshape(-1, 1) if c.codes.shape[0] != 1 else \
             out.reshape(1, -1)
     return MatArray(out.astype(np.float64), "double")
+
+
+@builtin("retime", category="table", min_in=2, max_in=4)
+def m_retime(tt, newtimes, method=None, extra=None):
+    """retime(TT, 'regular', 'TimeStep', dt) / retime(TT, 'hourly'|'daily'|
+    'monthly'|'yearly'[, method]) / retime(TT, newTimes[, method]).
+    Methods: 'fillwithmissing' (default), 'previous', 'next', 'nearest',
+    'linear', 'mean' (bin aggregation)."""
+    from .datetime_builtins import MatDatetime
+    if not _is_timetable(tt):
+        raise bad_arg("retime", "First input must be a timetable.")
+    told = tt.rownames["times"]
+    if not isinstance(told, MatDatetime):
+        raise bad_arg("retime", "Row times must be datetime.")
+    tus = told.data.reshape(-1).astype("datetime64[us]").astype(np.int64)
+    meth = "fillwithmissing"
+    if method is not None and is_text(method) and \
+            text_of(method).lower() != "timestep":
+        meth = text_of(method).lower()
+
+    if is_text(newtimes):
+        spec = text_of(newtimes).lower()
+        unit_us = {"secondly": 1_000_000, "minutely": 60_000_000,
+                   "hourly": 3_600_000_000, "daily": 86_400_000_000,
+                   "weekly": 7 * 86_400_000_000}
+        if spec == "regular":
+            # retime(TT, 'regular', 'TimeStep', dur) or (…, method, 'TimeStep', dur)
+            from .datetime_builtins import MatDuration
+            step = None
+            for cand in (method, extra):
+                if isinstance(cand, MatDuration):
+                    step = int(cand.data.reshape(-1)[0]
+                               .astype("timedelta64[us]").astype(np.int64))
+            if step is None:
+                raise bad_arg("retime", "'regular' needs a 'TimeStep' duration.")
+            lo = tus.min() // step * step
+            new_us = np.arange(lo, tus.max() + 1, step)
+        elif spec in unit_us:
+            u = unit_us[spec]
+            new_us = np.arange(tus.min() // u * u, tus.max() + 1, u)
+        elif spec in ("monthly", "yearly", "quarterly"):
+            d64 = told.data.reshape(-1)
+            unit = {"monthly": "M", "yearly": "Y"}.get(spec)
+            if unit:
+                lo = d64.min().astype(f"datetime64[{unit}]")
+                hi = d64.max().astype(f"datetime64[{unit}]")
+                marks = np.arange(lo, hi + 1)
+            else:                      # quarterly: every 3rd month
+                lo = d64.min().astype("datetime64[M]")
+                hi = d64.max().astype("datetime64[M]")
+                lo = lo - (lo.astype(np.int64) % 3)
+                marks = np.arange(lo, hi + 1, 3)
+            new_us = marks.astype("datetime64[us]").astype(np.int64)
+        else:
+            raise bad_arg("retime", f"Unknown time basis '{spec}'.")
+    elif isinstance(newtimes, MatDatetime):
+        new_us = newtimes.data.reshape(-1).astype("datetime64[us]") \
+            .astype(np.int64)
+    else:
+        raise bad_arg("retime", "New row times must be datetime or a basis.")
+
+    def resample(col):
+        h = col.host().astype(np.float64)
+        v = h.reshape(h.shape[0], -1)
+        out = np.full((new_us.size, v.shape[1]), np.nan)
+        if meth == "fillwithmissing":
+            pos = {t: i for i, t in enumerate(tus)}
+            for i, t in enumerate(new_us):
+                j = pos.get(t)
+                if j is not None:
+                    out[i] = v[j]
+        elif meth in ("previous", "next", "nearest"):
+            order = np.argsort(tus)
+            ts, vs = tus[order], v[order]
+            ix = np.searchsorted(ts, new_us, side="right") - 1
+            if meth == "previous":
+                sel = ix
+            elif meth == "next":
+                sel = np.searchsorted(ts, new_us, side="left")
+            else:
+                lo = np.clip(ix, 0, ts.size - 1)
+                hi = np.clip(ix + 1, 0, ts.size - 1)
+                sel = np.where(np.abs(new_us - ts[lo])
+                               <= np.abs(ts[hi] - new_us), lo, hi)
+            ok = (sel >= 0) & (sel < ts.size)
+            out[ok] = vs[np.clip(sel[ok], 0, ts.size - 1)]
+        elif meth == "linear":
+            order = np.argsort(tus)
+            ts, vs = tus[order].astype(np.float64), v[order]
+            for c in range(v.shape[1]):
+                out[:, c] = np.interp(new_us.astype(np.float64), ts, vs[:, c])
+        elif meth in ("mean", "sum", "min", "max", "firstvalue", "count"):
+            # aggregate source rows into [new_k, new_k+1) bins
+            bins = np.searchsorted(new_us, tus, side="right") - 1
+            fn = {"mean": np.mean, "sum": np.sum, "min": np.min,
+                  "max": np.max, "firstvalue": lambda x, axis=0: x[0],
+                  "count": lambda x, axis=0: float(x.shape[0])}[meth]
+            for i in range(new_us.size):
+                rows = v[bins == i]
+                if rows.size:
+                    out[i] = fn(rows, axis=0)
+        else:
+            raise bad_arg("retime", f"Unknown method '{meth}'.")
+        return MatArray(out.reshape((new_us.size,) + h.shape[1:]), "double")
+
+    new_times = MatDatetime(new_us.astype("datetime64[us]").reshape(-1, 1))
+    return _make_timetable(new_times, list(tt.varnames),
+                           [resample(c) for c in tt.cols])

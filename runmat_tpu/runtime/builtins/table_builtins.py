@@ -453,3 +453,30 @@ def m_outerjoin(a, b, *opts):
     if not isinstance(a, MatTable) or not isinstance(b, MatTable):
         raise bad_arg("outerjoin", "Inputs must be tables.")
     return _join_impl(a, b, _key_names(a, b, opts), outer=True)
+
+
+@builtin("rowfun", category="table", min_in=2, max_in=2, pass_ctx=True)
+def m_rowfun(f, t, ctx=None):
+    """rowfun(f, T): apply f to each row's variables; one output variable."""
+    import numpy as _np
+    if not isinstance(t, MatTable):
+        raise bad_arg("rowfun", "Second input must be a table.")
+    out = []
+    for i in range(t.height):
+        args = []
+        for c in t.cols:
+            if isinstance(c, MatArray):
+                h = c.host()
+                args.append(MatArray(_np.asarray(h[i]).reshape(1, -1),
+                                     c.mclass))
+            elif isinstance(c, (StringArray, CellArray)):
+                args.append(c.data[i, 0] if isinstance(c, CellArray)
+                            else StringArray.scalar(c.data.reshape(-1)[i]))
+            else:
+                raise bad_arg("rowfun", "Unsupported table variable type.")
+        r = ctx.interp.call_value(f, args, 1, ctx.frame)
+        v = r[0] if r else MatArray.empty()
+        out.append(float(v.host().reshape(-1)[0]) if isinstance(v, MatArray)
+                   and v.size else _np.nan)
+    col = MatArray(_np.asarray(out, _np.float64).reshape(-1, 1), "double")
+    return MatTable(["Var1"], [col])

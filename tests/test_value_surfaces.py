@@ -235,3 +235,25 @@ def test_dateshift_rule_argument():
                 "'previous'); v = datevec(t); r = v(2);") == 2.0
     assert r_of("t = dateshift(datetime(2024,3,15), 'end', 'year', 'next'); "
                 "v = datevec(t); r = v(1) * 100 + v(2);") == 202512.0
+
+
+def test_retime_methods():
+    base = ("tt = timetable(datetime(2024,1,1)+hours(0:2:4)', [1;2;3]); ")
+    assert r_of(base + "t2 = retime(tt, 'hourly'); "
+                "r = height(t2) * 10 + double(isnan(t2.Var1(2)));") == 51.0
+    assert r_of(base + "t2 = retime(tt, 'hourly', 'linear'); "
+                "r = t2.Var1(2);") == 1.5
+    assert r_of("tt = timetable(datetime(2024,1,1)+hours([0 3])', [5;9]); "
+                "t2 = retime(tt, 'hourly', 'previous'); "
+                "r = t2.Var1(3);") == 5.0
+    assert r_of("tt = timetable(datetime(2024,1,1)+hours([1 2 25])', "
+                "[2;4;10]); t2 = retime(tt, 'daily', 'mean'); "
+                "r = t2.Var1(1);") == 3.0
+    assert r_of("tt = timetable(datetime(2024,1,1)+minutes([0 30 60])', "
+                "[1;2;3]); t2 = retime(tt, 'regular', 'TimeStep', "
+                "minutes(30)); r = height(t2);") == 3.0
+
+
+def test_rowfun():
+    assert r_of("T = table([1;2], [3;4]); U = rowfun(@plus, T); "
+                "r = U.Var1(2);") == 6.0
