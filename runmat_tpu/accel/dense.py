@@ -943,7 +943,31 @@ def _b_movwin(eng, opts):
     return f
 
 
+def _b_cmap(eng, opts):
+    """Device-side colormapping for image-style plots: normalize + LUT on
+    the chip and transfer ONE u8 byte per channel instead of gathering the
+    f64 field (the zero-copy render analog of the reference's
+    export_wgpu_buffer consumption, runmat-accelerate-api/src/lib.rs:126;
+    a 1080p imagesc moves 6 MB instead of 16 MB and skips the host LUT)."""
+    jnp = eng.jnp
+    name = opts[0]
+    from ..plot.colors import colormap as _cm
+    table = np.asarray(_cm(name), dtype=np.float32)
+
+    def f(a):
+        lut = jnp.asarray(table)
+        lo = jnp.nanmin(a)
+        hi = jnp.nanmax(a)
+        hi2 = jnp.where(hi == lo, lo + 1.0, hi)
+        t = (a - lo) / (hi2 - lo) * 255.0
+        idx = jnp.where(jnp.isfinite(t), jnp.clip(t, 0.0, 255.0), 0.0)
+        rgb = jnp.take(lut, idx.astype(jnp.int32), axis=0)
+        return (rgb * 255.0 + 0.5).astype(jnp.uint8), lo, hi
+    return f
+
+
 _BUILDERS = {
+    "cmap": _b_cmap,
     "solve": _b_solve,
     "lstsq": _b_lstsq,
     "inv": _b_inv,

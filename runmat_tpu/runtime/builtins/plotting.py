@@ -439,13 +439,30 @@ def m_quiver(x, y, u, v):
 def m_imagesc(*args):
     ax = _prep_ax()
     v = args[-1]
-    h = _np2(v)
-    lo, hi = float(np.nanmin(h)), float(np.nanmax(h))
-    if hi == lo:
-        hi = lo + 1
-    norm = (h - lo) / (hi - lo)
-    cm = colormap(ax.cmap)
-    rgb = cm[np.clip((norm * 255).astype(int), 0, 255)]
+    rgb = lo = hi = None
+    if getattr(v, "on_device", False):
+        # device-side colormap: normalize + LUT on chip, gather u8 RGB
+        # (3 bytes/px vs the 8-byte f64 field — the zero-copy analog;
+        # accel/dense.py _b_cmap)
+        from ...accel import active_engine
+        eng = active_engine()
+        if eng is not None:
+            out = eng.dense.call("cmap", [v], (ax.cmap,))
+            if out is not None:
+                u8, lo_d, hi_d = out
+                rgb = np.asarray(u8).astype(np.float64) / 255.0
+                lo, hi = float(np.asarray(lo_d)), float(np.asarray(hi_d))
+                if hi == lo:
+                    hi = lo + 1
+                h = np.zeros(rgb.shape[:2])   # extent-only use below
+    if rgb is None:
+        h = _np2(v)
+        lo, hi = float(np.nanmin(h)), float(np.nanmax(h))
+        if hi == lo:
+            hi = lo + 1
+        norm = (h - lo) / (hi - lo)
+        cm = colormap(ax.cmap)
+        rgb = cm[np.clip((norm * 255).astype(int), 0, 255)]
     if len(args) >= 3:
         x, y = _np1(args[0]), _np1(args[1])
         extent = (x[0], x[-1], y[-1], y[0])

@@ -206,3 +206,22 @@ def test_server_figure_webgl_op_roundtrip():
     assert g2["scene"]["axes"][0]["view"] == [10.0, 20.0]
     miss = handle_request(s, {"id": 6, "op": "figure_webgl", "fig": 777})
     assert not miss["ok"]
+
+
+def test_imagesc_device_colormap_parity():
+    """Device-side colormap (accel/dense.py _b_cmap): gathers u8 RGB
+    instead of the f64 field; parity with the host LUT within the u8
+    quantum."""
+    from runmat_tpu.plot import figure as fm
+    s = Session(accelerate=True)
+    s.execute("close all")
+    r = s.execute("rng(5); X = rand(32); imagesc(X);")
+    assert r.error is None
+    host_rgb = fm._FIGURES[max(fm._FIGURES)].ax.children[-1].data.copy()
+    s.execute("close all")
+    r = s.execute("rng(5); Xd = gpuArray(rand(32)); imagesc(Xd);")
+    assert r.error is None
+    dev_rgb = fm._FIGURES[max(fm._FIGURES)].ax.children[-1].data.copy()
+    s.execute("close all")
+    assert dev_rgb.shape == host_rgb.shape
+    assert np.abs(host_rgb - dev_rgb).max() <= 1.0 / 255.0 + 1e-6
