@@ -20,7 +20,7 @@ from ..registry import builtin, register_alias
 
 @builtin("feval", category="control", min_in=1, pass_ctx=True, pass_nargout=True)
 def m_feval(f, *args, ctx=None, nargout=1):
-    if isinstance(f, FunctionHandle):
+    if isinstance(f, FunctionHandle) or hasattr(f, "_mat_paren_call_"):
         return ctx.interp.call_value(f, list(args), nargout, ctx.frame)
     # feval'd callees see no caller identifier names (MATLAB inputname()
     # is empty through feval) — clear any RESOLVE_CALL-set names.

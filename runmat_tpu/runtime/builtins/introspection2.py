@@ -584,3 +584,113 @@ def m_nargoutchk(lo, hi, ctx=None):
         raise MatError("MATLAB:nargoutchk:tooManyOutputs",
                        "Too many output arguments.")
     return None
+
+
+# ---------------------------------------------- call-context + method refs --- #
+
+class BoundMethod:
+    """Method-bound callable: getmethod(obj, 'm') -> handle-like value
+    (≙ introspection/getmethod.rs creating a bound function handle routed
+    through __runmat_call_bound_method__)."""
+
+    __slots__ = ("obj", "name", "shared")
+    mclass = "function_handle"
+
+    def __init__(self, obj, name: str):
+        self.obj = obj
+        self.name = name
+        self.shared = False
+
+    @property
+    def shape(self):
+        return (1, 1)
+
+    size = 1
+
+    def copy(self):
+        return BoundMethod(self.obj, self.name)
+
+    def __repr__(self):  # pragma: no cover
+        return f"@bound:{self.name}"
+
+    def _mat_paren_call_(self, interp, frame, args, nargout):
+        return interp._call_method(frame, self.obj, self.name, list(args),
+                                   max(nargout, 1))
+
+
+@builtin("getmethod", category="introspection", min_in=2, max_in=2,
+         pass_ctx=True)
+def m_getmethod(obj, name, ctx=None):
+    mname = text_of(name).strip()
+    if not mname:
+        raise bad_arg("getmethod", "Method name must be non-empty.")
+    from ... import oop
+    if isinstance(obj, (oop.MatObject, oop.HandleObject)):
+        if obj.cls.find_method(ctx.session, mname) is None and \
+                obj.cls.find_static(ctx.session, mname) is None:
+            raise MatError("MATLAB:class:undefinedMethod",
+                           f"Unrecognized method '{mname}' for class "
+                           f"'{obj.cls.name}'.")
+        return BoundMethod(obj, mname)
+    if is_text(obj):
+        cls = ctx.session.classes.get(text_of(obj))
+        if cls is None:
+            raise bad_arg("getmethod", f"Unknown class '{text_of(obj)}'.")
+        m = cls.find_static(ctx.session, mname)
+        if m is None:
+            raise MatError("MATLAB:class:noStatic",
+                           f"Unrecognized static method '{mname}' for "
+                           f"class '{cls.name}'.")
+        return BoundMethod(oop.ClassRef(cls), mname)
+    # built-in object types route through their method protocol
+    if hasattr(obj, "_mat_call_method_"):
+        return BoundMethod(obj, mname)
+    raise bad_arg("getmethod", "First input must be an object or class name.")
+
+
+@builtin("classref", category="introspection", min_in=1, max_in=1,
+         pass_ctx=True)
+def m_classref(name, ctx=None):
+    """Class reference token for static dispatch (≙ classref.rs)."""
+    from ... import oop
+    nm = text_of(name)
+    cls = ctx.session.classes.get(nm)
+    if cls is not None:
+        return oop.ClassRef(cls)
+    if nm in oop.BUILTIN_EMPTY_CLASSES:
+        return oop.BuiltinClassRef(nm)
+    raise bad_arg("classref", f"Unknown class '{nm}'.")
+
+
+@builtin("getcallinfo", category="introspection", max_in=0, pass_ctx=True)
+def m_getcallinfo(ctx=None):
+    """Current call context: name/file/line + the dbstack-style stack
+    (≙ introspection/debugging.rs dispatch_getcallinfo)."""
+    import os as _os
+    code = ctx.frame.code
+    path = getattr(code, "source_path", "") or ""
+    if path.startswith("<"):
+        path = ""
+    name = "" if code.name in ("<script>", "<input>") else code.name
+    frames = []
+    fr = ctx.frame
+    while fr is not None:
+        c = fr.code
+        if c is not None and c.name not in ("<input>",):
+            frames.append(StructArray.scalar({
+                "name": MatArray.char_from_str(
+                    "" if c.name == "<script>" else c.name),
+                "file": MatArray.char_from_str(
+                    getattr(c, "source_path", "") or ""),
+                "line": MatArray.scalar(0.0),
+            }))
+        fr = getattr(fr, "parent", None)
+    data = np.empty((len(frames), 1), dtype=object)
+    for i, f in enumerate(frames):
+        data[i, 0] = f
+    return StructArray.scalar({
+        "name": MatArray.char_from_str(name),
+        "file": MatArray.char_from_str(_os.path.abspath(path) if path else ""),
+        "line": MatArray.scalar(0.0),
+        "stack": CellArray(data),
+    })

@@ -387,6 +387,30 @@ def m_stem(a, b=None):
     return None
 
 
+@builtin("stem3", category="plotting", min_in=1, max_in=3)
+def m_stem3(a, b=None, c=None):
+    """stem3(Z) / stem3(X, Y, Z): 3-D stems from the z=0 plane."""
+    ax = _prep_ax()
+    ax.is3d = True
+    if c is None:
+        if b is not None:
+            raise bad_arg("stem3", "Use stem3(Z) or stem3(X, Y, Z).")
+        z = _np1(a)
+        x = np.arange(1, z.size + 1, dtype=np.float64)
+        y = np.zeros_like(x)
+    else:
+        x, y, z = _np1(a), _np1(b), _np1(c)
+    color = ax.next_color()
+    xs, ys, zs = [], [], []
+    for xi, yi, zi in zip(x, y, z):
+        xs += [xi, xi, np.nan]
+        ys += [yi, yi, np.nan]
+        zs += [0.0, zi, np.nan]
+    ax.add(Line(np.array(xs), np.array(ys), np.array(zs), color))
+    ax.add(Scatter(x, y, z, 20.0, color))
+    return None
+
+
 @builtin("area", category="plotting", min_in=1, max_in=2)
 def m_area(a, b=None):
     ax = _prep_ax()
@@ -422,10 +446,16 @@ def m_errorbar(x, y, e):
     return None
 
 
-@builtin("quiver", category="plotting", min_in=4, max_in=4)
-def m_quiver(x, y, u, v):
+@builtin("quiver", category="plotting", min_in=2, max_in=4)
+def m_quiver(x, y, u=None, v=None):
     ax = _prep_ax()
-    xv, yv, uv, vv = (_np1(a) for a in (x, y, u, v))
+    if u is None:                       # quiver(U, V): grid positions
+        hu, hv = _np2(x), _np2(y)
+        Y, X = np.mgrid[1:hu.shape[0] + 1, 1:hu.shape[1] + 1]
+        xv, yv = X.ravel(), Y.ravel()
+        uv, vv = hu.ravel(), hv.ravel()
+    else:
+        xv, yv, uv, vv = (_np1(a) for a in (x, y, u, v))
     color = ax.next_color()
     xs, ys = [], []
     for xi, yi, ui, vi in zip(xv, yv, uv, vv):

@@ -550,8 +550,13 @@ class Compiler:
                 c.emit(B.PUSH_IXCTX_VAR, e.base.name, line=line)
             for k, a in enumerate(e.args):
                 self._index_arg(a, k, len(e.args))
+            # mode 3: explicit empty parens `f()` — distinguishable from a
+            # bare identifier so callable values (handles, bound methods)
+            # invoke with zero args instead of evaluating to themselves
+            mode = 2 if e.kind == "brace" else \
+                (3 if not e.args and e.kind == "paren" else 0)
             pc = c.emit(B.RESOLVE_CALL, e.base.name, len(e.args),
-                        nargout, 2 if e.kind == "brace" else 0, line=line)
+                        nargout, mode, line=line)
             argn = tuple(a.name if isinstance(a, A.Ident) else None
                          for a in e.args)
             if any(argn):

@@ -351,6 +351,10 @@ class Interp:
             if isinstance(val, list):   # multi-output tail call results
                 return val[:max(1, nargout)]
             return [] if val is NOVALUE else [val]
+        if hasattr(fv, "_mat_paren_call_"):
+            # callable built-in objects (BoundMethod, MemoizedFunction, ...)
+            return fv._mat_paren_call_(self, frame, list(args),
+                                       max(nargout, 1))
         if isinstance(fv, (MatArray, StringArray)) :
             from ..values import text_of
             return self.call_named(text_of(fv), args, nargout, frame)
@@ -735,7 +739,9 @@ class Interp:
                     res = self.call_value(v, args, max(nargout, 1), frame)
                     _push_results(stack, res, nargout)
                     return
-                if hasattr(v, "_mat_paren_call_") and nargs > 0:
+                if hasattr(v, "_mat_paren_call_") and (nargs > 0 or
+                                                       mode == 3):
+                    # mode 3 = explicit `f()` parens: invoke zero-arg
                     res = v._mat_paren_call_(self, frame, args, max(nargout, 1))
                     _push_results(stack, res, nargout)
                     return

@@ -257,3 +257,34 @@ def test_retime_methods():
 def test_rowfun():
     assert r_of("T = table([1;2], [3;4]); U = rowfun(@plus, T); "
                 "r = U.Var1(2);") == 6.0
+
+
+# ------------------------------------------ getmethod / classref / getcallinfo
+
+def test_getmethod_binds_classdef_and_builtin_objects():
+    from runmat_tpu.session import Session
+    s = run("m = containers.Map(); m('a') = 1; f = getmethod(m, 'keys'); "
+            "k = f(); r = numel(k);")
+    assert float(s.get("r").host()) == 1.0
+    sess = Session(accelerate=False)
+    r0 = sess.execute("classdef PtX\n properties\n  v\n end\n methods\n"
+                      "  function o = PtX(v), o.v = v; end\n"
+                      "  function y = dbl(o), y = 2 * o.v; end\n end\nend")
+    assert r0.error is None
+    r1 = sess.execute("obj = PtX(3); f = getmethod(obj, 'dbl'); "
+                      "a = f(); b = feval(f);")
+    assert r1.error is None
+    assert float(sess.get("a").host()) == 6.0
+    assert float(sess.get("b").host()) == 6.0
+
+
+def test_getcallinfo_and_classref():
+    s = run("info = getcallinfo; "
+            "ok = double(ischar(info.name)) + double(iscell(info.stack));")
+    assert float(s.get("ok").host()) == 2.0
+    assert r_of("c = classref('double'); e = c.empty; r = numel(e);") == 0.0
+
+
+def test_explicit_empty_parens_invoke_callables():
+    assert r_of("g = @() 42; r = g();") == 42.0
+    assert r_of("A = [1 2 3]; r = numel(A());") == 3.0   # A() is A
