@@ -503,8 +503,14 @@ def m_containers():
     })
 
 
+def _is_dict(v) -> bool:
+    return getattr(v, "mclass", "") == "dictionary"
+
+
 @builtin("keys", category="containers", min_in=1, max_in=1)
 def m_keys(m):
+    if _is_dict(m):
+        return m._mat_call_method_(None, None, "keys", [], 1)[0]
     if not isinstance(m, MapValue):
         raise bad_arg("keys", "Expected a containers.Map.")
     ks = sorted(m.store)
@@ -516,6 +522,8 @@ def m_keys(m):
 
 @builtin("values", category="containers", min_in=1, max_in=2)
 def m_values(m, which=None):
+    if _is_dict(m):
+        return m._mat_call_method_(None, None, "values", [], 1)[0]
     if not isinstance(m, MapValue):
         raise bad_arg("values", "Expected a containers.Map.")
     if which is not None and isinstance(which, CellArray):
@@ -533,12 +541,19 @@ def m_values(m, which=None):
 
 @builtin("isKey", category="containers", min_in=2, max_in=2)
 def m_iskey(m, k):
+    if _is_dict(m):
+        return m._mat_call_method_(None, None, "isKey", [k], 1)[0]
     return MatArray.logical_scalar(isinstance(m, MapValue)
                                    and text_of(k) in m.store)
 
 
 @builtin("remove", category="containers", min_in=2, max_in=2)
 def m_remove(m, k):
+    if _is_dict(m):
+        # dictionary has value semantics: remove returns a modified copy
+        out = m.copy()
+        out._mat_call_method_(None, None, "remove", [k], 1)
+        return out
     if isinstance(m, MapValue):
         m.store.pop(text_of(k), None)
     return m

@@ -158,9 +158,46 @@ def _as_tf(m) -> TfValue:
 def m_tf(num, den=None):
     if is_text(num) and text_of(num) == "s":
         return TfValue([1.0, 0.0], [1.0])
+    if isinstance(num, (TfValue, SsValue)) and den is None:
+        t = _as_tf(num)
+        return TfValue(t.num, t.den)
     if den is None:
         return TfValue(_vec(num), [1.0])
     return TfValue(_vec(num), _vec(den))
+
+
+class ZpkValue(TfValue):
+    """Zero-pole-gain model; shares the tf arithmetic/response machinery
+    (polynomial form is derived from z/p/k at construction)."""
+
+    __slots__ = ("z", "p", "k")
+    mclass = "zpk"
+
+    def __init__(self, z, p, k):
+        self.z = np.asarray(z, dtype=complex).reshape(-1)
+        self.p = np.asarray(p, dtype=complex).reshape(-1)
+        self.k = float(k)
+        super().__init__(np.real_if_close(self.k * np.poly(self.z)),
+                         np.real_if_close(np.poly(self.p)))
+
+
+def _zvec(v) -> np.ndarray:
+    if isinstance(v, MatArray):
+        h = v.host()
+        return np.asarray(h, dtype=complex).reshape(-1)
+    return np.asarray(v, dtype=complex).reshape(-1)
+
+
+@builtin("zpk", category="control", min_in=1, max_in=3)
+def m_zpk(z, p=None, k=None):
+    if p is None:
+        if is_text(z) and text_of(z) == "s":
+            return ZpkValue([0.0], [], 1.0)
+        t = _as_tf(z)
+        return ZpkValue(np.roots(t.num), np.roots(t.den),
+                        t.num[0] / t.den[0])
+    return ZpkValue(_zvec(z), _zvec(p),
+                    scalar_num(k, "k") if k is not None else 1.0)
 
 
 @builtin("ss", category="control", min_in=1, max_in=4)

@@ -331,6 +331,109 @@ def m_gridded_interpolant(*args):
     return GriddedInterpolantValue(grids, vals, method)
 
 
+class ScatteredInterpolantValue:
+    """Callable interpolant over scattered points (≙ the reference's
+    scattered-interpolation surface; host scipy.interpolate cores).
+
+    'natural' is evaluated with the linear (barycentric) core; outside the
+    convex hull, 'linear'/'nearest' extrapolation falls back to the nearest
+    data point and 'none' yields NaN.
+    """
+
+    mclass = "scatteredInterpolant"
+    shared = False
+
+    def __init__(self, pts: np.ndarray, vals: np.ndarray,
+                 method: str = "linear", extrap: str | None = None):
+        self.pts = pts
+        self.vals = vals
+        self.method = method
+        self.extrap = extrap if extrap is not None else (
+            "none" if method == "none" else
+            ("nearest" if method == "nearest" else "linear"))
+
+    @property
+    def size(self):
+        return 1
+
+    @property
+    def shape(self):
+        return (1, 1)
+
+    def copy(self):
+        return ScatteredInterpolantValue(self.pts, self.vals,
+                                         self.method, self.extrap)
+
+    def _mat_get_field_(self, fname):
+        if fname == "Points":
+            return MatArray(self.pts.copy(), "double")
+        if fname == "Values":
+            return MatArray(self.vals.reshape(-1, 1).copy(), "double")
+        if fname == "Method":
+            return MatArray.char_from_str(self.method)
+        if fname == "ExtrapolationMethod":
+            return MatArray.char_from_str(self.extrap)
+        return NotImplemented
+
+    def _mat_set_field_(self, fname, rhs):
+        if fname == "Values":
+            v = fortran_ravel(rhs.host().astype(np.float64))
+            if v.size != self.pts.shape[0]:
+                raise bad_arg("scatteredInterpolant",
+                              "Values must match the number of points.")
+            self.vals = v
+            return self
+        if fname == "Method":
+            self.method = text_of(rhs)
+            return self
+        if fname == "ExtrapolationMethod":
+            self.extrap = text_of(rhs)
+            return self
+        return NotImplemented
+
+    def evaluate(self, q: np.ndarray) -> np.ndarray:
+        from scipy.interpolate import (LinearNDInterpolator,
+                                       NearestNDInterpolator)
+        if self.method == "nearest":
+            return NearestNDInterpolator(self.pts, self.vals)(q)
+        r = LinearNDInterpolator(self.pts, self.vals)(q)
+        bad = ~np.isfinite(r)
+        if bad.any() and self.extrap != "none":
+            r[bad] = NearestNDInterpolator(self.pts, self.vals)(q[bad])
+        return r
+
+    def _mat_paren_call_(self, interp, frame, args, nargout):
+        if len(args) == 1:
+            q = np.atleast_2d(args[0].host().astype(np.float64))
+            return [MatArray(self.evaluate(q).reshape(-1, 1), "double")]
+        shape = args[0].host().shape
+        cols = [fortran_ravel(a.host().astype(np.float64)) for a in args]
+        r = self.evaluate(np.column_stack(cols))
+        return [MatArray(np.asarray(r).reshape(shape, order="F"), "double")]
+
+
+@builtin("scatteredInterpolant", category="math/interpolation",
+         min_in=2, max_in=6)
+def m_scattered_interpolant(*args):
+    args = list(args)
+    texts = []
+    while args and is_text(args[-1]):
+        texts.insert(0, text_of(args[-1]).lower())
+        args.pop()
+    method = texts[0] if texts else "linear"
+    extrap = texts[1] if len(texts) > 1 else None
+    vals = fortran_ravel(args[-1].host().astype(np.float64))
+    if len(args) == 2:
+        pts = np.atleast_2d(args[0].host().astype(np.float64))
+    else:
+        pts = np.column_stack([fortran_ravel(a.host().astype(np.float64))
+                               for a in args[:-1]])
+    if pts.shape[0] != vals.size:
+        raise bad_arg("scatteredInterpolant",
+                      "Sample points and values must have the same length.")
+    return ScatteredInterpolantValue(pts, vals, method, extrap)
+
+
 @builtin("interp1q", category="math/interpolation", min_in=3, max_in=3)
 def m_interp1q(x, y, xq):
     hx = fortran_ravel(_f(x))

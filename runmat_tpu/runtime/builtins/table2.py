@@ -162,8 +162,10 @@ class DictionaryValue:
     mclass = "dictionary"
     shared = False
 
-    def __init__(self):
+    def __init__(self, ktype=None, vtype=None):
         self.store: dict = {}
+        self.ktype = ktype      # 'string' | 'double' | ... or None (unset)
+        self.vtype = vtype
 
     @property
     def size(self):
@@ -174,7 +176,7 @@ class DictionaryValue:
         return (1, 1)
 
     def copy(self):
-        d = DictionaryValue()
+        d = DictionaryValue(self.ktype, self.vtype)
         d.store = dict(self.store)
         return d
 
@@ -186,6 +188,42 @@ class DictionaryValue:
             return float(k.host().reshape(-1)[0].real)
         raise MatError("MATLAB:dictionary:key", "Unsupported dictionary key type.")
 
+    # --- typed-dictionary support (configureDictionary/insert/lookup) ----- #
+
+    NUMERIC_VTYPES = {"double", "single", "int8", "int16", "int32", "int64",
+                      "uint8", "uint16", "uint32", "uint64", "logical"}
+
+    def _check_key(self, k):
+        kind = "string" if isinstance(k, str) else "double"
+        if self.ktype is None:
+            self.ktype = kind
+        elif self.ktype != kind and not (kind == "double"
+                                         and self.ktype in self.NUMERIC_VTYPES):
+            raise MatError("MATLAB:dictionary:KeysTypeMismatch",
+                           f"Key must be of type {self.ktype}; got {kind}.")
+        return k
+
+    def _coerce_value(self, v):
+        if self.vtype is None:
+            if isinstance(v, MatArray) and v.size == 1:
+                self.vtype = v.mclass
+            elif is_text(v):
+                self.vtype = "string"
+            else:
+                self.vtype = "any"
+            return v
+        if self.vtype in self.NUMERIC_VTYPES and isinstance(v, MatArray) \
+                and v.size == 1 and v.mclass != self.vtype:
+            from ...dtypes import cast_to_class
+            return MatArray(cast_to_class(v.host(), self.vtype), self.vtype)
+        if self.vtype == "string" and is_text(v) \
+                and not isinstance(v, StringArray):
+            return StringArray.scalar(text_of(v))
+        return v
+
+    def put(self, k, v):
+        self.store[self._check_key(k)] = self._coerce_value(v)
+
     def _mat_paren_call_(self, interp, frame, args, nargout):
         k = self._key(args[0])
         if k not in self.store:
@@ -194,10 +232,20 @@ class DictionaryValue:
         return [self.store[k]]
 
     def _mat_paren_assign_(self, args, rhs):
-        self.store[self._key(args[0])] = rhs
+        self.put(self._key(args[0]), rhs)
         return self
 
     def _mat_call_method_(self, interp, frame, fname, args, nargout):
+        if fname == "insert":
+            return [m_dict_insert(self, *args)]
+        if fname == "lookup":
+            return [m_dict_lookup(self, *args)]
+        if fname == "entries":
+            return [m_dict_entries(self, *args)]
+        if fname == "isConfigured":
+            return [MatArray.logical_scalar(self.ktype is not None)]
+        if fname == "types":
+            return m_dict_types(self, nargout=max(1, nargout))
         if fname == "keys":
             ks = list(self.store)
             if ks and isinstance(ks[0], str):
@@ -237,11 +285,16 @@ def m_dictionary(*args):
             kk = ([s or "" for s in ks.data.reshape(-1, order="F")]
                   if isinstance(ks, StringArray)
                   else [e.to_str() for e in ks.data.reshape(-1, order="F")])
+        elif is_text(ks):
+            # char-vector key becomes a string scalar key (MATLAB R2022b)
+            kk = [text_of(ks)]
         elif isinstance(ks, MatArray):
             kk = [float(x) for x in ks.host().reshape(-1, order="F")]
         vv = []
         if isinstance(vs, CellArray):
             vv = list(vs.data.reshape(-1, order="F"))
+        elif is_text(vs) and not isinstance(vs, StringArray):
+            vv = [StringArray.scalar(text_of(vs))]
         elif isinstance(vs, MatArray):
             vv = [MatArray.scalar(float(x)) for x in vs.host().reshape(-1, order="F")]
         elif isinstance(vs, StringArray):
@@ -249,8 +302,158 @@ def m_dictionary(*args):
         if len(vv) == 1:
             vv = vv * len(kk)
         for k, v in zip(kk, vv):
-            d.store[k] = v
+            d.put(k, v)
     return d
+
+
+def _dict_keys_of(arg) -> list:
+    """Canonical key list from a scalar/array key argument."""
+    if isinstance(arg, StringArray):
+        return [s or "" for s in arg.data.reshape(-1, order="F")]
+    if isinstance(arg, CellArray):
+        return [text_of(e) for e in arg.data.reshape(-1, order="F")]
+    if is_text(arg):
+        return [text_of(arg)]
+    if isinstance(arg, MatArray):
+        return [float(x.real) for x in arg.host().reshape(-1, order="F")]
+    raise MatError("MATLAB:dictionary:key", "Unsupported dictionary key type.")
+
+
+def _dict_values_of(arg, n: int) -> list:
+    if isinstance(arg, CellArray):
+        vv = list(arg.data.reshape(-1, order="F"))
+    elif isinstance(arg, StringArray):
+        vv = [StringArray.scalar(s) for s in arg.data.reshape(-1, order="F")]
+    elif isinstance(arg, MatArray) and arg.size != 1:
+        vv = [MatArray(arg.host().reshape(-1, order="F")[i:i + 1].reshape(1, 1),
+                       arg.mclass) for i in range(arg.size)]
+    else:
+        vv = [arg]
+    if len(vv) == 1 and n > 1:
+        vv = vv * n
+    if len(vv) != n:
+        raise MatError("MATLAB:dictionary:KeysValuesMismatch",
+                       "Keys and values must have compatible sizes.")
+    return vv
+
+
+def _pack_dict_values(vals: list):
+    """Stack homogeneous scalar values into a typed column, else a cell."""
+    if vals and all(isinstance(v, MatArray) and v.size == 1 for v in vals) \
+            and len({v.mclass for v in vals}) == 1:
+        h = np.array([[complex(v.host().reshape(-1)[0])] for v in vals])
+        if not np.iscomplexobj(np.array([v.host() for v in vals])):
+            h = h.real
+        return MatArray(h, vals[0].mclass)
+    if vals and all(isinstance(v, StringArray) and v.size == 1 for v in vals):
+        return StringArray(np.array([[v.data.reshape(-1)[0]] for v in vals],
+                                    dtype=object))
+    data = np.empty((len(vals), 1), dtype=object)
+    for i, v in enumerate(vals):
+        data[i, 0] = v
+    return CellArray(data)
+
+
+def _pack_dict_keys(ks: list):
+    if ks and isinstance(ks[0], str):
+        return StringArray(np.array([[k] for k in ks], dtype=object))
+    return MatArray(np.array([[float(k)] for k in ks])
+                    if ks else np.zeros((0, 1)), "double")
+
+
+@builtin("configureDictionary", category="table", min_in=2, max_in=2)
+def m_configure_dictionary(kt, vt):
+    """Empty dictionary with pinned key/value types (R2023b API)."""
+    return DictionaryValue(text_of(kt), text_of(vt))
+
+
+@builtin("insert", category="table", min_in=3, max_in=5)
+def m_dict_insert(d, k, v, *opts):
+    if not isinstance(d, DictionaryValue):
+        raise bad_arg("insert", "Expected a dictionary.")
+    overwrite = True
+    if len(opts) == 2 and is_text(opts[0]) \
+            and text_of(opts[0]).lower() == "overwrite":
+        overwrite = bool(opts[1].host().reshape(-1)[0])
+    out = d.copy()
+    ks = _dict_keys_of(k)
+    for kk, vv in zip(ks, _dict_values_of(v, len(ks))):
+        if overwrite or kk not in out.store:
+            out.put(kk, vv)
+    return out
+
+
+@builtin("lookup", category="table", min_in=2, max_in=4)
+def m_dict_lookup(d, k, *opts):
+    if not isinstance(d, DictionaryValue):
+        raise bad_arg("lookup", "Expected a dictionary.")
+    fallback = None
+    if len(opts) == 2 and is_text(opts[0]) \
+            and text_of(opts[0]).lower() == "fallbackvalue":
+        fallback = opts[1]
+    ks = _dict_keys_of(k)
+    vals = []
+    for kk in ks:
+        if kk in d.store:
+            vals.append(d.store[kk])
+        elif fallback is not None:
+            vals.append(fallback)
+        else:
+            raise MatError("MATLAB:dictionary:KeyNotFound",
+                           f"Key not found: {kk}.")
+    if len(vals) == 1 and not (isinstance(k, (StringArray, MatArray))
+                               and k.size > 1):
+        return vals[0]
+    return _pack_dict_values(vals)
+
+
+@builtin("entries", category="table", min_in=1, max_in=2)
+def m_dict_entries(d, fmt=None):
+    if not isinstance(d, DictionaryValue):
+        raise bad_arg("entries", "Expected a dictionary.")
+    form = text_of(fmt).lower() if fmt is not None else "table"
+    ks = list(d.store)
+    vs = list(d.store.values())
+    if form == "cell":
+        data = np.empty((len(ks), 2), dtype=object)
+        for i, (kk, vv) in enumerate(zip(ks, vs)):
+            data[i, 0] = (MatArray.char_from_str(kk) if isinstance(kk, str)
+                          else MatArray.scalar(kk))
+            data[i, 1] = vv
+        return CellArray(data)
+    if form == "struct":
+        kcol = np.empty((len(ks), 1), dtype=object)
+        vcol = np.empty((len(ks), 1), dtype=object)
+        for i, (kk, vv) in enumerate(zip(ks, vs)):
+            kcol[i, 0] = (StringArray.scalar(kk) if isinstance(kk, str)
+                          else MatArray.scalar(kk))
+            vcol[i, 0] = vv
+        return StructArray({"Key": kcol, "Value": vcol}, (len(ks), 1))
+    return MatTable(["Key", "Value"],
+                    [_pack_dict_keys(ks), _pack_dict_values(vs)])
+
+
+@builtin("numEntries", category="table", min_in=1, max_in=1)
+def m_num_entries(d):
+    if not isinstance(d, DictionaryValue):
+        raise bad_arg("numEntries", "Expected a dictionary.")
+    return MatArray.scalar(float(len(d.store)))
+
+
+@builtin("isConfigured", category="table", min_in=1, max_in=1)
+def m_is_configured(d):
+    if not isinstance(d, DictionaryValue):
+        raise bad_arg("isConfigured", "Expected a dictionary.")
+    return MatArray.logical_scalar(d.ktype is not None)
+
+
+@builtin("types", category="table", min_in=1, max_in=1, pass_nargout=True)
+def m_dict_types(d, nargout=1):
+    if not isinstance(d, DictionaryValue):
+        raise bad_arg("types", "Expected a dictionary.")
+    kt = StringArray.scalar(d.ktype or "unset")
+    vt = StringArray.scalar(d.vtype or "unset")
+    return [kt, vt][:max(1, nargout)]
 
 
 # --------------------------------------------------------------- timetable --- #
