@@ -363,6 +363,76 @@ def _b_lu(eng, opts):
     return f
 
 
+def _page_stack(jnp, h):
+    """(m, n, ...pages) -> ((pages, m, n), page_shape) MXU-friendly stack."""
+    if h.ndim == 2:
+        return h[None, :, :], ()
+    m, n = h.shape[0], h.shape[1]
+    flat = jnp.reshape(h, (m, n, -1), order="F")
+    return jnp.moveaxis(flat, -1, 0), h.shape[2:]
+
+
+def _page_unstack(jnp, r, pshape):
+    if not pshape:
+        return r[0]
+    return jnp.reshape(jnp.moveaxis(r, 0, -1),
+                       (r.shape[1], r.shape[2]) + tuple(pshape), order="F")
+
+
+def _b_pageinv(eng, opts):
+    """Batched per-page inverse (MATLAB pageinv): one batched LU solve on
+    device instead of a host loop over pages."""
+    jnp = eng.jnp
+
+    def f(a):
+        pa, ps = _page_stack(jnp, a)
+        return _page_unstack(jnp, jnp.linalg.inv(pa), ps)
+    return f
+
+
+def _b_pagesolve(eng, opts):
+    """Batched per-page A\\B for square A (MATLAB pagemldivide)."""
+    jnp = eng.jnp
+
+    def f(a, b):
+        pa, psa = _page_stack(jnp, a)
+        pb, psb = _page_stack(jnp, b)
+        if pa.shape[0] == 1 and pb.shape[0] > 1:
+            pa = jnp.broadcast_to(pa, (pb.shape[0],) + pa.shape[1:])
+        if pb.shape[0] == 1 and pa.shape[0] > 1:
+            pb = jnp.broadcast_to(pb, (pa.shape[0],) + pb.shape[1:])
+        return _page_unstack(jnp, jnp.linalg.solve(pa, pb), psa or psb)
+    return f
+
+
+def _b_pagenorm(eng, opts):
+    """Batched per-page matrix norm (MATLAB pagenorm); ord in
+    {'fro', 1, 2, inf} via jnp.linalg.norm over the page axis."""
+    jnp = eng.jnp
+    ordv = opts[0]
+
+    def f(a):
+        pa, ps = _page_stack(jnp, a)
+        r = jnp.linalg.norm(pa, ord=ordv, axis=(1, 2))
+        r = jnp.reshape(r, (1, 1) + tuple(ps), order="F") if ps \
+            else jnp.reshape(r, (1, 1))
+        return r
+    return f
+
+
+def _b_pagectranspose(eng, opts):
+    jnp = eng.jnp
+    conj = opts[0] if opts else True
+
+    def f(a):
+        pa, ps = _page_stack(jnp, a)
+        r = jnp.swapaxes(pa, 1, 2)
+        if conj:
+            r = jnp.conj(r)
+        return _page_unstack(jnp, r, ps)
+    return f
+
+
 def _b_pagemtimes(eng, opts):
     """Batched page matmul (≙ provider pagefun/pagemtimes, backend/wgpu/
     provider/ops/linalg/pagefun.rs). One jnp.matmul over the stacked page
@@ -981,6 +1051,10 @@ _BUILDERS = {
     "eig_qr": _b_eig_qr,
     "lu": _b_lu,
     "pagemtimes": _b_pagemtimes,
+    "pageinv": _b_pageinv,
+    "pagesolve": _b_pagesolve,
+    "pagenorm": _b_pagenorm,
+    "pagectranspose": _b_pagectranspose,
     "trisolve": _b_trisolve,
     "trace": _b_trace,
     "sort": _b_sort,

@@ -117,6 +117,163 @@ def m_pagetranspose(a):
     return MatArray(out, a.mclass)
 
 
+def _page_out(r: np.ndarray, pshape: tuple, mclass: str) -> MatArray:
+    """(pages, m, n) -> MatArray (m, n, *pshape) in F order."""
+    if not pshape:
+        return MatArray(r[0], mclass)
+    out = np.moveaxis(r, 0, -1).reshape((r.shape[1], r.shape[2]) + tuple(pshape),
+                                        order="F")
+    return MatArray(out, mclass)
+
+
+def _pages_np(x) -> tuple:
+    h = x.host()
+    h = h.astype(np.complex128 if h.dtype.kind == "c" else np.float64)
+    return _page_view(h), (h.shape[2:] if h.ndim > 2 else ())
+
+
+def _out_class(*xs) -> str:
+    return "single" if any(x.mclass == "single" for x in xs) else "double"
+
+
+@builtin("pagectranspose", category="math/linalg", min_in=1, max_in=1)
+def m_pagectranspose(a):
+    """Per-page complex-conjugate transpose (batched on device)."""
+    from .linalg import _dev_eng
+    eng = _dev_eng(a)
+    if eng is not None and a.size:
+        out = eng.linalg("pagectranspose", [a], (True,))
+        if out is not None:
+            return out[0]
+    p, ps = _pages_np(a)
+    return _page_out(np.conj(np.swapaxes(p, 1, 2)), ps, a.mclass)
+
+
+@builtin("pageinv", category="math/linalg", min_in=1, max_in=1)
+def m_pageinv(a):
+    """Per-page matrix inverse; one batched device LU instead of a host
+    loop (≙ provider pagefun hooks, backend/wgpu/provider/ops/linalg/
+    pagefun.rs)."""
+    if len(a.shape) < 2 or a.shape[0] != a.shape[1]:
+        raise MatError("MATLAB:pageinv:inputMustBeSquare",
+                       "Each page must be square.")
+    from .linalg import _dev_eng
+    eng = _dev_eng(a)
+    if eng is not None and a.size:
+        out = eng.linalg("pageinv", [a], ())
+        if out is not None:
+            return out[0]
+    p, ps = _pages_np(a)
+    return _page_out(np.linalg.inv(p), ps, _out_class(a))
+
+
+@builtin("pagemldivide", category="math/linalg", min_in=2, max_in=2)
+def m_pagemldivide(a, b):
+    """Per-page A\\B. Square pages ride the batched device solve; general
+    shapes fall back to per-page host lstsq."""
+    from .linalg import _dev_eng
+    sq = len(a.shape) >= 2 and a.shape[0] == a.shape[1]
+    eng = _dev_eng(a, b)
+    if eng is not None and sq and a.size and b.size:
+        out = eng.linalg("pagesolve", [a, b], ())
+        if out is not None:
+            return out[0]
+    pa, psa = _pages_np(a)
+    pb, psb = _pages_np(b)
+    if pa.shape[0] == 1 and pb.shape[0] > 1:
+        pa = np.broadcast_to(pa, (pb.shape[0],) + pa.shape[1:])
+    if pb.shape[0] == 1 and pa.shape[0] > 1:
+        pb = np.broadcast_to(pb, (pa.shape[0],) + pb.shape[1:])
+    if sq:
+        r = np.linalg.solve(pa, pb)
+    else:
+        r = np.stack([np.linalg.lstsq(pa[i], pb[i], rcond=None)[0]
+                      for i in range(pa.shape[0])])
+    return _page_out(r, psa or psb, _out_class(a, b))
+
+
+@builtin("pagenorm", category="math/linalg", min_in=1, max_in=2)
+def m_pagenorm(a, p=None):
+    """Per-page matrix norm: 2 (default), 1, Inf, or 'fro'."""
+    if p is None:
+        ordv = 2
+    elif is_text(p):
+        w = text_of(p).lower()
+        if w != "fro":
+            raise bad_arg("pagenorm", "Expected a norm order of 1, 2, Inf or 'fro'.")
+        ordv = "fro"
+    else:
+        v = float(p.host().reshape(-1)[0].real)
+        ordv = np.inf if np.isinf(v) else int(v)
+        if ordv not in (1, 2, np.inf):
+            raise bad_arg("pagenorm", "Expected a norm order of 1, 2, Inf or 'fro'.")
+    from .linalg import _dev_eng
+    eng = _dev_eng(a)
+    if eng is not None and a.size:
+        out = eng.linalg("pagenorm", [a], (ordv,), out_class=_out_class(a))
+        if out is not None:
+            return out[0]
+    pv, ps = _pages_np(a)
+    r = np.linalg.norm(pv, ord=ordv, axis=(1, 2))
+    out = r.reshape((1, 1) + tuple(ps), order="F") if ps else r.reshape(1, 1)
+    return MatArray(out, _out_class(a))
+
+
+@builtin("pagesvd", category="math/linalg", min_in=1, max_in=2,
+         pass_nargout=True)
+def m_pagesvd(a, econ=None, nargout=1):
+    """Per-page SVD: S = pagesvd(X) or [U,S,V] = pagesvd(X[, 'econ'])."""
+    economy = econ is not None and is_text(econ) and \
+        text_of(econ).lower() in ("econ", "vector")
+    pv, ps = _pages_np(a)
+    oc = _out_class(a)
+    if nargout <= 1:
+        s = np.linalg.svd(pv, compute_uv=False)
+        out = s[:, :, None]  # (pages, k, 1)
+        r = np.moveaxis(out, 0, -1).reshape((out.shape[1], 1) + tuple(ps),
+                                            order="F") if ps else out[0]
+        return MatArray(r, oc)
+    u, s, vh = np.linalg.svd(pv, full_matrices=not economy)
+    k = s.shape[1]
+    m, n = pv.shape[1], pv.shape[2]
+    smat = np.zeros((pv.shape[0], u.shape[2], vh.shape[1]), dtype=pv.dtype)
+    for i in range(k):
+        smat[:, i, i] = s[:, i]
+    v = np.conj(np.swapaxes(vh, 1, 2))
+    return [_page_out(u, ps, oc), _page_out(smat.real, ps, oc),
+            _page_out(v, ps, oc)][:max(1, nargout)]
+
+
+@builtin("pagelu", category="math/linalg", min_in=1, max_in=2,
+         pass_nargout=True)
+def m_pagelu(a, outform=None, nargout=1):
+    """Per-page LU: [L,U] (psychologically lower), [L,U,P] permutation
+    matrices, or [L,U,p] pivot vectors with pagelu(X,'vector')."""
+    import scipy.linalg as sla
+    vector = outform is not None and is_text(outform) and \
+        text_of(outform).lower() == "vector"
+    pv, ps = _pages_np(a)
+    oc = _out_class(a)
+    Ls, Us, Ps = [], [], []
+    for i in range(pv.shape[0]):
+        pm, l, u = sla.lu(pv[i])
+        Ls.append(l)
+        Us.append(u)
+        Ps.append(pm.T)  # P with P*A = L*U
+    L, U, P = np.stack(Ls), np.stack(Us), np.stack(Ps)
+    if nargout <= 2:
+        # psychologically-lower: fold the permutation into L
+        PL = np.swapaxes(P, 1, 2) @ L
+        return [_page_out(PL, ps, oc), _page_out(U, ps, oc)][:max(1, nargout)]
+    if vector:
+        piv = np.argmax(P, axis=2).astype(np.float64) + 1.0
+        pvec = piv[:, :, None]
+        pr = np.moveaxis(pvec, 0, -1).reshape((pvec.shape[1], 1) + tuple(ps),
+                                              order="F") if ps else pvec[0]
+        return [_page_out(L, ps, oc), _page_out(U, ps, oc), MatArray(pr, "double")]
+    return [_page_out(L, ps, oc), _page_out(U, ps, oc), _page_out(P, ps, oc)]
+
+
 @builtin("rref", category="math/linalg", min_in=1, max_in=2, pass_nargout=True)
 def m_rref(a, tol=None, nargout=1):
     h = _f(a).copy()
