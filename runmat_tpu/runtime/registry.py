@@ -94,4 +94,5 @@ def ensure_loaded() -> None:
         signal2, graph2, io2, optim2, ml, control2, introspection2, timing2,
         dl_layers, table2, plotting2, plotting3, data_api, textanalytics,
         misc2, fea2, validators, profiler, datetime2, itersolve, datetime3,
+        stats3,
     )
