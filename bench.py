@@ -457,21 +457,30 @@ def main() -> int:
         warmup_replay_s = time.perf_counter() - t0
         log(f"warmup replay: {n} programs in {warmup_replay_s:.1f}s")
 
-    results = {}
-    results["elementwise_math"] = run_case(sess, "elementwise_math", ["y2"])
-    results["monte_carlo"] = run_case(sess, "monte_carlo", ["S"])
-    results["image_normalize"] = run_case(sess, "image_normalize", ["out"])
+    # On-chip conformance smoke battery FIRST (VERDICT r4 #1): correctness
+    # before throughput. Round 4 ran it last and a backend-poisoning event
+    # turned the whole tail red; running first also isolates any later
+    # degradation to a specific heavy section (see the post-check below).
+    tpu_conf = run_battery(sess, budget_cap=300)
 
-    speedups = []
-    for k, ms in results.items():
-        sp = BASELINES_MS[k] / ms
-        speedups.append(sp)
-        log(f"  {k}: {ms:.2f} ms  (reference {BASELINES_MS[k]:.2f} ms, "
-            f"speedup {sp:.2f}x)")
-    geo = 1.0
-    for s in speedups:
-        geo *= s
-    geo **= 1.0 / len(speedups)
+    results = {}
+    geo = 0.0
+    try:
+        results["elementwise_math"] = run_case(sess, "elementwise_math", ["y2"])
+        results["monte_carlo"] = run_case(sess, "monte_carlo", ["S"])
+        results["image_normalize"] = run_case(sess, "image_normalize", ["out"])
+        speedups = []
+        for k, ms in results.items():
+            sp = BASELINES_MS[k] / ms
+            speedups.append(sp)
+            log(f"  {k}: {ms:.2f} ms  (reference {BASELINES_MS[k]:.2f} ms, "
+                f"speedup {sp:.2f}x)")
+        geo = 1.0
+        for s in speedups:
+            geo *= s
+        geo **= 1.0 / len(speedups)
+    except Exception as e:  # metric line still prints (value 0 is honest red)
+        log(f"  workload suite failed: {type(e).__name__}: {e}")
 
     roofline = {}
     if os.environ.get("BENCH_SKIP_ROOFLINE") != "1":
@@ -485,27 +494,30 @@ def main() -> int:
         except Exception as e:
             log(f"  gemm parity check failed: {type(e).__name__}: {e}")
 
-    # On-chip conformance smoke battery (VERDICT r3 #2): the option-pinned
-    # assertion families most at risk of TPU divergence, executed on the
-    # real device (the adapter-gated-GPU-tests analog; the same battery
-    # runs CPU-pinned in tests/test_tpu_smoke.py).
-    tpu_conf = {}
-    if os.environ.get("BENCH_SKIP_SMOKE") != "1" and \
-            _has_budget("tpu conformance smoke", 300):
+    # Post-degradation check: re-run a 3-case battery slice after the heavy
+    # sections. If the opening battery was green but this slice is red, a
+    # heavy section degraded the backend — reported distinctly so the
+    # conformance verdict isn't conflated with environment loss.
+    post = {}
+    if tpu_conf.get("passed") and os.environ.get("BENCH_SKIP_SMOKE") != "1" \
+            and _has_budget("post-section battery slice", 60):
         from runmat_tpu import tpu_smoke
-        t0 = time.perf_counter()
+        keep = tpu_smoke.CASES
         try:
-            tpu_conf = tpu_smoke.run(sess, budget_s=max(60.0, _left() - 30))
+            tpu_smoke.CASES = keep[:3]
+            post = tpu_smoke.run(sess, budget_s=max(30.0, _left() - 20))
         except Exception as e:
-            tpu_conf = {"passed": 0, "failed": -1,
-                        "error": f"{type(e).__name__}: {e}"}
-        tpu_conf["seconds"] = round(time.perf_counter() - t0, 1)
-        log(f"tpu conformance smoke: {tpu_conf.get('passed')} passed, "
-            f"{tpu_conf.get('failed')} failed in {tpu_conf['seconds']}s")
-        for f in tpu_conf.get("failures", []):
-            log(f"  FAIL {f}")
+            post = {"error": f"{type(e).__name__}: {e}"}
+        finally:
+            tpu_smoke.CASES = keep
+        log(f"post-section battery slice: {post}")
 
-    print(json.dumps({
+    # FINAL METRIC LINE — the driver parses the LAST stdout line from a
+    # 2000-char tail capture, so this line must stay short (r4's line blew
+    # past the buffer and the round recorded no metric): failure strings go
+    # to stderr only, and the payload is trimmed to fit a hard cap.
+    conf_small = {k: v for k, v in tpu_conf.items() if k != "failures"}
+    payload = {
         "metric": "benchmark_suite_geomean_speedup_vs_runmat",
         "value": round(geo, 4),
         "unit": "x (reference_ms / our_ms, geomean of elementwise-math 10M, "
@@ -514,9 +526,52 @@ def main() -> int:
         "detail_ms": {k: round(v, 2) for k, v in results.items()},
         "warmup_replay_s": round(warmup_replay_s, 1),
         "roofline": roofline,
-        "tpu_conformance": tpu_conf,
-    }))
+        "tpu_conformance": conf_small,
+    }
+    if post:
+        payload["tpu_conformance_post"] = {
+            k: v for k, v in post.items() if k != "failures"}
+    line = json.dumps(payload)
+    for drop in ("tpu_conformance_post", "roofline", "detail_ms"):
+        if len(line) <= 1500:
+            break
+        payload.pop(drop, None)
+        line = json.dumps(payload)
+    sys.stdout.flush()
+    print(line, flush=True)
     return 0
+
+
+def run_battery(sess, budget_cap: float) -> dict:
+    """On-chip conformance smoke battery (VERDICT r3 #2): the option-pinned
+    assertion families most at risk of TPU divergence, executed on the
+    real device (the adapter-gated-GPU-tests analog; the same battery
+    runs CPU-pinned in tests/test_tpu_smoke.py). Failure detail goes to
+    stderr; the returned dict holds counts only for the metric line."""
+    if os.environ.get("BENCH_SKIP_SMOKE") == "1" or \
+            not _has_budget("tpu conformance smoke", budget_cap):
+        return {}
+    from runmat_tpu import tpu_smoke
+    t0 = time.perf_counter()
+    try:
+        tpu_conf = tpu_smoke.run(sess, budget_s=max(60.0, _left() - 30))
+    except Exception as e:
+        tpu_conf = {"passed": 0, "failed": -1,
+                    "error": f"{type(e).__name__}: {e}"}
+    tpu_conf["seconds"] = round(time.perf_counter() - t0, 1)
+    # battery programs leave workspace variables behind (e.g. M from the
+    # reshape case) that would shadow the workloads' exist()-guarded sizes
+    try:
+        sess.run_source("clear", "battery_clear")
+    except Exception:
+        pass
+    log(f"tpu conformance smoke: {tpu_conf.get('passed')} passed, "
+        f"{tpu_conf.get('failed')} failed, "
+        f"{tpu_conf.get('cases_skipped', 0)} skipped in "
+        f"{tpu_conf['seconds']}s")
+    for f in tpu_conf.get("failures", []):
+        log(f"  FAIL {f}")
+    return tpu_conf
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ fake provider, simple_provider.rs).
 from __future__ import annotations
 
 import os
+import sys
 from typing import Any, Optional
 
 import numpy as np
@@ -355,39 +356,82 @@ class JaxEngine:
         return self._supports_complex
 
     def _probe_complex(self) -> bool:
-        """One complex round trip through the device, persisted per device
-        name (~/.cache/runmat_tpu/platform_caps.json)."""
+        """Does the platform accept COMPLEX DTYPES AT PROGRAM BOUNDARIES
+        (transfers / resident buffers)?  Measured live on the axon TPU
+        tunnel: one failed complex64 device_put permanently poisons the
+        backend FOR THE WHOLE PROCESS — every subsequent upload and compute
+        (any dtype) then fails UNIMPLEMENTED, and even a full xla_bridge
+        re-init does not recover (this was the round-4 conformance cascade).
+        So the probe NEVER touches the device in-process:
+
+          1. RUNMAT_TPU_COMPLEX_NATIVE=0/1 overrides everything;
+          2. jax-CPU always supports complex — no probe needed;
+          3. cached verdict (v2 schema with timestamp; stale entries
+             re-probe after RUNMAT_TPU_CAPS_TTL_S, default 7 days, so one
+             transient failure cannot poison all future sessions);
+          4. otherwise a THROWAWAY SUBPROCESS attempts the complex round
+             trip — the tunnel multiplexes clients, so the child's
+             poisoned backend dies with the child (verified live).
+
+        False only selects the split re/im plane representation
+        (see cplx routing) — complex VALUES still compute on device."""
+        ov = os.environ.get("RUNMAT_TPU_COMPLEX_NATIVE")
+        if ov in ("0", "1"):
+            return ov == "1"
+        if self.platform == "cpu":
+            return True
         import json as _json
+        import time as _time
         path = os.path.expanduser(os.environ.get(
             "RUNMAT_TPU_CAPS_CACHE",
             "~/.cache/runmat_tpu/platform_caps.json"))
         key = f"{self.platform}:{self.device.device_kind}" \
             if hasattr(self.device, "device_kind") else self.platform
+        ttl = float(os.environ.get("RUNMAT_TPU_CAPS_TTL_S", 7 * 86400))
         caps = {}
         try:
             with open(path) as f:
                 caps = _json.load(f)
-            if key in caps and "complex" in caps[key]:
-                return bool(caps[key]["complex"])
+            ent = caps.get(key)
+            if isinstance(ent, dict) and ent.get("v") == 2 and \
+                    "complex" in ent and \
+                    _time.time() - float(ent.get("ts", 0)) < ttl:
+                return bool(ent["complex"])
         except Exception:
             pass
-        try:
-            z = self.jax.device_put(
-                np.array([[1 + 2j]], dtype=np.complex64), self.device)
-            ok = bool(abs(complex(np.asarray(z).reshape(-1)[0])
-                          - complex(1, 2)) < 1e-6)
-        except Exception:
-            ok = False
+        ok = self._subprocess_complex_probe()
         if not ok:
             self.note_fallback("complex", "platform_complex_unsupported")
         try:
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            caps.setdefault(key, {})["complex"] = ok
+            caps[key] = {"v": 2, "complex": ok, "ts": _time.time()}
             with open(path, "w") as f:
                 _json.dump(caps, f)
         except Exception:
             pass
         return ok
+
+    def _subprocess_complex_probe(self, timeout_s: float = 120.0) -> bool:
+        """Run the complex-transfer round trip in a child process so a
+        backend-poisoning failure cannot touch this process's device state.
+        Any child failure (including failure to attach a second client)
+        reads as 'no native complex' — the split-plane path is always
+        correct, so False is the safe default."""
+        import subprocess
+        code = (
+            "import numpy as np, jax\n"
+            "z = jax.device_put(np.array([[1+2j]], np.complex64),"
+            " jax.devices()[0])\n"
+            "v = complex(np.asarray(z).reshape(-1)[0])\n"
+            "assert abs(v - (1+2j)) < 1e-6\n"
+            "print('COMPLEX_NATIVE_OK')\n")
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=timeout_s)
+            return r.returncode == 0 and "COMPLEX_NATIVE_OK" in r.stdout
+        except Exception:
+            return False
 
     def _complex_ok(self, *xs: MatArray) -> bool:
         return not any(getattr(x, "is_complex", False) for x in xs) \

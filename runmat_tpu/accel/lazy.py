@@ -30,10 +30,11 @@ class LazyNode:
     'scalar' (traced host scalar parameter), or an op name."""
 
     __slots__ = ("op", "inputs", "static", "shape", "dtype", "_value",
-                 "n_ops", "engine", "pinned", "dispatch_id", "__weakref__")
+                 "n_ops", "engine", "pinned", "dispatch_id", "cplx",
+                 "__weakref__")
 
     def __init__(self, engine, op: str, inputs: list, static: tuple,
-                 shape: tuple, dtype, value: Any = None):
+                 shape: tuple, dtype, value: Any = None, cplx: bool = False):
         self.engine = engine
         self.op = op
         self.inputs = inputs
@@ -42,6 +43,11 @@ class LazyNode:
         self.dtype = np.dtype(dtype)
         self.pinned = False         # workspace-bound: materialize alongside any root
         self.dispatch_id = None     # engine dispatch seq that produced .value
+        # split-plane complex: dtype is REAL (f32/f64) but the physical value
+        # carries a leading (2,) plane axis [re, im] — the representation
+        # complex values take on platforms without complex dtype transfers
+        # (accel/cplx.py). Logical shape/class are unchanged.
+        self.cplx = bool(cplx)
         self.value = value          # concrete jax.Array for leaves / after force
         self.n_ops = (0 if op in ("leaf", "scalar")
                       else 1 + sum(i.n_ops for i in inputs))
@@ -65,7 +71,7 @@ class LazyNode:
 
     @property
     def is_complex(self) -> bool:
-        return self.dtype.kind == "c"
+        return self.dtype.kind == "c" or self.cplx
 
     def gather(self) -> np.ndarray:
         """Materialize and transfer to host (≙ provider.download).
@@ -82,6 +88,9 @@ class LazyNode:
         if self.dispatch_id is not None:
             eng = self.engine
             eng.gathered_seq = max(eng.gathered_seq, self.dispatch_id)
+        if self.cplx:
+            from .cplx import combine_to_host
+            h = combine_to_host(h)
         return h if h.shape == self.shape else h.reshape(self.shape)
 
     def concrete(self):

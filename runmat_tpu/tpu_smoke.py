@@ -394,6 +394,21 @@ def _cmp(got: np.ndarray, want, tol: float) -> bool:
         1.0, np.abs(w[m]))))
 
 
+_DEGRADED_SIGS = ("UNIMPLEMENTED", "TPU backend error", "DataLoss",
+                  "failed to connect", "Connection reset", "Socket closed",
+                  "UNAVAILABLE")
+
+
+def _looks_degraded(e: BaseException) -> bool:
+    """Backend-environment loss, as opposed to a wrong-answer bug: the axon
+    tunnel's poisoned-backend state (every upload/compute UNIMPLEMENTED —
+    the round-4 cascade) or a dropped connection. These are environment
+    outcomes, not conformance failures (≙ the reference's
+    fallback-on-anything posture, runner.rs:1140-1143)."""
+    s = f"{type(e).__name__}: {e}"
+    return any(sig in s for sig in _DEGRADED_SIGS)
+
+
 def run(sess, budget_s: float = None) -> dict:
     """Execute the battery through `sess` (device path); returns
     {"passed": n, "failed": n, "cases": n, "failures": [...]}.
@@ -402,23 +417,52 @@ def run(sess, budget_s: float = None) -> dict:
     "cases_skipped", never counted as failures) once it is exhausted.
     Partial counts with an honest skip tally beat a run that never emits
     the BENCH json when the device tunnel degrades (60 s+ stalls per
-    compile have been observed)."""
+    compile have been observed).
+
+    Degradation recovery (VERDICT r4 weak #3): a program error whose
+    message matches a backend-loss signature is retried once; if two
+    cases IN A ROW fail with the signature even on retry, the backend is
+    gone for this process (verified unrecoverable in-process on axon) —
+    remaining cases are reported as skipped with
+    "environment_degraded": true, distinct from red."""
     import time as _time
     t0 = _time.perf_counter()
     passed = failed = skipped = 0
     failures = []
+    degraded_streak = 0
+    degraded = False
     for name, src, checks in CASES:
-        if budget_s is not None and _time.perf_counter() - t0 > budget_s:
+        if degraded or (budget_s is not None
+                        and _time.perf_counter() - t0 > budget_s):
             skipped += 1
             continue
-        try:
-            r = sess.execute(src)
-            if r.error is not None:
-                raise r.error
-        except Exception as e:  # a crashed program fails all its checks
+        err = None
+        for attempt in (0, 1):
+            try:
+                err = None
+                r = sess.execute(src)
+                if r.error is not None:
+                    raise r.error
+                break
+            except Exception as e:
+                err = e
+                if not _looks_degraded(e):
+                    break               # real failure — no retry
+        if err is not None:  # a crashed program fails all its checks
+            if _looks_degraded(err):
+                degraded_streak += 1
+                if degraded_streak >= 2:
+                    degraded = True
+                    # this case + the rest are environment skips, not red
+                    skipped += 1
+                    failures.append(
+                        f"{name}: environment degraded: "
+                        f"{type(err).__name__}: {err}")
+                    continue
             failed += len(checks)
-            failures.append(f"{name}: program error: {type(e).__name__}: {e}")
+            failures.append(f"{name}: program error: {type(err).__name__}: {err}")
             continue
+        degraded_streak = 0
         for var, want, tol in checks:
             try:
                 v = sess.get(var)
@@ -437,4 +481,6 @@ def run(sess, budget_s: float = None) -> dict:
            "failures": failures[:20]}
     if skipped:
         out["cases_skipped"] = skipped
+    if degraded:
+        out["environment_degraded"] = True
     return out
