@@ -116,11 +116,12 @@ def ne(jnp, ar, ai, br, bi):
 
 
 BINARY = {
-    "add": add, "plus": add,
-    "sub": sub, "minus": sub,
-    "mul": mul, "times": mul,
-    "div": div, "rdivide": div,
-    "pow": power, "power": power,
+    "add": add,
+    "sub": sub,
+    "mul": mul,
+    "div": div,
+    "ldiv": lambda jnp, ar, ai, br, bi: div(jnp, br, bi, ar, ai),
+    "pow": power,
 }
 
 # MATLAB relational <,>,<=,>= on complex compare REAL PARTS only; == and ~=
@@ -180,8 +181,11 @@ def _tanh(jnp, ar, ai):
 # complex -> complex: (jnp, ar, ai) -> (re, im)
 UNARY_C2C = {
     "neg": lambda jnp, ar, ai: (-ar, -ai),
-    "uminus": lambda jnp, ar, ai: (-ar, -ai),
+    "uplus": lambda jnp, ar, ai: (ar, ai),
     "conj": lambda jnp, ar, ai: (ar, -ai),
+    "square": lambda jnp, ar, ai: mul(jnp, ar, ai, ar, ai),
+    "reciprocal": lambda jnp, ar, ai: div(jnp, jnp.ones((), ar.dtype),
+                                          jnp.zeros((), ar.dtype), ar, ai),
     "sqrt": _sqrt,
     "exp": _exp_planes,
     "log": _log_planes,

@@ -35,6 +35,15 @@ _REDUCE_OPS = {"sum", "mean", "min", "max", "any", "all", "prod",
 
 _SCAN_OPS = {"cumsum", "cumprod", "cummax", "cummin"}
 
+# complex ops covered by the split-plane device surface (accel/cplx.py);
+# anything else on a no-native-complex platform routes to host
+_CPLX_BINARY_DEV = {"add", "sub", "mul", "div", "ldiv", "pow",
+                    "lt", "le", "gt", "ge", "eq", "ne"}
+_CPLX_UNARY_DEV = {"neg", "uplus", "conj", "square", "reciprocal", "sqrt",
+                   "exp", "log", "log2", "log10", "sign", "sin", "cos",
+                   "tan", "sinh", "cosh", "tanh", "abs", "real", "imag",
+                   "angle", "isnan", "isinf", "isfinite"}
+
 
 def _categorize(ops: list) -> str:
     """Dominant dispatch category for telemetry (≙ ProviderTelemetry
@@ -287,11 +296,10 @@ class JaxEngine:
     def upload(self, x: MatArray, force_shard: bool = False) -> MatArray:
         if x.is_complex and not self.supports_complex:
             # gpuArray(complex) on a platform without complex transfers:
-            # value semantics stay correct host-side (the gather-retry
-            # invariant — device residency is never required for
-            # correctness); surfaced via the fallback log
-            self.note_fallback("upload", "complex_unsupported_on_platform")
-            return MatArray(x.host().copy(), x.mclass)
+            # split re/im plane representation (accel/cplx.py) — the value
+            # lives on device as ONE real array with a leading (2,) plane
+            # axis, so no complex dtype ever crosses the tunnel
+            return self._upload_planes(x)
         h = x.host()
         ps = phys_shape(h.shape)
         place = self.placement(ps)
@@ -323,11 +331,32 @@ class JaxEngine:
         node = LazyNode(self, "leaf", [], (), h.shape, h.dtype, value=arr)
         return MatArray.from_device(node, x.mclass)
 
+    def _upload_planes(self, x: MatArray) -> MatArray:
+        """Complex host array -> split-plane device leaf (accel/cplx.py)."""
+        from . import cplx as _cx
+        h = x.host()
+        rdt = np.dtype(np.float32 if h.dtype == np.complex64 else np.float64)
+        ps = phys_shape(h.shape)
+        p = _cx.planes_from_host(h.reshape(ps).astype(
+            np.complex64 if rdt == np.float32 else np.complex128))
+        arr = self.jax.device_put(p, self.placement(tuple(p.shape)))
+        self.stats["uploads"] += 1
+        self.stats["upload_bytes"] += p.nbytes
+        node = LazyNode(self, "leaf", [], (), h.shape, rdt, value=arr,
+                        cplx=True)
+        return MatArray.from_device(node, x.mclass)
+
     def _lift(self, x: MatArray, dt: np.dtype) -> LazyNode:
         """MatArray -> LazyNode (device). Host scalars become traced params."""
         if x.on_device:
             return x.dev
         h = x._host
+        if h.dtype.kind == "c" and not self.supports_complex:
+            rdt = np.dtype(np.float32 if h.dtype == np.complex64
+                           else np.float64)
+            if h.size == 1:
+                return self._cplx_scalar_node(complex(h.reshape(-1)[0]), rdt)
+            return self._upload_planes(x).dev
         if h.size == 1:
             return self._scalar_node(h.reshape(-1)[0], dt)
         ps = phys_shape(h.shape)
@@ -339,10 +368,21 @@ class JaxEngine:
     def _scalar_node(self, v, dt: np.dtype) -> LazyNode:
         # scalar payload rides in .value; structure_key branches on op=='scalar'
         # before checking value, so the key hashes only the dtype.
+        if np.dtype(dt).kind == "c" and not self.supports_complex:
+            return self._cplx_scalar_node(
+                complex(v), np.dtype(np.float32 if np.dtype(dt)
+                                     == np.complex64 else np.float64))
         return LazyNode(self, "scalar", [], (), (1, 1), dt, value=v)
 
-    def _op(self, op: str, inputs: list[LazyNode], static: tuple, shape, dtype) -> LazyNode:
-        node = LazyNode(self, op, inputs, static, shape, dtype)
+    def _cplx_scalar_node(self, v: complex, rdt: np.dtype) -> LazyNode:
+        """Complex scalar as a (2,)-vector traced parameter [re, im]."""
+        payload = np.array([v.real, v.imag], dtype=rdt)
+        return LazyNode(self, "scalar", [], (), (1, 1), rdt, value=payload,
+                        cplx=True)
+
+    def _op(self, op: str, inputs: list[LazyNode], static: tuple, shape,
+            dtype, cplx: bool = False) -> LazyNode:
+        node = LazyNode(self, op, inputs, static, shape, dtype, cplx=cplx)
         if node.n_ops > self.fuse_cap:
             self.materialize(node)
         return node
@@ -437,8 +477,21 @@ class JaxEngine:
         return not any(getattr(x, "is_complex", False) for x in xs) \
             or self.supports_complex
 
+    def _cplx_dev_ok(self, op: str, opset, *xs: MatArray) -> bool:
+        """Complex routing: native-complex platforms take everything; the
+        split-plane representation covers `opset` (accel/cplx.py), the rest
+        falls back to host (never required for correctness)."""
+        if not any(getattr(x, "is_complex", False) for x in xs):
+            return True
+        if self.supports_complex:
+            return True
+        if op in opset:
+            return True
+        self.note_fallback(op, "complex op outside the split-plane surface")
+        return False
+
     def route_binary(self, op: str, a: MatArray, b: MatArray) -> bool:
-        if not self._complex_ok(a, b):
+        if not self._cplx_dev_ok(op, _CPLX_BINARY_DEV, a, b):
             return False
         if a.on_device or b.on_device:
             return True
@@ -450,7 +503,7 @@ class JaxEngine:
         return max(a.size, b.size) >= self.offload_threshold
 
     def route_unary(self, op: str, a: MatArray) -> bool:
-        if not self._complex_ok(a):
+        if not self._cplx_dev_ok(op, _CPLX_UNARY_DEV, a):
             return False
         if a.on_device:
             return op in table.UNARY
@@ -458,8 +511,7 @@ class JaxEngine:
                 and a.mclass in ("double", "single") and op in table.UNARY)
 
     def route_matmul(self, a: MatArray, b: MatArray) -> bool:
-        if not self._complex_ok(a, b):
-            return False
+        # complex GEMM is in the split-plane surface (3 real MXU GEMMs)
         if a.on_device or b.on_device:
             return True
         return self.auto_offload and min(a.size, b.size) >= self.offload_threshold
@@ -479,20 +531,33 @@ class JaxEngine:
                             b.is_complex)
         return np.result_type(da, db)
 
+    def _planed(self, dt: np.dtype, is_cx: bool) -> tuple:
+        """(node dtype, cplx flag): complex results take the split-plane
+        representation (real dtype + cplx flag) on platforms without native
+        complex boundary support (accel/cplx.py)."""
+        dt = np.dtype(dt)
+        if is_cx and dt.kind == "c" and not self.supports_complex:
+            return np.dtype(np.float32 if dt == np.complex64
+                            else np.float64), True
+        return dt, False
+
     def binary(self, op: str, a: MatArray, b: MatArray, out_class: str) -> MatArray:
         is_cx = a.is_complex or b.is_complex
         if op in table.COMPARE_OPS or op in table.LOGICAL_OPS:
             dt = np.dtype(np.bool_)
-            work_dt = self._common_dtype(a, b)
+            work_dt, _ = self._planed(self._common_dtype(a, b), is_cx)
+            out_cplx = False
         else:
             dt = self.dtype_for(out_class, is_cx)
+            dt, out_cplx = self._planed(dt, is_cx)
             work_dt = dt
         na = self._lift(a, work_dt)
         nb = self._lift(b, work_dt)
         from ..runtime.dispatch import matlab_broadcast_shape, _broadcast_check
         _broadcast_check(na.shape, nb.shape)
         shape = matlab_broadcast_shape(na.shape, nb.shape)
-        node = self._op("b:" + op, [na, nb], (str(work_dt),), shape, dt)
+        node = self._op("b:" + op, [na, nb], (str(work_dt),), shape, dt,
+                        cplx=out_cplx)
         out = MatArray.from_device(node, out_class)
         out.dl = getattr(a, "dl", False) or getattr(b, "dl", False)
         return out
@@ -502,8 +567,9 @@ class JaxEngine:
                                             "isnan", "isinf", "isfinite")
         dt = np.dtype(np.bool_) if out_class == "logical" else \
             self.dtype_for(out_class, is_cx)
+        dt, out_cplx = self._planed(dt, is_cx)
         na = self._lift(a, dt)
-        node = self._op("u:" + op, [na], (), na.shape, dt)
+        node = self._op("u:" + op, [na], (), na.shape, dt, cplx=out_cplx)
         out = MatArray.from_device(node, out_class)
         out.dl = getattr(a, "dl", False)
         return out
@@ -511,6 +577,7 @@ class JaxEngine:
     def matmul(self, a: MatArray, b: MatArray, out_class: str) -> MatArray:
         is_cx = a.is_complex or b.is_complex
         dt = self.dtype_for(out_class, is_cx)
+        dt, out_cplx = self._planed(dt, is_cx)
         na = self._lift(a, dt)
         nb = self._lift(b, dt)
         if len(na.shape) != 2 or len(nb.shape) != 2 or na.shape[1] != nb.shape[0]:
@@ -519,7 +586,7 @@ class JaxEngine:
         shape = (na.shape[0], nb.shape[1])
         # policy in the op key: executables are specialized per precision
         node = self._op("matmul", [na, nb], (str(dt), self.matmul_precision),
-                        shape, dt)
+                        shape, dt, cplx=out_cplx)
         out = MatArray.from_device(node, out_class)
         out.dl = getattr(a, "dl", False) or getattr(b, "dl", False)
         return out
@@ -533,14 +600,21 @@ class JaxEngine:
         no operand is device-resident (host numpy is fine then)."""
         if not any(x.on_device for x in xs):
             return None
+        any_cx = any(x.is_complex for x in xs)
+        if any_cx and not self.supports_complex and \
+                (op == "kronL" or len(xs) > 1):
+            # multiplicative multi-input structural ops need complex math,
+            # not plane mapping -> host path
+            return None
         nodes = []
         dt = None
         for x in xs:
             n = x.dev if x.on_device else self._lift(x, x.host().dtype)
             nodes.append(n)
             dt = np.result_type(dt, n.dtype) if dt is not None else n.dtype
+        out_cplx = any(n.cplx for n in nodes)
         node = self._op(op, nodes, static, normalize_shape(out_shape),
-                        np.dtype(dt))
+                        np.dtype(dt), cplx=out_cplx)
         out_class = xs[0].mclass
         if len(xs) == 2 and xs[0].mclass != xs[1].mclass:
             out_class = "double"
@@ -549,19 +623,21 @@ class JaxEngine:
     def transpose(self, a: MatArray, conj: bool) -> MatArray:
         na = a.dev if a.on_device else self._lift(a, a.host().dtype)
         shape = (na.shape[1], na.shape[0]) if len(na.shape) == 2 else na.shape
-        node = self._op("transpose", [na], (bool(conj),), shape, na.dtype)
+        node = self._op("transpose", [na], (bool(conj),), shape, na.dtype,
+                        cplx=na.cplx)
         return MatArray.from_device(node, a.mclass)
 
     def convert(self, a: MatArray, out_class: str) -> MatArray:
-        dt = self.dtype_for(out_class, a.is_complex)
+        dt, out_cplx = self._planed(
+            self.dtype_for(out_class, a.is_complex), a.is_complex)
         na = a.dev
-        node = self._op("cast", [na], (str(dt),), na.shape, dt)
+        node = self._op("cast", [na], (str(dt),), na.shape, dt, cplx=out_cplx)
         return MatArray.from_device(node, out_class)
 
     def reshape(self, a: MatArray, shape: tuple) -> MatArray:
         na = a.dev
         node = self._op("reshapeF", [na], (tuple(normalize_shape(shape)),),
-                        normalize_shape(shape), na.dtype)
+                        normalize_shape(shape), na.dtype, cplx=na.cplx)
         return MatArray.from_device(node, a.mclass)
 
     def reduce(self, op: str, x: MatArray, axes: tuple, keep_class: str,
@@ -569,14 +645,22 @@ class JaxEngine:
         if op not in _REDUCE_OPS:
             return None
         nx = x.dev
+        out_cplx = False
+        if nx.cplx:
+            # plane-separable reductions only; omitnan couples the planes
+            # (NaN in either part drops the whole element) -> host
+            if op not in ("sum", "mean") or nan_mode == "omitnan":
+                return None
+            out_cplx = True
         dt = np.dtype(np.bool_) if op in ("any", "all") else \
             self.dtype_for(keep_class, x.is_complex)
+        dt, _ = self._planed(dt, x.is_complex)
         axes = tuple(a for a in axes if a < len(nx.shape))
         shape = tuple(1 if i in axes else s for i, s in enumerate(nx.shape))
         # stamp the full NaN mode (not just an omitnan bool): min/max
         # default to omitnan but honor an explicit 'includenan'
         node = self._op("r:" + op, [nx], (axes, nan_mode or "", str(dt)),
-                        normalize_shape(shape), dt)
+                        normalize_shape(shape), dt, cplx=out_cplx)
         out = MatArray.from_device(node, keep_class)
         out.dl = getattr(x, "dl", False)
         return out
@@ -590,10 +674,16 @@ class JaxEngine:
         if op not in _SCAN_OPS:
             return None
         nx = x.dev
+        out_cplx = False
+        if nx.cplx:
+            if op != "cumsum" or omitnan:
+                return None      # plane-separable scans only
+            out_cplx = True
         dt = self.dtype_for(keep_class, x.is_complex)
+        dt, _ = self._planed(dt, x.is_complex)
         node = self._op("s:" + op, [nx],
                         (int(axis), bool(reverse), bool(omitnan), str(dt)),
-                        nx.shape, dt)
+                        nx.shape, dt, cplx=out_cplx)
         out = MatArray.from_device(node, keep_class)
         out.dl = getattr(x, "dl", False)
         return out
@@ -731,16 +821,45 @@ class JaxEngine:
                 else "double"
         return [self.dense._leaf(arr, out_class) for arr in out]
 
+    def route_fft(self, x: MatArray) -> bool:
+        """FFT routes on device residency or auto-offload size; complex is
+        fine in BOTH modes (native dtype or split planes)."""
+        if x.on_device:
+            return True
+        if not self.auto_offload or x.mclass not in ("double", "single"):
+            return False
+        return x.size >= self.offload_threshold
+
     def fft(self, x: MatArray, n: Optional[int], dim: int, inverse: bool
             ) -> Optional[MatArray]:
         """Device FFT along logical 0-based `dim` (≙ provider fft_dim/ifft_dim,
         runmat-accelerate-api/src/lib.rs + backend/wgpu/dispatch/fft.rs).
-        Eager with failure memo; returns None -> host fftpack path."""
-        out = self.dense.call("fft", [x], (bool(inverse), n, int(dim)))
-        if out is None:
+        Native-complex platforms: eager XLA FFT with failure memo. Planes
+        platforms: a lazy `fftL` node — XLA's native FFT with an INTERNAL
+        complex64 for singles, the split-plane f64 Stockham/Bluestein FFT
+        (ops/cfft.py) for doubles — so no complex dtype touches a program
+        boundary and the result fuses with downstream elementwise work."""
+        if self.supports_complex:
+            out = self.dense.call("fft", [x], (bool(inverse), n, int(dim)))
+            if out is None:
+                return None
+            out_class = "single" if x.mclass == "single" else "double"
+            return self.dense._leaf(out[0], out_class)
+        if x.mclass not in ("double", "single", "logical"):
             return None
         out_class = "single" if x.mclass == "single" else "double"
-        return self.dense._leaf(out[0], out_class)
+        rdt = np.dtype(np.float32 if out_class == "single" else np.float64)
+        nx = x.dev if x.on_device else self._lift(x, rdt)
+        shape = list(nx.shape) if nx.shape else [1, 1]
+        if dim >= len(shape):
+            return None
+        nfft = int(n) if n is not None else int(shape[dim])
+        if nfft <= 0:
+            return None
+        shape[dim] = nfft
+        node = self._op("fftL", [nx], (bool(inverse), nfft, int(dim)),
+                        tuple(shape), rdt, cplx=True)
+        return MatArray.from_device(node, out_class)
 
     # ------------------------------------------------------ indexing fast paths
 
@@ -761,7 +880,7 @@ class JaxEngine:
                     for s in shape:
                         n *= s
                     node = self._op("reshapeF", [nb], ((n, 1),), (n, 1),
-                                    nb.dtype)
+                                    nb.dtype, cplx=nb.cplx)
                     return MatArray.from_device(node, base.mclass)
                 return None
             a = args[0]
@@ -787,7 +906,7 @@ class JaxEngine:
             else:
                 out_shape = (ln, 1)
             node = self._op("slice1", [nb], ((start, stop),),
-                            out_shape, nb.dtype)
+                            out_shape, nb.dtype, cplx=nb.cplx)
             return MatArray.from_device(node, base.mclass)
         if len(args) != len(shape):
             return None
@@ -815,7 +934,7 @@ class JaxEngine:
             slices.append((start, stop))
             out_shape.append(stop - start)
         node = self._op("slice", [nb], (tuple(slices),),
-                        normalize_shape(out_shape), nb.dtype)
+                        normalize_shape(out_shape), nb.dtype, cplx=nb.cplx)
         return MatArray.from_device(node, base.mclass)
 
     def _idx_leaf(self, flat: np.ndarray) -> LazyNode:
@@ -869,7 +988,7 @@ class JaxEngine:
             else:
                 out_shape = normalize_shape(ih.shape)
             node = self._op("gather1", [nb, self._idx_leaf(iv)], (),
-                            out_shape, nb.dtype)
+                            out_shape, nb.dtype, cplx=nb.cplx)
             return MatArray.from_device(node, base.mclass)
         if len(args) != len(shape):
             return None
@@ -888,7 +1007,7 @@ class JaxEngine:
             inputs.append(self._idx_leaf(iv))
             out_shape.append(iv.size)
         node = self._op("gatherN", inputs, (tuple(spec),),
-                        normalize_shape(out_shape), nb.dtype)
+                        normalize_shape(out_shape), nb.dtype, cplx=nb.cplx)
         return MatArray.from_device(node, base.mclass)
 
     def index_write(self, base: MatArray, args: list, rhs: MatArray) -> Optional[MatArray]:
@@ -911,8 +1030,12 @@ class JaxEngine:
             return None
         if rhs.mclass != base.mclass and base.mclass == "logical":
             return None   # numeric into logical changes class -> host
-        rn = self._lift(rhs, nb.dtype) if rhs.size != 1 or rhs.on_device \
-            else self._scalar_node(rhs._host.reshape(-1)[0], nb.dtype)
+        if rhs.size == 1 and not rhs.on_device:
+            v = rhs._host.reshape(-1)[0]
+            rn = self._cplx_scalar_node(complex(v), nb.dtype) \
+                if nb.cplx else self._scalar_node(v, nb.dtype)
+        else:
+            rn = self._lift(rhs, nb.dtype)
 
         # ---- single-subscript forms
         if len(args) == 1:
@@ -923,7 +1046,8 @@ class JaxEngine:
             if isinstance(a, ColonMark):
                 if rhs.size not in (1, n):
                     return None
-                node = self._op("fillall", [nb, rn], (), shape, nb.dtype)
+                node = self._op("fillall", [nb, rn], (), shape, nb.dtype,
+                                cplx=nb.cplx)
                 return MatArray.from_device(node, base.mclass)
             if isinstance(a, MatArray) and not a.on_device and \
                     a.mclass == "logical":
@@ -939,14 +1063,14 @@ class JaxEngine:
                 self.stats["uploads"] += 1
                 self.stats["upload_bytes"] += mask.nbytes
                 node = self._op("maskset", [nb, mnode, rn], (), shape,
-                                nb.dtype)
+                                nb.dtype, cplx=nb.cplx)
                 return MatArray.from_device(node, base.mclass)
             if isinstance(a, MatArray) and a.on_device and \
                     a.mclass == "logical":
                 if rhs.size != 1 or a.size != n:
                     return None
                 node = self._op("maskset", [nb, a.dev, rn], (), shape,
-                                nb.dtype)
+                                nb.dtype, cplx=nb.cplx)
                 return MatArray.from_device(node, base.mclass)
             iv = self._index_vec(a, n, unique_required=rhs.size != 1)
             if iv is None:
@@ -954,7 +1078,8 @@ class JaxEngine:
             if rhs.size not in (1, iv.size):
                 return None
             node = self._op("scatter1", [nb, self._idx_leaf(iv), rn],
-                            (rhs.size == 1,), shape, nb.dtype)
+                            (rhs.size == 1,), shape, nb.dtype,
+                            cplx=nb.cplx)
             return MatArray.from_device(node, base.mclass)
 
         # ---- N-subscript form
@@ -982,7 +1107,7 @@ class JaxEngine:
         inputs.append(rn)
         node = self._op("scatterN", inputs,
                         (tuple(spec), tuple(sel_shape), rhs.size == 1),
-                        shape, nb.dtype)
+                        shape, nb.dtype, cplx=nb.cplx)
         return MatArray.from_device(node, base.mclass)
 
     # ------------------------------------------------------------ materialization
@@ -1020,7 +1145,8 @@ class JaxEngine:
                 env: list = [None] * len(program)
                 li = 0
                 si = 0
-                for i, (op, static, dt, in_idx, in_shapes, out_shape) in enumerate(program):
+                for i, entry in enumerate(program):
+                    op, static, dt, in_idx, in_shapes, out_shape = entry[:6]
                     if op == "__leaf__":
                         env[i] = leaf_args[li]
                         li += 1
@@ -1029,7 +1155,9 @@ class JaxEngine:
                         si += 1
                     else:
                         env[i] = self._exec(op, static, dt, [env[j] for j in in_idx],
-                                            in_shapes, out_shape)
+                                            in_shapes, out_shape,
+                                            entry[6] if len(entry) > 6 else (),
+                                            len(entry) > 7 and entry[7])
                 return tuple(env[j] for j in out_idx)
 
             cached = self.jax.jit(fn)
@@ -1055,17 +1183,24 @@ class JaxEngine:
         return results[0]
 
     def _build_program(self, order: list[LazyNode]):
+        """Program entries are (op, static, dt, in_idx, in_shapes, out_shape
+        [, in_cplx, out_cplx]) — the two trailing split-plane-complex fields
+        are appended only when complex is present, so real-only manifests
+        keep the round-1..4 6-tuple format (warmup replay reads both)."""
         index = {id(n): i for i, n in enumerate(order)}
         program = []
         for n in order:
             if n.op == "scalar":
-                program.append(("scalar", (), n.dtype, (), (), n.shape))
+                entry = ("scalar", (), n.dtype, (), (), n.shape)
             elif n.value is not None:
-                program.append(("__leaf__", (), n.dtype, (), (), n.shape))
+                entry = ("__leaf__", (), n.dtype, (), (), n.shape)
             else:
-                program.append((n.op, n.static, n.dtype,
-                                tuple(index[id(i)] for i in n.inputs),
-                                tuple(i.shape for i in n.inputs), n.shape))
+                entry = (n.op, n.static, n.dtype,
+                         tuple(index[id(i)] for i in n.inputs),
+                         tuple(i.shape for i in n.inputs), n.shape)
+            if n.cplx or (n.inputs and any(i.cplx for i in n.inputs)):
+                entry = entry + (tuple(i.cplx for i in n.inputs), n.cplx)
+            program.append(entry)
         return program
 
     # --------------------------------------------------------------- op executor
@@ -1085,12 +1220,196 @@ class JaxEngine:
         ps = phys_shape(tuple(lshape))
         return x if tuple(x.shape) == ps else x.reshape(ps)
 
+    # arg roles for plane-mapped ops: 'v' operands carry values (plane-
+    # sliced; real ones get a zero imag plane), 'i' operands are indices/
+    # masks shared verbatim by both plane programs
+    _CPLX_ROLES = {
+        "transpose": ("v",), "cast": ("v",), "reshapeF": ("v",),
+        "slice": ("v",), "slice1": ("v",),
+        "gather1": ("v", "i"), "gather1d": ("v", "i"),
+        "fillall": ("v", "v"), "maskset": ("v", "i", "v"),
+        "scatter1": ("v", "i", "v"), "scatter1d": ("v", "i", "v"),
+        "flipL": ("v",), "rollL": ("v",), "tileL": ("v",),
+        "rot90L": ("v",), "permuteL": ("v",), "trilL": ("v",),
+        "triuL": ("v",),
+    }
+
+    def _cplx_roles(self, op: str, nargs: int):
+        if op == "gatherN":
+            return ("v",) + ("i",) * (nargs - 1)
+        if op == "scatterN":
+            return ("v",) + ("i",) * (nargs - 2) + ("v",)
+        return self._CPLX_ROLES.get(op)
+
+    def _to_phys_planes(self, re, im, out_shape: tuple):
+        jnp = self.jnp
+        re = self._to_phys(re, out_shape)
+        im = self._to_phys(im, out_shape)
+        re, im = jnp.broadcast_arrays(re, im)
+        return jnp.stack([re, im])
+
+    def _exec_cplx(self, op: str, static: tuple, dt: np.dtype, args: list,
+                   in_shapes: tuple, out_shape: tuple, in_cplx: tuple,
+                   out_cplx: bool):
+        """Split-plane complex execution (accel/cplx.py): operands flagged
+        in in_cplx are plane stacks [re, im]; data-movement ops recurse into
+        the real `_exec` once per plane, arithmetic uses the plane formulas.
+        XLA fuses the two plane expressions exactly as it would a native
+        complex op (which it lowers to (re, im) pairs internally anyway)."""
+        from . import cplx as _cx
+        jnp = self.jnp
+        if not in_cplx:
+            in_cplx = (False,) * len(args)
+
+        def orient(a, b):
+            la, lb = in_shapes[0], in_shapes[1]
+            if a.ndim and b.ndim and tuple(la) != tuple(lb):
+                a = a.reshape(la)
+                b = b.reshape(lb)
+                if a.ndim < b.ndim:
+                    a = a.reshape(a.shape + (1,) * (b.ndim - a.ndim))
+                elif b.ndim < a.ndim:
+                    b = b.reshape(b.shape + (1,) * (a.ndim - b.ndim))
+            return a, b
+
+        if op.startswith("b:"):
+            name = op[2:]
+            work_dt = np.dtype(static[0])
+            a0 = self._coerce(args[0], work_dt)
+            b0 = self._coerce(args[1], work_dt)
+            ar, ai = (a0[0], a0[1]) if in_cplx[0] \
+                else (a0, jnp.zeros_like(a0))
+            br, bi = (b0[0], b0[1]) if in_cplx[1] \
+                else (b0, jnp.zeros_like(b0))
+            ar, br = orient(ar, br)
+            ai, bi = orient(ai, bi)
+            if name in ("lt", "le", "gt", "ge"):
+                # MATLAB relationals on complex compare REAL parts only
+                r = table.BINARY[name](jnp, ar, br)
+                return self._to_phys(r.astype(dt), out_shape)
+            if name in _cx.COMPARE:
+                r = _cx.COMPARE[name](jnp, ar, ai, br, bi)
+                return self._to_phys(r.astype(dt), out_shape)
+            if name in _cx.BINARY:
+                re, im = _cx.BINARY[name](jnp, ar, ai, br, bi)
+                if re.dtype != dt:
+                    re, im = re.astype(dt), im.astype(dt)
+                return self._to_phys_planes(re, im, out_shape)
+            raise MatError("MATLAB:internal",
+                           f"complex device op 'b:{name}' unsupported")
+        if op.startswith("u:"):
+            name = op[2:]
+            ar, ai = args[0][0], args[0][1]
+            if name in _cx.UNARY_C2R:
+                r = _cx.UNARY_C2R[name](jnp, ar, ai)
+                return r.astype(dt) if r.dtype != dt else r
+            if name in _cx.UNARY_C2C:
+                re, im = _cx.UNARY_C2C[name](jnp, ar, ai)
+                if re.dtype != dt:
+                    re, im = re.astype(dt), im.astype(dt)
+                re, im = jnp.broadcast_arrays(re, im)
+                return jnp.stack([re, im])
+            raise MatError("MATLAB:internal",
+                           f"complex device op 'u:{name}' unsupported")
+        if op == "matmul":
+            la, lb = in_shapes
+            a0 = args[0].astype(dt)
+            b0 = args[1].astype(dt)
+            ar, ai = (a0[0], a0[1]) if in_cplx[0] \
+                else (a0, jnp.zeros_like(a0))
+            br, bi = (b0[0], b0[1]) if in_cplx[1] \
+                else (b0, jnp.zeros_like(b0))
+            ar, ai = ar.reshape(la), ai.reshape(la)
+            br, bi = br.reshape(lb), bi.reshape(lb)
+            from jax import lax
+            pol = static[1] if len(static) > 1 else self.matmul_precision
+            prec = {"highest": lax.Precision.HIGHEST,
+                    "high": lax.Precision.HIGH}.get(pol,
+                                                    lax.Precision.DEFAULT)
+            pe = np.dtype(np.float32) if dt == np.float16 else dt
+
+            def mm(x, y):
+                return jnp.matmul(x, y, preferred_element_type=pe,
+                                  precision=prec)
+            re, im = _cx.matmul(jnp, ar, ai, br, bi, mm)
+            return self._to_phys_planes(re, im, out_shape)
+        if op == "transpose":
+            re = self._exec(op, (False,), dt, [args[0][0]], in_shapes,
+                            out_shape)
+            im = self._exec(op, (False,), dt, [args[0][1]], in_shapes,
+                            out_shape)
+            if static[0]:               # ctranspose conjugates
+                im = -im
+            return jnp.stack([re, im])
+        if op.startswith("r:") or op.startswith("s:"):
+            # plane-separable reductions/scans only (routing guarantees)
+            re = self._exec(op, static, dt, [args[0][0]],
+                            in_shapes, out_shape)
+            im = self._exec(op, static, dt, [args[0][1]],
+                            in_shapes, out_shape)
+            return jnp.stack([re, im])
+        if op == "fftL":
+            inverse, nfft, axis = static
+            la = tuple(in_shapes[0]) or (1, 1)
+            x0 = args[0]
+            if in_cplx[0]:
+                xr, xi = x0[0], x0[1]
+            else:
+                xr, xi = x0.astype(dt), jnp.zeros_like(x0, dtype=dt)
+            xr = xr.reshape(la)
+            xi = xi.reshape(la)
+            cur = la[axis]
+            if cur > nfft:                     # truncate
+                sl = [slice(None)] * len(la)
+                sl[axis] = slice(0, nfft)
+                xr, xi = xr[tuple(sl)], xi[tuple(sl)]
+            elif cur < nfft:                   # zero-pad
+                pad = [(0, 0)] * len(la)
+                pad[axis] = (0, nfft - cur)
+                xr, xi = jnp.pad(xr, pad), jnp.pad(xi, pad)
+            if dt == np.float32:
+                # internal complex64 is fine on this platform — only
+                # BOUNDARY complex fails; XLA's native FFT is the fast path
+                from jax import lax
+                z = lax.complex(xr, xi)
+                y = jnp.fft.ifft(z, axis=axis) if inverse \
+                    else jnp.fft.fft(z, axis=axis)
+                re, im = jnp.real(y).astype(dt), jnp.imag(y).astype(dt)
+            else:
+                from ..ops import cfft
+                re, im = cfft.fft_planes_axis(jnp, xr, xi, axis,
+                                              inverse=bool(inverse))
+            return self._to_phys_planes(re, im, out_shape)
+        roles = self._cplx_roles(op, len(args))
+        if roles is not None:
+            planes = []
+            for plane in (0, 1):
+                pargs = []
+                for a, c, role in zip(args, in_cplx, roles):
+                    if role == "i":
+                        pargs.append(a)
+                    elif c:
+                        pargs.append(a[plane])
+                    else:               # real value operand: zero imag plane
+                        pargs.append(a if plane == 0 else jnp.zeros_like(a))
+                planes.append(self._exec(op, static, dt, pargs, in_shapes,
+                                         out_shape))
+            return jnp.stack(planes)
+        raise MatError("MATLAB:internal",
+                       f"complex device op '{op}' unsupported")
+
     def _exec(self, op: str, static: tuple, dt: np.dtype, args: list,
-              in_shapes: tuple = (), out_shape: tuple = ()):
+              in_shapes: tuple = (), out_shape: tuple = (),
+              in_cplx: tuple = (), out_cplx: bool = False):
         """Execute one DAG op on PHYSICAL arrays (vectors rank-1, scalars
         rank-0); in_shapes/out_shape carry the logical MATLAB shapes for the
-        ops whose semantics depend on orientation."""
+        ops whose semantics depend on orientation. in_cplx/out_cplx flag
+        split-plane complex operands/results — plane-stacked real arrays
+        with a leading (2,) axis (accel/cplx.py)."""
         jnp = self.jnp
+        if any(in_cplx) or out_cplx:
+            return self._exec_cplx(op, static, dt, args, in_shapes,
+                                   out_shape, in_cplx, out_cplx)
         if op.startswith("b:"):
             name = op[2:]
             work_dt = np.dtype(static[0])

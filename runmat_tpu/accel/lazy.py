@@ -129,10 +129,10 @@ def structure_key(root: LazyNode) -> tuple:
     parts = []
     for n in order:
         if n.op == "scalar":
-            parts.append(("S", str(n.dtype)))
+            parts.append(("S", str(n.dtype), n.cplx))
         elif n.value is not None:
-            parts.append(("L", n.shape, str(n.dtype)))
+            parts.append(("L", n.shape, str(n.dtype), n.cplx))
         else:
             parts.append((n.op, n.static, tuple(index[id(i)] for i in n.inputs),
-                          str(n.dtype), n.shape))
+                          str(n.dtype), n.shape, n.cplx))
     return tuple(parts)

@@ -729,6 +729,11 @@ def _build_and_run(eng, tr: _Trace, T: int, state, iter_host: np.ndarray) -> dic
     #                        never be baked into the compiled closure
     key_parts: list = []   # structural key (T excluded: it's a traced arg)
     for n in order:
+        if n.cplx:
+            # split-plane complex nodes carry semantics the 6-field loop
+            # program can't express — bail to the interpreter (correctness
+            # never requires the loop fold)
+            raise _Bail()
         if n.op == "scalar":
             val = n.value
             if isinstance(val, _Marker):
@@ -974,6 +979,8 @@ def _build_and_run_while(eng, tr: _Trace, cond_v: MatArray) -> dict:
         const_values = []   # traced args — key hashes dtype only, never value
         key_parts: list = []
         for n in order:
+            if n.cplx:
+                raise _Bail()        # split-plane complex: interpreter path
             if n.op == "scalar":
                 if isinstance(n.value, _Marker):
                     raise _Bail()    # loopvar/rng markers: not valid in while

@@ -107,7 +107,9 @@ def record_fusion(eng, program, out_idx, leaves, scalars) -> None:
         "program": _enc(list(program)),
         "out_idx": list(out_idx),
         "leaves": [_aval(a) for a in leaves],
-        "scalars": [str(np.asarray(s).dtype) for s in scalars],
+        # scalar params are avals since r5 (split-plane complex scalars are
+        # (2,)-vectors); plain dtype strings from older manifests still read
+        "scalars": [_aval(s) for s in scalars],
     })
 
 
@@ -183,8 +185,8 @@ def _compile_entry(eng, e: dict) -> None:
         def fn(leaf_args, scalar_args, _program=program, _out=out_idx):
             env: list = [None] * len(_program)
             li = si = 0
-            for i, (op, static, dt, in_idx, in_shapes, out_shape) \
-                    in enumerate(_program):
+            for i, entry in enumerate(_program):
+                op, static, dt, in_idx, in_shapes, out_shape = entry[:6]
                 if op == "__leaf__":
                     env[i] = leaf_args[li]
                     li += 1
@@ -194,11 +196,15 @@ def _compile_entry(eng, e: dict) -> None:
                 else:
                     env[i] = eng._exec(op, static, dt,
                                        [env[j] for j in in_idx],
-                                       in_shapes, out_shape)
+                                       in_shapes, out_shape,
+                                       tuple(entry[6]) if len(entry) > 6
+                                       else (),
+                                       len(entry) > 7 and bool(entry[7]))
             return tuple(env[j] for j in _out)
 
         leaves = tuple(_sds(a["shape"], a["dtype"]) for a in e["leaves"])
-        scalars = tuple(_sds((), d) for d in e["scalars"])
+        scalars = tuple(_sds(a["shape"], a["dtype"]) if isinstance(a, dict)
+                        else _sds((), a) for a in e["scalars"])
         jax.jit(fn).lower(leaves, scalars).compile()
     elif e["kind"] == "loop":
         from .loops import make_loop_fn

@@ -35,7 +35,7 @@ def _fft_impl(x, n, dim, inverse: bool):
     if isinstance(x, MatArray):
         from ...accel import active_engine
         eng = active_engine()
-        if eng is not None and eng.route_linalg(x):
+        if eng is not None and eng.route_fft(x):
             ax = (scalar_int(dim) - 1) if dim is not None else \
                 _default_dim_shape(x.shape)
             nn = scalar_int(n) if n is not None and n.size else None
@@ -77,6 +77,13 @@ def _fft2_impl(x, m, n, inverse: bool):
                              else "double")
             if out is not None:
                 return out[0]
+        if eng is not None and not eng.supports_complex and eng.route_fft(x):
+            # split-plane platforms: fft2 = fftL along each axis in turn
+            r = eng.fft(x, None, 0, inverse)
+            if r is not None:
+                r2 = eng.fft(r, None, 1, inverse)
+                if r2 is not None:
+                    return r2
     h = _cx(x)
     s = (scalar_int(m), scalar_int(n)) if m is not None and n is not None else None
     r = (np.fft.ifft2 if inverse else np.fft.fft2)(h, s=s)

@@ -136,6 +136,21 @@ ctp = gather(gpuArray([1+1i; 2-3i])');
         ("sq", [2j], 1e-12),
         ("ctp", [1 - 1j, 2 + 3j], 0),        # ctranspose conjugates
     ]),
+    ("complex_fft_device", """
+zf = gpuArray([1+2i, 3-4i, -2+1i, 0-1i]);
+ff = gather(fft(zf));
+fi = gather(ifft(fft(zf)));
+fr = gather(fft(gpuArray([1 2 3 4 5])));
+fm = gather(abs(fft(gpuArray([1+1i; 2-1i; 0+0i]))));
+zs = gather(fft(gpuArray(single([1 2 3 4]))));
+""", [
+        # pinned against MATLAB/numpy fft of [1+2i, 3-4i, -2+1i, 0-1i]
+        ("ff", [2 - 2j, 0 - 2j, -4 + 8j, 6 + 4j], 1e-12),
+        ("fi", [1 + 2j, 3 - 4j, -2 + 1j, 0 - 1j], 1e-12),
+        ("fr", np.fft.fft([1, 2, 3, 4, 5]), 1e-12),
+        ("fm", np.abs(np.fft.fft([1 + 1j, 2 - 1j, 0])), 1e-12),
+        ("zs", [10, -2 + 2j, -2, -2 - 2j], 1e-5),
+    ]),
     ("scans_cumulative", """
 c1 = gather(cumsum(gpuArray([1 2 3 4])));
 c2 = gather(cumsum(gpuArray([1 2; 3 4]), 2));
