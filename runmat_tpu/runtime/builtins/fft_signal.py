@@ -200,12 +200,76 @@ def m_conv2(a, b, shape=None):
     return MatArray(dtypes.cast_to_class(r, out_class), out_class)
 
 
-@builtin("xcorr", category="math/signal", min_in=1, max_in=2)
-def m_xcorr(a, b=None):
+def xcorr_impl(va: np.ndarray, vb, maxlag, scale: str) -> np.ndarray:
+    """Shared xcorr/xcov core: full cross-correlation r_xy(k) =
+    sum x(n+k) conj(y(n)), sliced to -maxlag..maxlag, MATLAB scaleopt
+    ('none'|'biased'|'unbiased'|'normalized'/'coeff')."""
+    auto = vb is None
+    vb = va if vb is None else vb
+    n = max(va.size, vb.size)
+    if va.size < n:
+        va = np.concatenate([va, np.zeros(n - va.size)])
+    if vb.size < n:
+        vb = np.concatenate([vb, np.zeros(n - vb.size)])
+    r = np.correlate(va, vb, mode="full")      # lags -(n-1)..(n-1)
+    ml = int(maxlag) if maxlag is not None else n - 1
+    if ml < 0:
+        raise bad_arg("maxlag", "maxlag must be nonnegative.")
+    lags = np.arange(-ml, ml + 1)
+    if ml <= n - 1:
+        r = r[(n - 1) - ml:(n - 1) + ml + 1]
+    else:                                      # zero-pad beyond data lags
+        pad = ml - (n - 1)
+        r = np.concatenate([np.zeros(pad), r, np.zeros(pad)])
+    if scale == "biased":
+        r = r / n
+    elif scale == "unbiased":
+        r = r / np.maximum(n - np.abs(lags), 1)
+    elif scale in ("normalized", "coeff"):
+        if auto:
+            d = np.dot(va, va)
+        else:
+            d = np.sqrt(np.dot(va, va) * np.dot(vb, vb))
+        r = r / d if d > 0 else r
+    elif scale != "none":
+        raise bad_arg("scaleopt", f"Unknown option '{scale}'.")
+    return r
+
+
+def _xcorr_args(rest):
+    """Trailing (maxlag?, scaleopt?) parse shared by xcorr/xcov: a scalar
+    numeric is maxlag, text is the scale option (MATLAB order-insensitive
+    here since the types disambiguate)."""
+    maxlag, scale, sig = None, "none", None
+    for a in rest:
+        if a is None:
+            continue
+        if is_text(a):
+            scale = text_of(a).lower()
+        elif isinstance(a, MatArray) and a.size == 1:
+            maxlag = int(a.host().reshape(-1)[0])
+        elif isinstance(a, MatArray):
+            sig = a
+    return sig, maxlag, scale
+
+
+@builtin("xcorr", category="math/signal", min_in=1, max_in=4,
+         pass_nargout=True)
+def m_xcorr(a, *rest, nargout=1):
+    """Cross-/auto-correlation with MATLAB's full surface:
+    xcorr(x), xcorr(x,y), xcorr(__,maxlag), xcorr(__,scaleopt);
+    [r,lags] = xcorr(__). A scalar trailing numeric is maxlag, never a
+    second signal (ADVICE r4 #1)."""
+    sig, maxlag, scale = _xcorr_args(rest)
     va = a.host().astype(np.float64).reshape(-1)
-    vb = b.host().astype(np.float64).reshape(-1) if b is not None else va
-    r = np.correlate(va, vb, mode="full")
-    return MatArray(r.reshape(1, -1), "double")
+    vb = sig.host().astype(np.float64).reshape(-1) if sig is not None \
+        else None
+    r = xcorr_impl(va, vb, maxlag, scale)
+    ml = (r.size - 1) // 2
+    outs = [MatArray(r.reshape(1, -1), "double"),
+            MatArray(np.arange(-ml, ml + 1, dtype=np.float64).reshape(1, -1),
+                     "double")]
+    return outs[:max(1, nargout)]
 
 
 # --------------------------------------------------------------------------- #

@@ -204,7 +204,9 @@ def m_pagenorm(a, p=None):
         ordv = "fro"
     else:
         v = float(p.host().reshape(-1)[0].real)
-        ordv = np.inf if np.isinf(v) else int(v)
+        # only +Inf maps to the inf-norm; -Inf must reject (ADVICE r4 #3)
+        ordv = np.inf if np.isinf(v) and v > 0 else \
+            (int(v) if np.isfinite(v) else v)
         if ordv not in (1, 2, np.inf):
             raise bad_arg("pagenorm", "Expected a norm order of 1, 2, Inf or 'fro'.")
     from .linalg import _dev_eng

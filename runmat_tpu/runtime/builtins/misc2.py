@@ -399,8 +399,52 @@ class ScatteredInterpolantValue:
         r = LinearNDInterpolator(self.pts, self.vals)(q)
         bad = ~np.isfinite(r)
         if bad.any() and self.extrap != "none":
-            r[bad] = NearestNDInterpolator(self.pts, self.vals)(q[bad])
+            ex = (self.extrap or
+                  ("linear" if self.method == "linear" else "nearest"))
+            if ex == "linear":
+                r[bad] = self._extrap_linear(q[bad])
+            else:
+                r[bad] = NearestNDInterpolator(self.pts, self.vals)(q[bad])
         return r
+
+    def _extrap_linear(self, q: np.ndarray) -> np.ndarray:
+        """True linear extrapolation outside the convex hull (MATLAB's
+        default for method 'linear' — ADVICE r4 #5): extend the plane of
+        the boundary-adjacent simplex nearest each query. Falls back to
+        nearest-value for degenerate triangulations."""
+        from scipy.interpolate import NearestNDInterpolator
+        from scipy.spatial import Delaunay, cKDTree
+        try:
+            tri = Delaunay(self.pts)
+        except Exception:
+            return NearestNDInterpolator(self.pts, self.vals)(q)
+        # simplices incident to each vertex
+        incident: dict = {}
+        for si, simp in enumerate(tri.simplices):
+            for v in simp:
+                incident.setdefault(int(v), []).append(si)
+        centroids = self.pts[tri.simplices].mean(axis=1)
+        kd = cKDTree(self.pts)
+        _, nearest_v = kd.query(q)
+        out = np.empty(q.shape[0])
+        d = self.pts.shape[1]
+        for k in range(q.shape[0]):
+            cands = incident.get(int(nearest_v[k]), [])
+            if not cands:
+                out[k] = self.vals[nearest_v[k]]
+                continue
+            si = min(cands, key=lambda s: float(
+                np.sum((centroids[s] - q[k]) ** 2)))
+            verts = tri.simplices[si]
+            # plane through the simplex: vals ~ c0 + g . x (least squares
+            # is exact for a nondegenerate simplex)
+            A = np.column_stack([np.ones(len(verts)), self.pts[verts]])
+            try:
+                coef, *_ = np.linalg.lstsq(A, self.vals[verts], rcond=None)
+                out[k] = coef[0] + float(coef[1:1 + d] @ q[k])
+            except Exception:
+                out[k] = self.vals[nearest_v[k]]
+        return out
 
     def _mat_paren_call_(self, interp, frame, args, nargout):
         if len(args) == 1:

@@ -317,10 +317,20 @@ def m_ttest(x, *rest, nargout=1):
             hx = hx - other          # paired test
         else:
             m = float(other.reshape(-1)[0])
+    tail = "both"
     while len(rest) >= 2 and is_text(rest[0]):
         key = text_of(rest[0]).lower()
         if key == "alpha":
             alpha = scalar_num(rest[1], "Alpha")
+        elif key == "tail":
+            tail = text_of(rest[1]).lower()
+            if tail not in ("both", "right", "left"):
+                raise bad_arg("Tail",
+                              "Tail must be 'both', 'right' or 'left'.")
+        else:
+            # unknown name-value pairs must error, not silently produce a
+            # two-sided answer for a one-sided question (ADVICE r4 #2)
+            raise bad_arg("ttest", f"Unrecognized option '{key}'.")
         rest = rest[2:]
     hx = hx[~np.isnan(hx)]
     n = hx.size
@@ -330,9 +340,19 @@ def m_ttest(x, *rest, nargout=1):
     se = sd / np.sqrt(n)
     t = (float(np.mean(hx)) - m) / se
     df = n - 1
-    p = float(2 * (1 - _t_cdf(np.abs(np.array(t)), float(df))))
-    tcrit = float(_t_inv(np.array(1 - alpha / 2), float(df)))
-    ci = np.array([[np.mean(hx) - tcrit * se], [np.mean(hx) + tcrit * se]])
+    if tail == "both":
+        p = float(2 * (1 - _t_cdf(np.abs(np.array(t)), float(df))))
+        tcrit = float(_t_inv(np.array(1 - alpha / 2), float(df)))
+        ci = np.array([[np.mean(hx) - tcrit * se],
+                       [np.mean(hx) + tcrit * se]])
+    elif tail == "right":
+        p = float(1 - _t_cdf(np.array(t), float(df)))
+        tcrit = float(_t_inv(np.array(1 - alpha), float(df)))
+        ci = np.array([[np.mean(hx) - tcrit * se], [np.inf]])
+    else:                                    # left
+        p = float(_t_cdf(np.array(t), float(df)))
+        tcrit = float(_t_inv(np.array(1 - alpha), float(df)))
+        ci = np.array([[-np.inf], [np.mean(hx) + tcrit * se]])
     outs = [MatArray.logical_scalar(p < alpha), MatArray.scalar(p),
             MatArray(ci, "double"),
             StructArray.scalar({"tstat": MatArray.scalar(t),
@@ -495,19 +515,26 @@ def m_pca(x, *opts, nargout=1):
 
 # ---------------------------------------------------- xcov / autocorr ------ #
 
-@builtin("xcov", category="stats", min_in=1, max_in=3, pass_ctx=True,
-         pass_nargout=True)
-def m_xcov(x, *rest, ctx=None, nargout=1):
-    """Cross-covariance: xcorr of the demeaned inputs (same option surface)."""
-    args = [x] + list(rest)
-    demeaned = []
-    for a in args:
-        if isinstance(a, MatArray) and not is_text(a):
-            h = _f(a)
-            demeaned.append(MatArray(h - np.mean(h), "double"))
-        else:
-            demeaned.append(a)
-    return ctx.interp.call_named("xcorr", demeaned, max(1, nargout), ctx.frame)
+@builtin("xcov", category="stats", min_in=1, max_in=4, pass_nargout=True)
+def m_xcov(x, *rest, nargout=1):
+    """Cross-covariance: xcorr of the demeaned inputs, full MATLAB surface
+    xcov(x), xcov(x,y), xcov(__,maxlag), xcov(__,scaleopt). A scalar
+    trailing numeric is MAXLAG, never a second signal (ADVICE r4 #1:
+    demeaning a scalar maxlag to 0 silently zeroed every output)."""
+    from .fft_signal import _xcorr_args, xcorr_impl
+    sig, maxlag, scale = _xcorr_args(rest)
+    va = fortran_ravel(_f(x))
+    va = va - va.mean()
+    vb = None
+    if sig is not None:
+        vb = fortran_ravel(_f(sig))
+        vb = vb - vb.mean()
+    r = xcorr_impl(va, vb, maxlag, scale)
+    ml = (r.size - 1) // 2
+    outs = [MatArray(r.reshape(1, -1), "double"),
+            MatArray(np.arange(-ml, ml + 1, dtype=np.float64).reshape(1, -1),
+                     "double")]
+    return outs[:max(1, nargout)]
 
 
 @builtin("autocorr", category="stats", min_in=1, max_in=2, pass_nargout=True)

@@ -354,11 +354,18 @@ def _pack_dict_values(vals: list):
     return CellArray(data)
 
 
-def _pack_dict_keys(ks: list):
+def _pack_dict_keys(ks: list, ktype=None):
     if ks and isinstance(ks[0], str):
         return StringArray(np.array([[k] for k in ks], dtype=object))
-    return MatArray(np.array([[float(k)] for k in ks])
-                    if ks else np.zeros((0, 1)), "double")
+    # numeric keys keep the dictionary's configured key type (ADVICE r4 #4)
+    mclass = ktype if ktype in ("double", "single", "int8", "int16", "int32",
+                                "int64", "uint8", "uint16", "uint32",
+                                "uint64", "logical") else "double"
+    from ... import dtypes
+    dt = dtypes.np_dtype(mclass)
+    arr = np.array([[k] for k in ks], dtype=np.float64) if ks \
+        else np.zeros((0, 1))
+    return MatArray(arr.astype(dt), mclass)
 
 
 @builtin("configureDictionary", category="table", min_in=2, max_in=2)
@@ -417,8 +424,9 @@ def m_dict_entries(d, fmt=None):
     if form == "cell":
         data = np.empty((len(ks), 2), dtype=object)
         for i, (kk, vv) in enumerate(zip(ks, vs)):
-            data[i, 0] = (MatArray.char_from_str(kk) if isinstance(kk, str)
-                          else MatArray.scalar(kk))
+            # string keys stay strings in the cell form (ADVICE r4 #4)
+            data[i, 0] = (StringArray.scalar(kk) if isinstance(kk, str)
+                          else _pack_dict_keys([kk], d.ktype))
             data[i, 1] = vv
         return CellArray(data)
     if form == "struct":
@@ -430,7 +438,7 @@ def m_dict_entries(d, fmt=None):
             vcol[i, 0] = vv
         return StructArray({"Key": kcol, "Value": vcol}, (len(ks), 1))
     return MatTable(["Key", "Value"],
-                    [_pack_dict_keys(ks), _pack_dict_values(vs)])
+                    [_pack_dict_keys(ks, d.ktype), _pack_dict_values(vs)])
 
 
 @builtin("numEntries", category="table", min_in=1, max_in=1)
