@@ -101,6 +101,11 @@ class DenseOps:
         if x.on_device:
             arr = eng.materialize(x.dev)
             lshape = tuple(x.dev.shape)
+            if getattr(x.dev, "cplx", False):
+                # split-plane node on a native-complex platform: combine
+                # (platforms WITHOUT native complex gate these ops off in
+                # supported() before _mat is ever reached)
+                arr = arr[0] + 1j * arr[1]
         else:
             h = x.host()
             if x.mclass in ("logical", "char") or h.dtype.kind in "iu":
@@ -114,6 +119,22 @@ class DenseOps:
         if arr.dtype != dt:
             arr = arr.astype(dt)
         return arr
+
+    def _leaf_cplx(self, planes, mclass: str, lshape: tuple) -> MatArray:
+        """Wrap a (2,)+shape plane stack as a complex device leaf: a
+        split-plane node on planes platforms; combined to the native
+        complex dtype on platforms that support it (cplx nodes must never
+        mix into native-complex op builders)."""
+        eng = self.eng
+        if eng.supports_complex:
+            cdt = np.complex64 if planes.dtype == np.float32 \
+                else np.complex128
+            arr = (planes[0] + 1j * planes[1]).astype(cdt)
+            return self._leaf(arr, mclass, lshape=lshape)
+        node = LazyNode(eng, "leaf", [], (), tuple(lshape),
+                        np.dtype(planes.dtype), value=planes, cplx=True)
+        node.dispatch_id = eng.dispatch_seq
+        return MatArray.from_device(node, mclass)
 
     def _leaf(self, arr, mclass: str, lshape=None) -> MatArray:
         from .engine import phys_shape
@@ -337,6 +358,26 @@ def _b_eig_qr(eng, opts):
         flags = jnp.stack([jnp.where(ok, 1.0, 0.0),
                            jnp.where(jnp.any(wi != 0.0), 1.0, 0.0)])
         return wr.reshape(-1, 1), wi.reshape(-1, 1), flags
+    return f
+
+
+def _b_eig_full(eng, opts):
+    """[V, D] = eig(A) fully on device (VERDICT r4 #3): Hessenberg with
+    accumulated Q, Francis QR with Schur vectors Z, quasi-triangular
+    eigenvector back-substitution (dtrevc analog), V = D_bal Q Z Y —
+    one jitted program, split re/im planes throughout (≙ decomposition
+    hooks, runmat-accelerate-api/src/lib.rs:2422-2530). Returns
+    (Vplanes (2,n,n), Dplanes (2,n,n), flags[converged, has_complex])."""
+    jnp = eng.jnp
+    from . import eig_qr as EQ
+
+    def f(a):
+        Vr, Vi, wr, wi, ok = EQ.eig_full(jnp, a.astype(jnp.float64))
+        flags = jnp.stack([jnp.where(ok, 1.0, 0.0),
+                           jnp.where(jnp.any(wi != 0.0), 1.0, 0.0)])
+        V = jnp.stack([Vr, Vi])
+        D = jnp.stack([jnp.diag(wr), jnp.diag(wi)])
+        return V, D, flags
     return f
 
 
@@ -1049,6 +1090,7 @@ _BUILDERS = {
     "eigh": _b_eigh,
     "eig": _b_eig,
     "eig_qr": _b_eig_qr,
+    "eig_full": _b_eig_full,
     "lu": _b_lu,
     "pagemtimes": _b_pagemtimes,
     "pageinv": _b_pageinv,

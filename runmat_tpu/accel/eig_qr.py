@@ -35,6 +35,16 @@ import numpy as np
 _EPS = float(np.finfo(np.float64).eps)
 
 
+def _dot(jnp, a, b):
+    """Matmul at lax.Precision.HIGHEST: XLA's DEFAULT contraction precision
+    on the TPU's emulated f64 loses ~10 decimal digits, which destroys the
+    orthogonality of the accumulated QR transforms (measured: Z orth 9e-4,
+    eigenvalues off by O(1) at n=64 with default precision; 1e-13 with
+    HIGHEST)."""
+    from jax import lax
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+
+
 def hessenberg(jnp, A):
     """Reduce square real A to upper Hessenberg via Householder
     similarities (masked full-width updates; fori_loop over columns)."""
@@ -47,8 +57,13 @@ def hessenberg(jnp, A):
         m = idx > k                       # tail strictly below the diagonal
         m2 = idx > k + 1                  # entries the reflector must zero
         xt = jnp.where(m, x, 0.0)
+        # scale by the max magnitude first: the f64 emulation's f32
+        # exponent range underflows sum-of-squares for tiny column tails
+        mx = jnp.max(jnp.abs(xt))
+        mxs = jnp.where(mx == 0, 1.0, mx)
+        xt = xt / mxs
         nrm = jnp.sqrt(jnp.sum(xt * xt))
-        x1 = x[k + 1]
+        x1 = xt[k + 1]
         alpha = -jnp.sign(jnp.where(x1 == 0, 1.0, x1)) * nrm
         v = xt - alpha * (idx == k + 1)
         vn2 = jnp.sum(v * v)
@@ -56,8 +71,8 @@ def hessenberg(jnp, A):
         safe = vn2 > 0
         v = jnp.where(safe, v / jnp.sqrt(jnp.where(safe, vn2, 1.0)), 0.0)
         # H <- (I - 2vv')H(I - 2vv')
-        H = H - 2.0 * jnp.outer(v, v @ H)
-        H = H - 2.0 * jnp.outer(H @ v, v)
+        H = H - 2.0 * jnp.outer(v, _dot(jnp, v, H))
+        H = H - 2.0 * jnp.outer(_dot(jnp, H, v), v)
         # exact zeros below the first subdiagonal of column k
         H = jnp.where((m2[:, None]) & (idx[None, :] == k), 0.0, H)
         return H
@@ -68,20 +83,77 @@ def hessenberg(jnp, A):
 def _house3(jnp, x, y, z, use3):
     """Symmetric 3x3 Householder P with P @ [x,y,z] = [r,0,0]. When use3
     is False, z is forced to 0 so u2 == 0 and the third row/col of P is
-    exactly identity (a 2-element reflector embedded in 3x3)."""
+    exactly identity (a 2-element reflector embedded in 3x3).
+
+    (x, y, z) is pre-scaled by its max magnitude (dlahqr's column scaling)
+    and u is normalized to UNIT length before the outer product. This is
+    not cosmetic: the TPU's f64 emulation carries only the f32 EXPONENT
+    range, so with tiny bulge entries (|x| ~ 1e-20 near convergence) the
+    cross terms of u u' underflow to zero while 2/||u||^2 stays huge —
+    producing reflectors non-orthogonal at the 1e-3 level (measured: Z
+    orthogonality 9.4e-4 after ~40 sweeps; 1e-13 with unit-u)."""
     z = jnp.where(use3, z, 0.0)
+    m = jnp.maximum(jnp.maximum(jnp.abs(x), jnp.abs(y)), jnp.abs(z))
+    ms = jnp.where(m == 0, 1.0, m)
+    x, y, z = x / ms, y / ms, z / ms
     nrm = jnp.sqrt(x * x + y * y + z * z)
     alpha = -jnp.sign(jnp.where(x == 0, 1.0, x)) * nrm
     u = jnp.stack([x - alpha, y, z])
     un2 = jnp.sum(u * u)
-    safe = un2 > 0
-    s = jnp.where(safe, 2.0 / jnp.where(safe, un2, 1.0), 0.0)
-    return jnp.eye(3, dtype=x.dtype) - s * jnp.outer(u, u)
+    safe = (un2 > 0) & (m > 0)
+    v = jnp.where(safe, u / jnp.sqrt(jnp.where(safe, un2, 1.0)), 0.0)
+    return jnp.eye(3, dtype=x.dtype) - 2.0 * jnp.outer(v, v)
+
+
+def hessenberg_q(jnp, A):
+    """Hessenberg reduction WITH the accumulated orthogonal Q:
+    A = Q H Q'. Same masked reflectors as `hessenberg`; Q is built by
+    right-applying each reflector (Q <- Q (I - 2vv'))."""
+    from jax import lax
+    n = A.shape[0]
+    idx = jnp.arange(n)
+
+    def step(k, st):
+        H, Q = st
+        x = H[:, k]
+        m = idx > k
+        m2 = idx > k + 1
+        xt = jnp.where(m, x, 0.0)
+        # scale by the max magnitude first: the f64 emulation's f32
+        # exponent range underflows sum-of-squares for tiny column tails
+        mx = jnp.max(jnp.abs(xt))
+        mxs = jnp.where(mx == 0, 1.0, mx)
+        xt = xt / mxs
+        nrm = jnp.sqrt(jnp.sum(xt * xt))
+        x1 = xt[k + 1]
+        alpha = -jnp.sign(jnp.where(x1 == 0, 1.0, x1)) * nrm
+        v = xt - alpha * (idx == k + 1)
+        vn2 = jnp.sum(v * v)
+        safe = vn2 > 0
+        v = jnp.where(safe, v / jnp.sqrt(jnp.where(safe, vn2, 1.0)), 0.0)
+        H = H - 2.0 * jnp.outer(v, _dot(jnp, v, H))
+        H = H - 2.0 * jnp.outer(_dot(jnp, H, v), v)
+        H = jnp.where((m2[:, None]) & (idx[None, :] == k), 0.0, H)
+        Q = Q - 2.0 * jnp.outer(_dot(jnp, Q, v), v)
+        return (H, Q)
+
+    Q0 = jnp.eye(n, dtype=A.dtype)
+    return lax.fori_loop(0, max(n - 2, 0), step, (A, Q0))
 
 
 def francis_qr(jnp, H, n: int, max_iters: int):
     """Implicit double-shift QR with deflation on an (n+3)x(n+3) padded
     Hessenberg matrix (top-left n x n is the data). Returns (H, ok)."""
+    H, _, ok = francis_qr_z(jnp, H, n, max_iters, with_z=False)
+    return H, ok
+
+
+def francis_qr_z(jnp, H, n: int, max_iters: int, with_z: bool = True):
+    """Francis QR, optionally accumulating the Schur vectors Z of the
+    iteration (H_in = Z T Z' with T the returned quasi-triangular matrix).
+    Z is padded like H; its top-left n x n block is the data. Reference:
+    provider decomposition hooks, runmat-accelerate-api/src/lib.rs:2422-2530
+    (dhseqr's Z accumulation)."""
     from jax import lax
     N = H.shape[0]                        # n + 3
     idx = jnp.arange(N)
@@ -105,37 +177,40 @@ def francis_qr(jnp, H, n: int, max_iters: int):
         s = jnp.abs(H[i, i - 1])
         return (s <= 8.0 * _EPS * a) | (s <= floor)
 
-    def chase(H, lo, hi, x, y, z):
+    def chase(H, Z, lo, hi, x, y, z):
         """One bulge-chasing sweep: positions lo..hi-2 are 3-element
         reflectors on rows k..k+2; position hi-1 is the final 2-element
         rotation on rows hi-1, hi (third row/col of P exactly identity,
         so the row below hi — deflated data or padding — is untouched)."""
         def pos(k, st):
-            H, x, y, z = st
+            H, Z, x, y, z = st
             use3 = k + 2 <= hi
             P = _house3(jnp, x, y, z, use3)
             k0 = jnp.zeros((), k.dtype)
             R = lax.dynamic_slice(H, (k, k0), (3, N))
-            H = lax.dynamic_update_slice(H, P @ R, (k, k0))
+            H = lax.dynamic_update_slice(H, _dot(jnp, P, R), (k, k0))
             C = lax.dynamic_slice(H, (k0, k), (N, 3))
-            H = lax.dynamic_update_slice(H, C @ P, (k0, k))
+            H = lax.dynamic_update_slice(H, _dot(jnp, C, P), (k0, k))
+            if with_z:                    # Schur vectors: Z <- Z P~
+                ZC = lax.dynamic_slice(Z, (k0, k), (N, 3))
+                Z = lax.dynamic_update_slice(Z, _dot(jnp, ZC, P), (k0, k))
             # after position k the bulge sits in column k, rows k+1..k+3;
             # the next reflector zeroes H[k+2, k], H[k+3, k] into H[k+1, k]
             nx = H[k + 1, k]
             ny = H[k + 2, k]
             nz = jnp.where(k + 3 <= hi, H[k + 3, k], 0.0)
-            return (H, nx, ny, nz)
+            return (H, Z, nx, ny, nz)
 
-        H, _, _, _ = lax.fori_loop(lo, hi, pos, (H, x, y, z))
+        H, Z, _, _, _ = lax.fori_loop(lo, hi, pos, (H, Z, x, y, z))
         # restore exact Hessenberg zeros below the first subdiagonal in the
         # active window (bulge remnants are O(eps) but must not linger)
         r = idx[:, None]
         c = idx[None, :]
         act = (r >= lo) & (r <= hi) & (c >= lo) & (c <= hi)
-        return jnp.where(act & (r > c + 1), 0.0, H)
+        return jnp.where(act & (r > c + 1), 0.0, H), Z
 
     def body(st):
-        H, hi, stall, it = st
+        H, Z, hi, stall, it = st
         # fresh block start: largest i <= hi whose subdiagonal is
         # NEGLIGIBLE (dlahqr's "m" scan — starting the bulge above a
         # negligible subdiagonal washes out the shift information, which
@@ -169,7 +244,8 @@ def francis_qr(jnp, H, n: int, max_iters: int):
                            jnp.where(b == 1, hi - 2,
                                      jnp.where(b == 2, lo - 1, hi)))
 
-        def sweep(H):
+        def sweep(st2):
+            H, Z = st2
             # shifts from the trailing 2x2 (exceptional every 10 stalls)
             t11 = H[hi - 1, hi - 1]
             t12 = H[hi - 1, hi]
@@ -189,22 +265,23 @@ def francis_qr(jnp, H, n: int, max_iters: int):
             x = h11 * h11 + h12 * h21 - s * h11 + p
             y = h21 * (h11 + h22 - s)
             z = h32 * h21
-            return chase(H, lo, hi, x, y, z)
+            return chase(H, Z, lo, hi, x, y, z)
 
-        H = lax.cond(b == 3, sweep, lambda H: H, H)
+        H, Z = lax.cond(b == 3, sweep, lambda st2: st2, (H, Z))
         stall = jnp.where(b == 3, stall + 1, jnp.zeros((), stall.dtype))
-        return (H, new_hi, stall, it + 1)
+        return (H, Z, new_hi, stall, it + 1)
 
     def cond(st):
-        _, hi, _, it = st
+        _, _, hi, _, it = st
         return (hi >= 1) & (it < max_iters)
 
     hi0 = jnp.asarray(n - 1, jnp.int32)
-    H, hi, stall, it = lax.while_loop(
+    Z0 = jnp.eye(N, dtype=H.dtype)
+    H, Z, hi, stall, it = lax.while_loop(
         cond, body,
-        (H, hi0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
+        (H, Z0, hi0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
     ok = hi < 1
-    return H, ok
+    return H, Z, ok
 
 
 def balance(jnp, A, iters: int = 8):
@@ -222,10 +299,220 @@ def balance(jnp, A, iters: int = 8):
         c = jnp.sum(jnp.abs(A), axis=0) - d       # off-diag col norms
         ok = (r > 0) & (c > 0)
         e = jnp.round(0.5 * jnp.log2(jnp.where(ok, r / c, 1.0)))
-        f = jnp.exp2(jnp.clip(e, -512.0, 512.0))  # power of 2: exact scale
+        f = jnp.exp2(jnp.clip(e, -60.0, 60.0))   # exact scale; +-60 keeps
+        # every f-ratio inside the f32 exponent range the TPU f64
+        # emulation actually carries
         return A * (f[None, :] / f[:, None])
 
     return lax.fori_loop(0, iters, step, A)
+
+
+def balance_d(jnp, A, iters: int = 8):
+    """`balance` variant returning (A', d) with A' = D^-1 A D, D=diag(d) —
+    the scale is needed to map Schur vectors back: V = D V'."""
+    from jax import lax
+    n = A.shape[0]
+
+    def step(_, st):
+        A, dtot = st
+        d = jnp.abs(jnp.diagonal(A))
+        r = jnp.sum(jnp.abs(A), axis=1) - d
+        c = jnp.sum(jnp.abs(A), axis=0) - d
+        ok = (r > 0) & (c > 0)
+        e = jnp.round(0.5 * jnp.log2(jnp.where(ok, r / c, 1.0)))
+        f = jnp.exp2(jnp.clip(e, -60.0, 60.0))
+        return A * (f[None, :] / f[:, None]), dtot * f
+
+    return lax.fori_loop(0, iters, step,
+                         (A, jnp.ones((n,), A.dtype)))
+
+
+def _quasi_eigs(jnp, T, n: int):
+    """(wr, wi, is2, prev2) read off an n x n quasi-triangular block."""
+    d = jnp.diagonal(T)[:n]
+    sup = jnp.diagonal(T, 1)[:n]
+    if sup.shape[0] < n:                 # unpadded n x n input
+        sup = jnp.concatenate(
+            [sup, jnp.zeros((n - sup.shape[0],), T.dtype)])
+    sub = jnp.diagonal(T, -1)[:n - 1] if n > 1 else jnp.zeros((0,), T.dtype)
+    sub = jnp.concatenate([sub, jnp.zeros((1,), T.dtype)])
+    is2 = sub != 0.0
+    a = d
+    b = sup
+    c = sub
+    dd = jnp.concatenate([d[1:], jnp.zeros((1,), T.dtype)])
+    mean = 0.5 * (a + dd)
+    disc = (0.5 * (a - dd)) ** 2 + b * c
+    rt = jnp.sqrt(jnp.abs(disc))
+    real_pair = disc >= 0
+    wr1 = jnp.where(real_pair, mean + rt, mean)
+    wr2 = jnp.where(real_pair, mean - rt, mean)
+    wi1 = jnp.where(real_pair, 0.0, rt)
+    wi2 = jnp.where(real_pair, 0.0, -rt)
+    prev2 = jnp.concatenate([jnp.zeros((1,), bool), is2[:-1]])
+    wr = jnp.where(is2, wr1, jnp.where(prev2, 0.0, d))
+    wi = jnp.where(is2, wi1, 0.0)
+    wr = jnp.where(prev2, jnp.concatenate(
+        [jnp.zeros((1,), T.dtype), wr2[:-1]]), wr)
+    wi = jnp.where(prev2, jnp.concatenate(
+        [jnp.zeros((1,), T.dtype), wi2[:-1]]), wi)
+    return wr, wi, is2, prev2
+
+
+def trevc(jnp, T, wr, wi, is2, prev2):
+    """Right eigenvectors of a real quasi-triangular T (dtrevc analog),
+    vectorized across all n eigen-columns in split re/im planes. Column j
+    is seeded at its (1x1 or 2x2) diagonal block and back-substituted
+    upward; rows that form a 2x2 block of T are solved jointly by Cramer.
+    Returns (Yr, Yi): T Y = Y diag(w) with unit-normalized columns."""
+    from jax import lax
+    n = T.shape[0]
+    idx = jnp.arange(n)
+    tnorm = jnp.sqrt(jnp.sum(T * T))
+    smin = jnp.maximum(_EPS * tnorm, 1e-300)
+    jstart = jnp.where(prev2, idx - 1, idx)       # seed-block top per column
+
+    # seeds: 1x1 -> e_j; 2x2 block [a b; c d] at (p, p+1), eigenvalue
+    # lam = wr +/- i wi: v = [b, lam - a] (or [lam - d, c] when b == 0)
+    d0 = jnp.diagonal(T)
+    sup = jnp.concatenate([jnp.diagonal(T, 1), jnp.zeros((1,), T.dtype)]) \
+        if n > 1 else jnp.zeros((1,), T.dtype)
+    sub = jnp.concatenate([jnp.diagonal(T, -1), jnp.zeros((1,), T.dtype)]) \
+        if n > 1 else jnp.zeros((1,), T.dtype)
+    a_p = d0[jstart]
+    b_p = sup[jstart]
+    c_p = sub[jstart]
+    d_p = d0[jnp.minimum(jstart + 1, n - 1)]
+    # two algebraically-equivalent seed forms; pick per column by NORM —
+    # [b, lam-a] cancels catastrophically when lam ~ a (nearly-deflatable
+    # real blocks on symmetric inputs showed 1e-5-level residuals with a
+    # |b|>=|c| rule)
+    n_b = jnp.sqrt(b_p * b_p + (wr - a_p) ** 2 + wi * wi)
+    n_c = jnp.sqrt(c_p * c_p + (wr - d_p) ** 2 + wi * wi)
+    use_b = n_b >= n_c
+    top_r = jnp.where(use_b, b_p, wr - d_p)
+    top_i = jnp.where(use_b, 0.0, wi)
+    bot_r = jnp.where(use_b, wr - a_p, c_p)
+    bot_i = jnp.where(use_b, wi, 0.0)
+    # unit-normalize the seed: a nearly-deflatable real 2x2 block gives a
+    # seed of norm ~b^2/gap, and normalizing only at the END would amplify
+    # back-substitution noise by its reciprocal (seen as 1e-5-level
+    # residuals on symmetric inputs)
+    snrm = jnp.sqrt(top_r * top_r + top_i * top_i
+                    + bot_r * bot_r + bot_i * bot_i)
+    snrm = jnp.maximum(snrm, 1e-300)
+    top_r, top_i = top_r / snrm, top_i / snrm
+    bot_r, bot_i = bot_r / snrm, bot_i / snrm
+    pair = is2 | prev2
+    rows = idx[:, None]
+    # seeds: single column j -> e_j; pair column j -> its block's 2-vector
+    # at rows (jstart, jstart+1). prev2 columns carry the conjugate
+    # eigenvalue in (wr, wi), so the same formulas give the conjugate seed.
+    seed_top = (rows == jstart[None, :]) & pair[None, :]
+    seed_bot = (rows == jstart[None, :] + 1) & pair[None, :]
+    single = (rows == idx[None, :]) & ~pair[None, :]
+    Yr = jnp.where(single, 1.0, 0.0)
+    Yr = jnp.where(seed_top, top_r[None, :], Yr)
+    Yr = jnp.where(seed_bot, bot_r[None, :], Yr)
+    Yi = jnp.where(seed_top, top_i[None, :], jnp.zeros_like(Yr))
+    Yi = jnp.where(seed_bot, bot_i[None, :], Yi)
+
+    def row_step(t, st):
+        Yr, Yi = st
+        i = n - 1 - t
+        # rhs for rows i and i+1 (complex): -(T[i,:] @ Y); unfilled rows of
+        # Y are zero, so the full matvec picks exactly the settled terms
+        r1r = -_dot(jnp, T[i, :], Yr)
+        r1i = -_dot(jnp, T[i, :], Yi)
+        ip1 = jnp.minimum(i + 1, n - 1)
+        r2r = -_dot(jnp, T[ip1, :], Yr)
+        r2i = -_dot(jnp, T[ip1, :], Yi)
+        # remove the in-block coupling terms the joint solve accounts for
+        # (Y rows i, i+1 are still zero here, so nothing to remove)
+        lam_r, lam_i = wr, wi
+        # --- 1x1 row solve: y = r1 / (T[i,i] - lam). A vanishing
+        # denominator (repeated eigenvalue) is REPLACED by smin (dtrevc's
+        # rule) — flooring only |den|^2 would zero the quotient instead of
+        # blowing it up toward the earlier eigenvector direction
+        den_r = T[i, i] - lam_r
+        den_i = -lam_i
+        dsmall = jnp.hypot(den_r, den_i) < smin
+        den_r = jnp.where(dsmall, smin, den_r)
+        den_i = jnp.where(dsmall, 0.0, den_i)
+        dd = den_r * den_r + den_i * den_i
+        y1r = (r1r * den_r + r1i * den_i) / dd
+        y1i = (r1i * den_r - r1r * den_i) / dd
+        # --- 2x2 joint solve (rows i, i+1 of a T block), Cramer in planes
+        aa = T[i, i]
+        bb = T[i, ip1]
+        cc = T[ip1, i]
+        ddg = T[ip1, ip1]
+        m11r, m11i = aa - lam_r, -lam_i
+        m22r, m22i = ddg - lam_r, -lam_i
+        detr = m11r * m22r - m11i * m22i - bb * cc
+        deti = m11r * m22i + m11i * m22r
+        det_small = jnp.hypot(detr, deti) < smin * smin
+        detr = jnp.where(det_small, smin * smin, detr)
+        deti = jnp.where(det_small, 0.0, deti)
+        dmag = detr * detr + deti * deti
+        # y_top = (r1 * m22 - bb * r2) / det
+        n1r = r1r * m22r - r1i * m22i - bb * r2r
+        n1i = r1r * m22i + r1i * m22r - bb * r2i
+        # y_bot = (m11 * r2 - cc * r1) / det
+        n2r = m11r * r2r - m11i * r2i - cc * r1r
+        n2i = m11r * r2i + m11i * r2r - cc * r1i
+        y2tr = (n1r * detr + n1i * deti) / dmag
+        y2ti = (n1i * detr - n1r * deti) / dmag
+        y2br = (n2r * detr + n2i * deti) / dmag
+        y2bi = (n2i * detr - n2r * deti) / dmag
+        blk = is2[i]                       # row i tops a 2x2 block of T
+        upd1 = (i < jstart) & ~blk & ~prev2[i]
+        upd2 = (i + 1 < jstart) & blk
+        rowi = idx == i
+        rowi1 = idx == ip1
+        Yr = jnp.where(rowi[:, None] & upd1[None, :], y1r[None, :], Yr)
+        Yi = jnp.where(rowi[:, None] & upd1[None, :], y1i[None, :], Yi)
+        Yr = jnp.where(rowi[:, None] & upd2[None, :], y2tr[None, :], Yr)
+        Yi = jnp.where(rowi[:, None] & upd2[None, :], y2ti[None, :], Yi)
+        Yr = jnp.where(rowi1[:, None] & upd2[None, :], y2br[None, :], Yr)
+        Yi = jnp.where(rowi1[:, None] & upd2[None, :], y2bi[None, :], Yi)
+        return (Yr, Yi)
+
+    Yr, Yi = lax.fori_loop(0, n, row_step, (Yr, Yi))
+    return Yr, Yi
+
+
+def eig_full(jnp, A):
+    """[V, D] = eig(A) on device: balance -> Hessenberg(Q) -> Francis
+    QR(Z) -> quasi-triangular eigenvectors -> V = D_bal Q Z Y, columns
+    unit-normalized. Returns (Vr, Vi, wr, wi, ok) — split planes, no
+    complex dtype anywhere (≙ provider eig hook, accelerate-api
+    lib.rs:2422-2530)."""
+    n = A.shape[0]
+    one = jnp.ones((), bool)
+    if n == 0:
+        z = jnp.zeros((0,), jnp.float64)
+        zz = jnp.zeros((0, 0), jnp.float64)
+        return zz, zz, z, z, one
+    if n == 1:
+        o = jnp.ones((1, 1), jnp.float64)
+        return o, o * 0.0, A.reshape(-1).astype(jnp.float64), \
+            jnp.zeros((1,), jnp.float64), one
+    Ab, dbal = balance_d(jnp, A.astype(jnp.float64))
+    Hh, Q = hessenberg_q(jnp, Ab)
+    Hp = jnp.zeros((n + 3, n + 3), jnp.float64)
+    Hp = Hp.at[:n, :n].set(Hh)
+    Hp, Zp, ok = francis_qr_z(jnp, Hp, n, max_iters=40 * n + 100)
+    T = Hp[:n, :n]
+    Z = Zp[:n, :n]
+    wr, wi, is2, prev2 = _quasi_eigs(jnp, T, n)
+    Yr, Yi = trevc(jnp, T, wr, wi, is2, prev2)
+    QZ = _dot(jnp, Q, Z)
+    Vr = dbal[:, None] * _dot(jnp, QZ, Yr)
+    Vi = dbal[:, None] * _dot(jnp, QZ, Yi)
+    nrm = jnp.sqrt(jnp.sum(Vr * Vr + Vi * Vi, axis=0))
+    nrm = jnp.where(nrm == 0, 1.0, nrm)
+    return Vr / nrm, Vi / nrm, wr, wi, ok
 
 
 def eig_values(jnp, A):

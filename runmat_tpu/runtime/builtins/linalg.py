@@ -341,6 +341,26 @@ def m_eig(x, b=None, nargout=1):
                     return _out(w.reshape(-1, 1), x)
                 eng.note_fallback(
                     "eig", "QR iteration hit the safeguard; host LAPACK")
+        if nargout == 2 and not x.is_complex:
+            # [V, D] = eig(A) as ONE device program (VERDICT r4 #3):
+            # Schur vectors accumulated through Hessenberg + Francis QR,
+            # quasi-triangular eigenvectors by back-substitution. Only the
+            # 2-element flags vector crosses the link; V and D stay
+            # device-resident (split-plane complex when the spectrum is)
+            out = eng.dense.call("eig_full", [x])
+            if out is not None:
+                Vp, Dp, flags = out
+                fl = np.asarray(flags).reshape(-1)
+                if fl[0] >= 0.5:
+                    n = int(x.shape[0])
+                    V = eng.dense._leaf_cplx(Vp, "double", (n, n))
+                    D = eng.dense._leaf_cplx(Dp, "double", (n, n))
+                    if fl[1] < 0.5:          # real spectrum: drop planes
+                        V = eng.unary("real", V, "double")
+                        D = eng.unary("real", D, "double")
+                    return [V, D]
+                eng.note_fallback(
+                    "eig", "QR iteration hit the safeguard; host LAPACK")
     a = _sq(x, "eig")
     if b is not None:
         bb = _sq(b, "eig")
