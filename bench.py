@@ -283,16 +283,25 @@ def run_roofline(sess) -> dict:
             dev_ms = max(ms - ctl, 1e-3)
             return Km64 * 2.0 * (Nm64 ** 3) / (dev_ms / 1e3) / 1e12
 
+        # DEFAULT policy first: the Ozaki auto-rule routes large f64 GEMMs
+        # to the compensated int8 path out of the box (VERDICT r4 #4) —
+        # this is the number a MATLAB double workload actually gets
         tf64 = measure_mm64()
         out["matmul_tflops_f64"] = round(tf64, 2)
-        log(f"  f64 matmul[native emulation]: {tf64:.2f} TFLOP/s")
+        log(f"  f64 matmul[default policy, auto-ozaki >= "
+            f"{eng.ozaki_auto_mindim}]: {tf64:.2f} TFLOP/s")
         prev_policy = eng.matmul_precision
         try:
+            eng.matmul_precision = "native"
+            tf64n = measure_mm64()
+            out["matmul_tflops_f64_native"] = round(tf64n, 2)
+            log(f"  f64 matmul[native opt-out]: {tf64n:.2f} TFLOP/s "
+                f"(default is {tf64 / max(tf64n, 1e-9):.1f}x native "
+                f"emulation)")
             eng.matmul_precision = "ozaki"
             tf64o = measure_mm64()
             out["matmul_tflops_f64_ozaki"] = round(tf64o, 2)
-            log(f"  f64 matmul[ozaki opt-in]: {tf64o:.2f} TFLOP/s "
-                f"({tf64o / max(tf64, 1e-9):.1f}x native emulation)")
+            log(f"  f64 matmul[ozaki explicit]: {tf64o:.2f} TFLOP/s")
             # on-chip accuracy gate for the compensated path (vs host f64)
             import numpy as _np
             sess.run_source(

@@ -357,12 +357,54 @@ def _accel_calibrate(rest: list) -> int:
             break
     if crossover is None:
         crossover = 1 << 26
+
+    # f64 GEMM: native-emulation vs Ozaki compensated crossover (auto-policy
+    # threshold, VERDICT r4 #4). K GEMMs chained in one program so the
+    # tunnel round trip amortizes; the smallest dim where ozaki wins by
+    # >= 10% becomes ozaki_auto_mindim.
+    oz_min = 256
+    if eng.platform == "tpu":
+        from .accel import ozaki as _oz
+        from jax import lax
+
+        def gemm_time(n: int, use_oz: bool) -> float:
+            rng = np.random.default_rng(0)
+            A = jax.device_put(rng.standard_normal((n, n)), eng.device)
+            B = jax.device_put(rng.standard_normal((n, n)) * (1.0 / n),
+                               eng.device)
+
+            def f(a, b):
+                def body(c, _):
+                    r = _oz.gemm_f64(jnp, c, b) if use_oz else \
+                        jnp.matmul(c, b, precision=jax.lax.Precision.HIGHEST)
+                    return r * (1.0 / 16.0), None
+                c, _ = lax.scan(body, a, None, length=8)
+                return c
+            g = jax.jit(f)
+            jax.block_until_ready(g(A, B))
+            t0 = time.perf_counter()
+            jax.block_until_ready(g(A, B))
+            return time.perf_counter() - t0
+
+        oz_min = None
+        for n in (128, 256, 512, 1024):
+            tn, to = gemm_time(n, False), gemm_time(n, True)
+            print(f"  f64 gemm n={n:>5}: native {tn * 1e3:8.2f} ms   "
+                  f"ozaki {to * 1e3:8.2f} ms")
+            if to < 0.9 * tn:
+                oz_min = n
+                break
+        if oz_min is None:
+            oz_min = 2048
+
     path = os.path.expanduser("~/.runmat_tpu/calibration.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump({"platform": eng.platform,
-                   "offload_threshold": int(crossover)}, f)
-    print(f"calibrated offload threshold: {crossover} (saved to {path})")
+                   "offload_threshold": int(crossover),
+                   "ozaki_auto_mindim": int(oz_min)}, f)
+    print(f"calibrated offload threshold: {crossover}, "
+          f"ozaki auto min-dim: {oz_min} (saved to {path})")
     return 0
 
 

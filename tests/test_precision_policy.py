@@ -203,3 +203,57 @@ def test_ozaki_policy_engine_path():
         assert err < 1e-10, err
     finally:
         set_engine(prev)
+
+
+def test_ozaki_auto_policy_stamping():
+    """VERDICT r4 #4: under the default 'highest' policy, large real-f64
+    GEMMs on TPU stamp the compensated 'ozaki' policy at graph-build time;
+    small GEMMs, f32, complex-dtype work, and the 'native' opt-out keep
+    their lowering. (Pure policy-rule test: platform faked to 'tpu'.)"""
+    import numpy as np
+    eng = active_engine() or init_engine(platform="cpu")
+    assert eng is not None
+    real_platform = eng.platform
+    try:
+        eng.platform = "tpu"
+        f64 = np.dtype(np.float64)
+        big = (512, 512)
+        small = (64, 64)
+        assert eng._mm_policy(f64, big, big, False) == "ozaki"
+        assert eng._mm_policy(f64, small, small, False) == "highest"
+        assert eng._mm_policy(np.dtype(np.float32), big, big,
+                              False) == "highest"
+        # inner dim past the int32-exactness bound: no auto
+        assert eng._mm_policy(f64, (512, 100000), (100000, 512),
+                              False) == "highest"
+        eng.matmul_precision = "native"
+        assert eng._mm_policy(f64, big, big, False) == "native"
+        eng.matmul_precision = "bf16"
+        assert eng._mm_policy(f64, big, big, False) == "bf16"
+    finally:
+        eng.platform = real_platform
+        eng.matmul_precision = "highest"
+
+
+def test_ozaki_auto_gemm_parity_cpu_forced():
+    """Force the auto path on CPU (platform faked) and pin end-to-end
+    parity of a default-policy f64 GEMM against numpy."""
+    import numpy as np
+    from runmat_tpu.values import MatArray
+    s = Session(accelerate=True)
+    eng = active_engine()
+    real_platform = eng.platform
+    try:
+        eng.platform = "tpu"
+        rng = np.random.default_rng(8)
+        A = rng.standard_normal((300, 300))
+        B = rng.standard_normal((300, 300))
+        s.set("A", MatArray(A, "double"))
+        s.set("B", MatArray(B, "double"))
+        r = s.execute("C = gather(gpuArray(A) * gpuArray(B));")
+        assert r.error is None, r.error
+        C = np.asarray(s.get("C").host())
+        ref = A @ B
+        assert np.max(np.abs(C - ref)) / np.max(np.abs(ref)) < 1e-10
+    finally:
+        eng.platform = real_platform
