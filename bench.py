@@ -354,50 +354,49 @@ def run_roofline(sess) -> dict:
 
 
 def _hist_roofline(eng, hbm_peak: float) -> dict:
-    """On-chip rate + parity for the Pallas streaming histogram
-    (ops/pallas/histogram.py). K chained applications inside one jit so the
-    ~30 ms tunnel round trip amortizes; the edges are perturbed by
-    `min(carry) * 0` each iteration — float-NaN semantics stop XLA from
-    folding it to zero, so the loop-invariant kernel call cannot be hoisted
-    (each iteration genuinely re-reads x: traffic = K * 4N bytes)."""
+    """On-chip rate + parity for the Pallas two-level MXU histogram
+    (ops/pallas/histogram.py histcounts_pallas_affine — the kernel the
+    engine gates in for linspace-over-a-binary-range edges). K chained
+    applications inside one jit so the ~30 ms tunnel round trip amortizes;
+    each iteration perturbs the kernel's SMEM bias scalar by a denormal
+    derived from the iteration index, so XLA cannot fold it and hoist the
+    loop-invariant call -- and unlike perturbing x, no extra HBM pass is
+    introduced (traffic = K * 4N bytes exactly)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from runmat_tpu.ops.pallas.histogram import histcounts_pallas
+    from runmat_tpu.ops.pallas.histogram import histcounts_pallas_affine
 
     N = int(os.environ.get("BENCH_HIST_N", 50_000_000))
     B = int(os.environ.get("BENCH_HIST_B", 64))
     K = int(os.environ.get("BENCH_HIST_K", 64))
     log(f"  pallas histogram roofline: N={N}, B={B}, K={K}")
-    fn = histcounts_pallas(N, B)
+    fn = histcounts_pallas_affine(N, B, 6, 0)    # edges k/64, k=0..B
 
     @jax.jit
-    def many(x, e):
-        def body(c, _):
-            # f64 carry: exact to 2^53 total counts (an f32 carry silently
-            # saturates at 2^24 = 16.7M, reachable at default N*K); the
-            # min(c)*0.0 perturbation keeps float-NaN semantics so XLA
-            # cannot fold it away and hoist the loop-invariant kernel call
-            e2 = e + (jnp.min(c) * 0.0).astype(e.dtype)
-            return c + fn(x, e2).astype(jnp.float64), None
-        c0 = jnp.zeros((B,), jnp.float64)
-        outc, _ = lax.scan(body, c0, None, length=K)
+    def many(x):
+        def body(c, i):
+            # i * 1e-44 is a nonzero denormal-range bias (flushes inside
+            # the kernel's exact subtraction, so counts are unchanged)
+            # that XLA cannot constant-fold, preventing hoisting
+            return c + fn(x, bias=i * 1e-44).astype(jnp.int64), None
+        c0 = jnp.zeros((B,), jnp.int64)
+        outc, _ = lax.scan(body, c0, jnp.arange(K, dtype=jnp.float32))
         return outc
 
     rng = np.random.default_rng(7)
     xh = rng.random(N, dtype=np.float32)
     edges = np.linspace(0.0, 1.0, B + 1, dtype=np.float32)
     x = jax.device_put(xh, eng.devices[0])
-    e = jax.device_put(edges, eng.devices[0])
-    counts = np.asarray(many(x, e))        # compile + parity gather
-    ref = np.histogram(xh, bins=edges.astype(np.float64))[0].astype(np.float64)
-    ok = bool(np.array_equal(counts, ref * K))
+    counts = np.asarray(many(x))            # compile + parity gather
+    ref = np.histogram(xh, bins=edges.astype(np.float64))[0]
+    ok = bool(np.array_equal(counts, ref.astype(np.int64) * K))
     times = []
     for _ in range(max(REPS, 5)):
         t0 = time.perf_counter()
-        outc = many(x, e)
-        float(outc[0])                     # probe-gather: real sync
+        outc = many(x)
+        int(outc[0])                         # probe-gather: real sync
         times.append((time.perf_counter() - t0) * 1000.0)
     med = statistics.median(times)
     gbps = K * 4.0 * N / 1e9 / (med / 1e3)

@@ -954,6 +954,7 @@ def _b_histcounts(eng, opts):
     (N, B) hit matrix — O(N*B) traffic — while the Pallas kernel streams x
     once through VMEM and accumulates counts across the sequential grid."""
     jnp = eng.jnp
+    affine = opts[0] if opts else None
 
     def f(x, edges):
         n = 1
@@ -964,6 +965,12 @@ def _b_histcounts(eng, opts):
         if eng.platform == "tpu" and x.dtype == jnp.float32 and \
                 n_bins >= 1 and n * n_bins >= (1 << 22) and \
                 n_bins <= MAX_BINS:
+            if affine is not None:
+                # exact-affine pow2 edges: two-level one-hot/MXU kernel
+                from ..ops.pallas.histogram import histcounts_pallas_affine
+                fa = histcounts_pallas_affine(n, n_bins, affine[0],
+                                              affine[1])
+                return fa(x.reshape(-1)).astype(x.dtype)
             from ..ops.pallas.histogram import histcounts_pallas
             fn = histcounts_pallas(n, n_bins)
             return fn(x.reshape(-1), edges.reshape(-1)).astype(x.dtype)

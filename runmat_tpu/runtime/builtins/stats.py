@@ -130,8 +130,22 @@ def m_histcounts(x, bins=None, *opts, nargout=1):
             from ...accel import active_engine
             eng = active_engine()
             if eng is not None and eng.route_linalg(x):
+                # exact-affine power-of-two edges (linspace over a binary
+                # range) unlock the two-level MXU kernel — detected host-
+                # side and stamped into the op's static opts. Only valid
+                # when the f64 edges are exactly f32-representable (the
+                # kernel compares in f32; single x promotes losslessly).
+                affine = None
+                if not bins.on_device and x.mclass == "single":
+                    e64 = _f(bins).reshape(-1)
+                    if np.array_equal(e64, e64.astype(np.float32)):
+                        from ...ops.pallas.histogram import \
+                            affine_edge_params
+                        affine = affine_edge_params(
+                            e64.astype(np.float32))
                 # explicit edges: bin count is static -> one device kernel
-                out = eng.linalg("histcounts", [x, bins])
+                out = eng.linalg("histcounts", [x, bins],
+                                 (affine,) if affine else ())
                 if out is not None:
                     c = out[0]
                     if c.shape[0] > 1:

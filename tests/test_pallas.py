@@ -90,3 +90,46 @@ def test_histogram_pallas_grid_accumulation():
     fn = histcounts_pallas(n, 2, interpret=True)
     got = np.asarray(fn(x, edges))
     assert got.tolist() == [2000.0, 3000.0]
+
+
+def test_affine_edge_params_detection():
+    from runmat_tpu.ops.pallas.histogram import affine_edge_params
+    import numpy as np
+    # linspace over a binary range: detected with exact (k, m)
+    assert affine_edge_params(np.linspace(0, 1, 65,
+                                          dtype=np.float32)) == (6, 0)
+    assert affine_edge_params(((np.arange(17) - 4) * 2.0)
+                              .astype(np.float32)) == (-1, -4)
+    # non-pow2 width / non-integer offset / non-uniform: rejected
+    assert affine_edge_params(np.linspace(0, 1, 11,
+                                          dtype=np.float32)) is None
+    assert affine_edge_params(np.array([0.3, 0.8, 1.3],
+                                       np.float32)) is None
+    assert affine_edge_params(np.array([0, 1, 3], np.float32)) is None
+
+
+def test_histogram_affine_matlab_semantics():
+    """Two-level one-hot/MXU kernel (interpret mode): exact MATLAB
+    semantics — last bin right-closed, NaN/out-of-range drop — on affine
+    pow2 edges, including boundary hits and multi-grid accumulation."""
+    from runmat_tpu.ops.pallas.histogram import (affine_edge_params,
+                                                 histcounts_pallas_affine)
+    import numpy as np
+    rng = np.random.default_rng(3)
+    for nb, k, m in [(64, 6, 0), (16, -1, -4), (100, 3, 8)]:
+        edges = ((m + np.arange(nb + 1)) * 2.0 ** -k).astype(np.float32)
+        assert affine_edge_params(edges) == (k, m)
+        n = 4000
+        span = float(edges[-1] - edges[0])
+        x = (rng.random(n, dtype=np.float32) * span * 1.2
+             + edges[0] - 0.1 * span).astype(np.float32)
+        x[::500] = np.nan
+        x[5] = edges[0]
+        x[6] = edges[-1]                       # right-closed last bin
+        x[7] = edges[nb // 2]                  # interior boundary hit
+        fn = histcounts_pallas_affine(n, nb, k, m, interpret=True,
+                                      blk_e=256)
+        got = np.asarray(fn(x))
+        ref = np.histogram(x[~np.isnan(x)],
+                           bins=edges.astype(np.float64))[0]
+        assert np.array_equal(got, ref), (nb, k, m)
