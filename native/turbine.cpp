@@ -38,6 +38,12 @@ enum Op : int32_t {
     OP_STOREIDX = 27,     // a = array id       pop idx, pop value; arr[idx] = value
     OP_LOADIDX2 = 28,     // a = array id       pop j, pop i (1-based), push arr[i,j]
     OP_STOREIDX2 = 29,    // a = array id       pop j, pop i, pop value; arr[i,j] = v
+    // subroutines (round 5: true calls replace bounded inlining, so deep
+    // helper chains and RECURSION stay native — the reference Turbine
+    // compiles general call bytecode, runmat-turbine/src/value_abi.rs):
+    OP_ENTER = 30,        // a = frame size      declare current frame width
+    OP_CALL = 31,         // a = target pc       push (ret, bp, fs); bp += fs
+    OP_RETN = 32,         // return              pop (ret, bp, fs)
 };
 
 enum Fn1 : int32_t {
@@ -101,7 +107,7 @@ static double call2(int32_t f, double a, double b) {
 // returns: 0 ok, 1 stack error, 2 step budget exceeded, 3 bad opcode,
 //          4 bad subscript (non-integer or out of bounds -> host fallback
 //          re-runs the loop through the interpreter for the real MATLAB
-//          error/growth semantics)
+//          error/growth semantics), 5 frame overflow (call depth / slots)
 // dirty[i] is set to 1 iff slot i was actually written by an executed STORE —
 // the host only materializes dirty slots back into workspace variables, so a
 // STORE inside a never-taken branch cannot conjure a variable into existence.
@@ -111,11 +117,20 @@ int32_t turbine_run(const int32_t* ops, const double* opargs, int32_t n_instr,
                     const double* consts, double* slots, uint8_t* dirty,
                     double** arrays, const int64_t* arr_lens,
                     const int64_t* arr_rows, uint8_t* arr_dirty,
-                    int32_t n_arrays, int64_t max_steps) {
+                    int32_t n_arrays, int64_t max_steps,
+                    int64_t slots_cap) {
     double stack[256];
     int sp = 0;
     int64_t steps = 0;
     int32_t pc = 0;
+    // subroutine frames: LOAD/STORE are bp-relative (frame 0 => absolute)
+    int64_t bp = 0;
+    int32_t cur_fs = 0;
+    const int kMaxFrames = 256;
+    int32_t ret_pc[kMaxFrames];
+    int64_t ret_bp[kMaxFrames];
+    int32_t ret_fs[kMaxFrames];
+    int rsp = 0;
     while (pc < n_instr) {
         if (++steps > max_steps) return 2;
         int32_t op = ops[pc];
@@ -123,8 +138,8 @@ int32_t turbine_run(const int32_t* ops, const double* opargs, int32_t n_instr,
         pc++;
         switch (op) {
             case OP_CONST: stack[sp++] = consts[a]; break;
-            case OP_LOAD: stack[sp++] = slots[a]; break;
-            case OP_STORE: slots[a] = stack[--sp]; dirty[a] = 1; break;
+            case OP_LOAD: stack[sp++] = slots[bp + a]; break;
+            case OP_STORE: slots[bp + a] = stack[--sp]; dirty[bp + a] = 1; break;
             case OP_ADD: sp--; stack[sp - 1] += stack[sp]; break;
             case OP_SUB: sp--; stack[sp - 1] -= stack[sp]; break;
             case OP_MUL: sp--; stack[sp - 1] *= stack[sp]; break;
@@ -190,6 +205,26 @@ int32_t turbine_run(const int32_t* ops, const double* opargs, int32_t n_instr,
                 arr_dirty[a] = 1;
                 break;
             }
+            case OP_ENTER:
+                cur_fs = a;
+                if (bp + a > slots_cap) return 5;
+                break;
+            case OP_CALL:
+                if (rsp >= kMaxFrames) return 5;
+                ret_pc[rsp] = pc;        // pc already advanced: return addr
+                ret_bp[rsp] = bp;
+                ret_fs[rsp] = cur_fs;
+                rsp++;
+                bp += cur_fs;
+                pc = a;                  // target starts with OP_ENTER
+                break;
+            case OP_RETN:
+                if (rsp <= 0) return 3;
+                rsp--;
+                pc = ret_pc[rsp];
+                bp = ret_bp[rsp];
+                cur_fs = ret_fs[rsp];
+                break;
             default: return 3;
         }
         if (sp < 0 || sp > 250) return 1;

