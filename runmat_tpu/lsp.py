@@ -16,11 +16,104 @@ from typing import Any, Optional
 from .errors import MatError
 
 
+def _uri_to_path(uri: str) -> str:
+    if uri.startswith("file://"):
+        from urllib.parse import unquote, urlparse
+        return unquote(urlparse(uri).path)
+    return uri
+
+
+def _path_to_uri(path: str) -> str:
+    import pathlib
+    return pathlib.Path(path).resolve().as_uri()
+
+
+class WorkspaceIndex:
+    """Workspace-wide symbol index (VERDICT r4 #8; ≙ runmat-lsp's
+    workspace/analysis tier, runmat-lsp/src/core/{workspace,analysis}.rs).
+
+    Walks the workspace root for .m files — including `+pkg` package
+    directories, whose functions index under their QUALIFIED name through
+    the same search-path convention the runtime resolver uses
+    (runtime/packages.py) — and records every function/class definition
+    with its location and parameter list. Open-document edits re-index
+    just that file, so navigation stays live without a full rescan."""
+
+    def __init__(self):
+        self.defs: dict[str, dict] = {}      # name -> def record
+        self.sources: dict[str, str] = {}    # uri -> text (disk snapshot)
+        self.by_uri: dict[str, list[str]] = {}
+
+    def build(self, root_uri: str) -> None:
+        import os
+        root = _uri_to_path(root_uri)
+        if not os.path.isdir(root):
+            return
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+            for fn in filenames:
+                if fn.endswith(".m"):
+                    p = os.path.join(dirpath, fn)
+                    try:
+                        with open(p, encoding="utf-8",
+                                  errors="replace") as f:
+                            text = f.read()
+                    except OSError:
+                        continue
+                    self.update(_path_to_uri(p), text, path=p, root=root)
+
+    def _pkg_prefix(self, path: str, root: str) -> str:
+        """'+pkg/+sub/f.m' -> 'pkg.sub.' (package-qualified names)."""
+        import os
+        parts = []
+        d = os.path.dirname(os.path.relpath(path, root))
+        for comp in d.split(os.sep):
+            if comp.startswith("+"):
+                parts.append(comp[1:])
+        return ".".join(parts) + "." if parts else ""
+
+    def update(self, uri: str, text: str, path: str = None,
+               root: str = None) -> None:
+        for name in self.by_uri.pop(uri, ()):
+            if self.defs.get(name, {}).get("uri") == uri:
+                del self.defs[name]
+        self.sources[uri] = text
+        prefix = self._pkg_prefix(path, root) if path and root else ""
+        names = []
+        try:
+            from .frontend.parser import parse
+            prog = parse(text, uri)
+        except MatError:
+            self.by_uri[uri] = names
+            return
+        for name, fd in prog.functions.items():
+            q = prefix + name
+            self.defs[q] = {"uri": uri, "line": fd.line, "kind": 12,
+                            "name": q,
+                            "params": list(getattr(fd, "params", []) or []),
+                            "outs": list(getattr(fd, "outs", []) or [])}
+            names.append(q)
+        for name, cd in prog.classes.items():
+            q = prefix + name
+            self.defs[q] = {"uri": uri, "line": cd.line, "kind": 5,
+                            "name": q, "params": [], "outs": []}
+            names.append(q)
+        self.by_uri[uri] = names
+
+    def lookup(self, name: str):
+        return self.defs.get(name)
+
+    def query(self, q: str) -> list:
+        ql = (q or "").lower()
+        return [d for n, d in sorted(self.defs.items()) if ql in n.lower()]
+
+
 class Server:
     def __init__(self, stdin=None, stdout=None):
         self.stdin = stdin or sys.stdin.buffer
         self.stdout = stdout or sys.stdout.buffer
         self.docs: dict[str, str] = {}
+        self.workspace = WorkspaceIndex()
         self.running = True
 
     # -- wire ------------------------------------------------------------------
@@ -66,16 +159,25 @@ class Server:
         method = msg.get("method", "")
         params = msg.get("params", {}) or {}
         if method == "initialize":
+            root = params.get("rootUri") or params.get("rootPath")
+            folders = params.get("workspaceFolders") or []
+            if not root and folders:
+                root = folders[0].get("uri")
+            if root:
+                self.workspace.build(root)
             self._reply(msg, {
                 "capabilities": {
                     "textDocumentSync": 1,     # full
                     "completionProvider": {"triggerCharacters": ["."]},
                     "hoverProvider": True,
                     "documentSymbolProvider": True,
+                    "workspaceSymbolProvider": True,
                     "definitionProvider": True,
                     "referencesProvider": True,
                     "documentFormattingProvider": True,
                     "renameProvider": True,
+                    "signatureHelpProvider": {
+                        "triggerCharacters": ["(", ","]},
                     "semanticTokensProvider": {
                         "legend": {"tokenTypes": SEMANTIC_TOKEN_TYPES,
                                    "tokenModifiers": []},
@@ -93,12 +195,14 @@ class Server:
         elif method == "textDocument/didOpen":
             doc = params["textDocument"]
             self.docs[doc["uri"]] = doc["text"]
+            self.workspace.update(doc["uri"], doc["text"])
             self._publish_diagnostics(doc["uri"])
         elif method == "textDocument/didChange":
             uri = params["textDocument"]["uri"]
             changes = params.get("contentChanges", [])
             if changes:
                 self.docs[uri] = changes[-1]["text"]
+                self.workspace.update(uri, changes[-1]["text"])
             self._publish_diagnostics(uri)
         elif method == "textDocument/didClose":
             self.docs.pop(params["textDocument"]["uri"], None)
@@ -118,6 +222,10 @@ class Server:
             self._reply(msg, self._formatting(params))
         elif method == "textDocument/rename":
             self._reply(msg, self._rename(params))
+        elif method == "textDocument/signatureHelp":
+            self._reply(msg, self._signature_help(params))
+        elif method == "workspace/symbol":
+            self._reply(msg, self._workspace_symbols(params))
         elif "id" in msg:
             self._reply(msg, None)
 
@@ -204,7 +312,7 @@ class Server:
     def _definition(self, params: dict):
         uri = params["textDocument"]["uri"]
         pos = params["position"]
-        src = self.docs.get(uri, "")
+        src = self.docs.get(uri, self.workspace.sources.get(uri, ""))
         word = _word_at(src, pos["line"], pos["character"])
         if not word:
             return None
@@ -220,6 +328,13 @@ class Server:
                 return {"uri": uri, "range": _line_range(cd.line)}
         except MatError:
             pass
+        # cross-file: workspace index through the search-path convention,
+        # both plain and package-qualified (pkg.fun at the cursor)
+        qual = _qualified_word_at(src, pos["line"], pos["character"])
+        for cand in (qual, word):
+            d = self.workspace.lookup(cand) if cand else None
+            if d is not None:
+                return {"uri": d["uri"], "range": _line_range(d["line"])}
         # variable: first assignment occurrence (name = / name( / [.. name ..] =)
         occ = self._ident_occurrences(src, word)
         lines = src.splitlines()
@@ -230,27 +345,114 @@ class Server:
                 return {"uri": uri, "range": r}
         return ({"uri": uri, "range": occ[0]}) if occ else None
 
+    def _all_sources(self, uri: str):
+        """Every known document: open docs (live text wins) + the
+        workspace's disk snapshots."""
+        seen = dict(self.workspace.sources)
+        seen.update(self.docs)
+        if uri not in seen:
+            seen[uri] = ""
+        return seen
+
     def _references(self, params: dict) -> list:
         uri = params["textDocument"]["uri"]
         pos = params["position"]
-        src = self.docs.get(uri, "")
+        src = self.docs.get(uri, self.workspace.sources.get(uri, ""))
         word = _word_at(src, pos["line"], pos["character"])
         if not word:
             return []
-        return [{"uri": uri, "range": r}
-                for r in self._ident_occurrences(src, word)]
+        out = []
+        # workspace-wide when the name is a known cross-file symbol or a
+        # function; plain local identifiers stay document-scoped
+        cross = self.workspace.lookup(word) is not None
+        for u, text in sorted(self._all_sources(uri).items()):
+            if u != uri and not cross:
+                continue
+            for r in self._ident_occurrences(text, word):
+                out.append({"uri": u, "range": r})
+        return out
 
     def _rename(self, params: dict):
         uri = params["textDocument"]["uri"]
         pos = params["position"]
         new = params.get("newName", "")
-        src = self.docs.get(uri, "")
+        src = self.docs.get(uri, self.workspace.sources.get(uri, ""))
         word = _word_at(src, pos["line"], pos["character"])
         if not word or not re.fullmatch(r"[A-Za-z_]\w*", new or ""):
             return None
-        edits = [{"range": r, "newText": new}
-                 for r in self._ident_occurrences(src, word)]
-        return {"changes": {uri: edits}} if edits else None
+        cross = self.workspace.lookup(word) is not None
+        changes: dict = {}
+        for u, text in self._all_sources(uri).items():
+            if u != uri and not cross:
+                continue
+            edits = [{"range": r, "newText": new}
+                     for r in self._ident_occurrences(text, word)]
+            if edits:
+                changes[u] = edits
+        return {"changes": changes} if changes else None
+
+    def _workspace_symbols(self, params: dict) -> list:
+        q = params.get("query", "")
+        return [{"name": d["name"], "kind": d["kind"],
+                 "location": {"uri": d["uri"],
+                              "range": _line_range(d["line"])}}
+                for d in self.workspace.query(q)][:200]
+
+    def _signature_help(self, params: dict):
+        """Active call signature from builtin descriptors (name + arity
+        from the registry) or the workspace index's parameter lists."""
+        uri = params["textDocument"]["uri"]
+        pos = params["position"]
+        src = self.docs.get(uri, self.workspace.sources.get(uri, ""))
+        lines = src.splitlines()
+        if pos["line"] >= len(lines):
+            return None
+        line = lines[pos["line"]][:pos["character"]]
+        # innermost unclosed call: scan left tracking paren depth
+        depth = 0
+        active = 0
+        name = None
+        for i in range(len(line) - 1, -1, -1):
+            ch = line[i]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    m = re.search(r"([A-Za-z_]\w*(?:\.\w+)*)\s*$", line[:i])
+                    if m:
+                        name = m.group(1)
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                active += 1
+        if not name:
+            return None
+        d = self.workspace.lookup(name)
+        if d is not None and d["params"]:
+            label = f"{name}({', '.join(d['params'])})"
+            pars = [{"label": p} for p in d["params"]]
+            doc = ""
+        else:
+            from .runtime import registry
+            registry.ensure_loaded()
+            b = registry.lookup(name)
+            if b is None:
+                return None
+            lo = getattr(b, "min_in", 0) or 0
+            hi = getattr(b, "max_in", lo)
+            if hi is None:
+                args = [f"arg{i + 1}" for i in range(max(lo, 1))] + ["..."]
+            else:
+                args = [f"arg{i + 1}" for i in range(max(hi, lo))]
+                for i in range(lo, len(args)):
+                    args[i] = f"[{args[i]}]"
+            label = f"{name}({', '.join(args)})"
+            pars = [{"label": a} for a in args]
+            doc = b.summary or ""
+        return {"signatures": [{"label": label, "documentation": doc,
+                                "parameters": pars}],
+                "activeSignature": 0,
+                "activeParameter": min(active, max(len(pars) - 1, 0))}
 
     # -- semantic tokens -------------------------------------------------------
 
@@ -479,6 +681,18 @@ def _word_at(src: str, line: int, ch: int) -> str:
     except IndexError:
         return ""
     for m in re.finditer(r"[A-Za-z_]\w*", text):
+        if m.start() <= ch <= m.end():
+            return m.group(0)
+    return ""
+
+
+def _qualified_word_at(src: str, line: int, ch: int) -> str:
+    """Dotted name covering the position (pkg.sub.fun for package calls)."""
+    try:
+        text = src.splitlines()[line]
+    except IndexError:
+        return ""
+    for m in re.finditer(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*", text):
         if m.start() <= ch <= m.end():
             return m.group(0)
     return ""

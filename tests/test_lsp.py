@@ -164,3 +164,111 @@ def test_rename():
     edits = res[1]["changes"][URI]
     assert len(edits) == 3
     assert all(e["newText"] == "xyz" for e in edits)
+
+
+def _proj(tmp_path):
+    """Two-file project + a +pkg package function (VERDICT r4 #8)."""
+    (tmp_path / "solver.m").write_text(
+        "function out = solver(a, b)\n"
+        "  out = helper_norm(a) + b;\n"
+        "end\n"
+        "function y = helper_norm(x)\n"
+        "  y = abs(x);\n"
+        "end\n")
+    (tmp_path / "driver.m").write_text(
+        "v = solver(3, 4);\n"
+        "w = solver(v, 1) + util.scale(v);\n")
+    pkg = tmp_path / "+util"
+    pkg.mkdir()
+    (pkg / "scale.m").write_text(
+        "function y = scale(x)\n  y = 2 * x;\nend\n")
+    import pathlib
+    return pathlib.Path(tmp_path).as_uri()
+
+
+def _init(root_uri):
+    return {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+            "params": {"rootUri": root_uri}}
+
+
+def _uri(tmp_path, name):
+    import pathlib
+    return (pathlib.Path(tmp_path) / name).resolve().as_uri()
+
+
+def test_workspace_cross_file_definition(tmp_path):
+    root = _proj(tmp_path)
+    driver_uri = _uri(tmp_path, "driver.m")
+    out = lsp_session([
+        _init(root),
+        {"jsonrpc": "2.0", "id": 2, "method": "textDocument/definition",
+         "params": {"textDocument": {"uri": driver_uri},
+                    "position": {"line": 0, "character": 6}}},   # solver
+        {"jsonrpc": "2.0", "id": 3, "method": "textDocument/definition",
+         "params": {"textDocument": {"uri": driver_uri},
+                    "position": {"line": 1, "character": 26}}},  # util.scale
+    ])
+    d2 = [m for m in out if m.get("id") == 2][0]["result"]
+    assert d2["uri"].endswith("solver.m")
+    d3 = [m for m in out if m.get("id") == 3][0]["result"]
+    assert d3["uri"].endswith("scale.m")
+
+
+def test_workspace_cross_file_references_and_rename(tmp_path):
+    root = _proj(tmp_path)
+    solver_uri = _uri(tmp_path, "solver.m")
+    out = lsp_session([
+        _init(root),
+        {"jsonrpc": "2.0", "id": 2, "method": "textDocument/references",
+         "params": {"textDocument": {"uri": solver_uri},
+                    "position": {"line": 0, "character": 16}}},  # solver
+        {"jsonrpc": "2.0", "id": 3, "method": "textDocument/rename",
+         "params": {"textDocument": {"uri": solver_uri},
+                    "position": {"line": 0, "character": 16},
+                    "newName": "solve2"}},
+    ])
+    refs = [m for m in out if m.get("id") == 2][0]["result"]
+    uris = {r["uri"] for r in refs}
+    assert any(u.endswith("solver.m") for u in uris)
+    assert any(u.endswith("driver.m") for u in uris)
+    assert len([r for r in refs if r["uri"].endswith("driver.m")]) == 2
+    ren = [m for m in out if m.get("id") == 3][0]["result"]["changes"]
+    assert sum(len(v) for v in ren.values()) >= 3
+    assert any(u.endswith("driver.m") for u in ren)
+
+
+def test_workspace_symbols_and_package_index(tmp_path):
+    root = _proj(tmp_path)
+    out = lsp_session([
+        _init(root),
+        {"jsonrpc": "2.0", "id": 2, "method": "workspace/symbol",
+         "params": {"query": "sol"}},
+        {"jsonrpc": "2.0", "id": 3, "method": "workspace/symbol",
+         "params": {"query": "util."}},
+    ])
+    syms = [m for m in out if m.get("id") == 2][0]["result"]
+    assert any(s["name"] == "solver" for s in syms)
+    psyms = [m for m in out if m.get("id") == 3][0]["result"]
+    assert any(s["name"] == "util.scale" for s in psyms)
+
+
+def test_signature_help_builtin_and_user(tmp_path):
+    root = _proj(tmp_path)
+    out = lsp_session([
+        _init(root),
+        _open("y = solver(1, "),
+        {"jsonrpc": "2.0", "id": 2, "method": "textDocument/signatureHelp",
+         "params": {"textDocument": {"uri": URI},
+                    "position": {"line": 0, "character": 15}}},
+        {"jsonrpc": "2.0", "id": 4, "method": "textDocument/didChange",
+         "params": {"textDocument": {"uri": URI},
+                    "contentChanges": [{"text": "z = atan2(1, "}]}},
+        {"jsonrpc": "2.0", "id": 5, "method": "textDocument/signatureHelp",
+         "params": {"textDocument": {"uri": URI},
+                    "position": {"line": 0, "character": 13}}},
+    ])
+    sh = [m for m in out if m.get("id") == 2][0]["result"]
+    assert sh["signatures"][0]["label"] == "solver(a, b)"
+    assert sh["activeParameter"] == 1
+    sh2 = [m for m in out if m.get("id") == 5][0]["result"]
+    assert sh2["signatures"][0]["label"].startswith("atan2(")
