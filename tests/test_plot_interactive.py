@@ -190,3 +190,58 @@ def test_tiledlayout_flow_grows_grid():
     f = figmod.current_figure()
     assert len(f.axes) == 3
     handle_request(s, {"id": 2, "op": "execute", "source": "close all"})
+
+
+def test_run_show_serves_orbitable_figure(tmp_path):
+    """`runmat-tpu run demo.m --show` (VERDICT r4 #9): serves the session's
+    figures over HTTP with the WebGL client; the scene is orbitable via the
+    view op and delivers typed geometry."""
+    import re
+    import subprocess
+    import sys
+    import urllib.request
+
+    script = tmp_path / "demo.m"
+    script.write_text("[X, Y] = meshgrid(-1:0.5:1);\n"
+                      "surf(X, Y, X.*Y);\n")
+    port = 8731
+    env = dict(__import__("os").environ)
+    env["RUNMAT_TPU_PLATFORM"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "runmat_tpu.cli", "run", str(script),
+         "--show", "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env)
+    try:
+        line = ""
+        for _ in range(200):
+            line = proc.stdout.readline()
+            if "serving figures" in line:
+                break
+        m = re.search(r"token=([A-Za-z0-9_-]+)", line)
+        assert m, line
+        token = m.group(1)
+
+        def api(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api",
+                data=json.dumps(payload).encode(),
+                headers={"X-Runmat-Token": token,
+                         "Content-Type": "application/json"})
+            for attempt in range(50):
+                try:
+                    with urllib.request.urlopen(req, timeout=5) as r:
+                        return json.loads(r.read())
+                except OSError:
+                    time.sleep(0.2)
+            raise AssertionError("server never came up")
+
+        figs = api({"id": 1, "op": "figures"})
+        assert figs["ok"] and figs["figures"]
+        scene = api({"id": 2, "op": "figure_webgl", "fig": 1})
+        assert scene["ok"] and scene["scene"]["axes"]
+        orb = api({"id": 3, "op": "view", "fig": 1, "az": 45, "el": 30})
+        assert orb["ok"] and orb["az"] == 45.0
+    finally:
+        proc.kill()
+        proc.wait(timeout=30)
