@@ -151,6 +151,39 @@ zs = gather(fft(gpuArray(single([1 2 3 4]))));
         ("fm", np.abs(np.fft.fft([1 + 1j, 2 - 1j, 0])), 1e-12),
         ("zs", [10, -2 + 2j, -2, -2 - 2j], 1e-5),
     ]),
+    ("eig_vd_device", """
+A = gpuArray([4 1 0; 1 3 1; 2 1 5]);
+[V, D] = eig(A);
+r1 = gather(norm(A*V - V*D) / norm(A));
+B = gpuArray([0 -2; 1 0]);
+[Vb, Db] = eig(B);
+r2 = gather(norm(B*Vb - Vb*Db));
+di = sort(gather(imag(diag(Db))));
+wv = sort(real(gather(eig(A))));
+""", [
+        ("r1", [0], 1e-10),                  # residual, not a spectrum pin
+        ("r2", [0], 1e-10),
+        ("di", np.sort([-np.sqrt(2), np.sqrt(2)]), 1e-10),
+        ("wv", np.sort(np.linalg.eigvals(
+            np.array([[4, 1, 0], [1, 3, 1], [2, 1, 5]], float)).real),
+         1e-9),
+    ]),
+    ("complex_gemm_device", """
+Ar = [1 2; 3 4]; Ai = [0 1; -1 2];
+Br = [2 0; 1 1]; Bi = [1 -1; 0 2];
+Z = gpuArray(Ar + 1i*Ai) * gpuArray(Br + 1i*Bi);
+zz = gather(Z);
+zs = gather(sum(Z(:)));
+""", [
+        # expectations compare against the F-order ravel of the gather
+        ("zz", ((np.array([[1, 2], [3, 4]]) + 1j * np.array([[0, 1], [-1, 2]]))
+                @ (np.array([[2, 0], [1, 1]])
+                   + 1j * np.array([[1, -1], [0, 2]]))).ravel(order="F"),
+         1e-12),
+        ("zs", [((np.array([[1, 2], [3, 4]]) + 1j * np.array([[0, 1], [-1, 2]]))
+                 @ (np.array([[2, 0], [1, 1]])
+                    + 1j * np.array([[1, -1], [0, 2]]))).sum()], 1e-12),
+    ]),
     ("scans_cumulative", """
 c1 = gather(cumsum(gpuArray([1 2 3 4])));
 c2 = gather(cumsum(gpuArray([1 2; 3 4]), 2));
