@@ -345,7 +345,12 @@ def m_kron(a, b):
         if out is not None:
             return out
     out_class = dtypes.combine_classes(a.mclass, b.mclass)
-    r = np.kron(a.host().astype(np.float64), b.host().astype(np.float64))
+    # complex operands keep their imaginary parts (an f64 cast silently
+    # discarded them)
+    dt = np.complex128 if (a.is_complex or b.is_complex) else np.float64
+    r = np.kron(a.host().astype(dt), b.host().astype(dt))
+    if np.iscomplexobj(r):
+        return MatArray(r, out_class)
     return MatArray(dtypes.cast_to_class(r, out_class), out_class)
 
 
