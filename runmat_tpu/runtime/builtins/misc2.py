@@ -325,6 +325,10 @@ def m_gridded_interpolant(*args):
                                        method)
     vals = _f(args[-1])
     grid_args = args[:-1]
+    if len(grid_args) == 1 and isinstance(grid_args[0], CellArray):
+        # MATLAB grid-vector cell form: F = griddedInterpolant({x1,...,xn}, V)
+        grid_args = [e for e in
+                     grid_args[0].data.reshape(-1, order="F")]
     grids = [fortran_ravel(_f(g)) for g in grid_args]
     if len(grids) == 1:
         return GriddedInterpolantValue(grids, fortran_ravel(vals), method)
