@@ -304,6 +304,22 @@ def m_clear_cache(m):
     return None
 
 
+@builtin("stats", category="introspection", min_in=1, max_in=1)
+def m_memoize_stats(m):
+    """stats(f): cache statistics for a MemoizedFunction (function form of
+    the method; ≙ runmat-runtime introspection/memoize.rs:328 stats)."""
+    if not isinstance(m, MemoizedFunction):
+        from ...errors import MatError
+        raise MatError("MATLAB:invalidType",
+                       "stats: expected a MemoizedFunction object.")
+    return StructArray.scalar({
+        "Cache": StructArray.scalar({
+            "HitCount": MatArray.scalar(float(m.hits)),
+            "MissCount": MatArray.scalar(float(m.misses)),
+            "CurrentSize": MatArray.scalar(float(len(m.cache))),
+        })})
+
+
 # ------------------------------------------------------- metaclass queries --- #
 
 @builtin("metaclass", category="introspection", min_in=1, max_in=1, pass_ctx=True)
