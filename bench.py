@@ -392,19 +392,45 @@ def _hist_roofline(eng, hbm_peak: float) -> dict:
     counts = np.asarray(many(x))            # compile + parity gather
     ref = np.histogram(xh, bins=edges.astype(np.float64))[0]
     ok = bool(np.array_equal(counts, ref.astype(np.int64) * K))
-    times = []
-    for _ in range(max(REPS, 5)):
-        t0 = time.perf_counter()
-        outc = many(x)
-        int(outc[0])                         # probe-gather: real sync
-        times.append((time.perf_counter() - t0) * 1000.0)
-    med = statistics.median(times)
-    gbps = K * 4.0 * N / 1e9 / (med / 1e3)
+
+    def _med(fn_many, xv) -> float:
+        times = []
+        for _ in range(max(REPS, 5)):
+            t0 = time.perf_counter()
+            outc = fn_many(xv)
+            int(outc[0])                     # probe-gather: real sync
+            times.append((time.perf_counter() - t0) * 1000.0)
+        return statistics.median(times)
+
+    med = _med(many, x)
+    # control: the SAME K-scan over a tiny problem — measures the fixed
+    # dispatch + tunnel-gather overhead (~30 ms on this remote-attached
+    # chip) with negligible device work, and is subtracted exactly as the
+    # elementwise/matmul rooflines above subtract their tiny-data controls
+    Nc = 8192
+    fc = histcounts_pallas_affine(Nc, B, 6, 0)
+
+    @jax.jit
+    def many_ctl(xv):
+        def body(c, i):
+            return c + fc(xv, bias=i * 1e-44).astype(jnp.int64), None
+        c0 = jnp.zeros((B,), jnp.int64)
+        outc, _ = lax.scan(body, c0, jnp.arange(K, dtype=jnp.float32))
+        return outc
+
+    xc = jax.device_put(xh[:Nc], eng.devices[0])
+    np.asarray(many_ctl(xc))                # compile
+    ctl = _med(many_ctl, xc)
+    dev_ms = max(med - ctl, 1e-3)
+    gbps = K * 4.0 * N / 1e9 / (dev_ms / 1e3)
+    gbps_raw = K * 4.0 * N / 1e9 / (med / 1e3)
     log(f"  pallas histogram: {gbps:.0f} GB/s = "
         f"{100.0 * gbps / hbm_peak:.1f}% of HBM peak, parity "
-        f"{'OK' if ok else 'FAIL'} (median {med:.1f} ms)")
+        f"{'OK' if ok else 'FAIL'} (median {med:.1f} ms, control "
+        f"{ctl:.1f} ms, incl-overhead {gbps_raw:.0f} GB/s)")
     return {"histogram_gbps": round(gbps, 1),
             "histogram_pct_hbm": round(100.0 * gbps / hbm_peak, 1),
+            "histogram_gbps_incl_overhead": round(gbps_raw, 1),
             "histogram_parity_ok": ok}
 
 

@@ -65,23 +65,38 @@ def affine_edge_params(edges: np.ndarray):
 
 
 def histcounts_pallas_affine(n: int, n_bins: int, k_exp: int, m: int,
-                             interpret: bool = False, blk_e: int = 16384):
+                             interpret: bool = False, blk_e: int = 0,
+                             rows: int = 16):
     """Streaming histogram for EXACT-AFFINE power-of-two edges
     (e_k = (m + k) * 2^-k_exp): the two-level one-hot/MXU formulation.
 
     Per element the VPU computes y = x * 2^k_exp - m (exact), an integer
-    bin index, and its (coarse, fine) split; per 8-row block two skinny
-    one-hots CT (coarse, E) and FT (fine, E) are built by iota-compare
-    (elements on LANES -> full vector utilization) and the joint histogram
-    falls out of ONE MXU contraction over the lane dim:
+    bin index, and its (coarse, fine) split; per ROWS-row block two skinny
+    one-hots CT (ROWS*coarse, E) and FT (ROWS*fine, E) are built by
+    iota-compare (elements on LANES -> full vector utilization) and the
+    joint histogram falls out of ONE MXU contraction over the lane dim:
 
         counts[c, f] += CT @ FT'     (0/1 products are exact in bf16;
                                       f32 accumulation exact to 2^24/step)
 
-    VPU cost ~ (coarse + fine + ~10) lane-ops/element vs (B + 2) * 2 for
-    the compare-per-edge kernel below — ~5x fewer for B = 64, with the
-    O(N*B) joint-counting moved onto the MXU. Measured 41.6 GB/s -> see
-    BENCH_r05 (target >= 30% of HBM peak, VERDICT r4 #5).
+    The FULL (CR, FR) product — diagonal blocks plus cross-row junk — is
+    accumulated into one i32 VMEM scratch slab each step (a single add);
+    the block-diagonal extraction happens OUTSIDE the kernel in XLA on the
+    final (CR, FR) result, so the in-kernel per-step cost is just the
+    builds and the dot. ROWS=16 fills the 128x128 MXU tile exactly for
+    B=64 (coarse=fine=8).
+
+    Measured on v5e (K-differenced, tunnel overhead removed): 103 GB/s vs
+    98 for in-kernel extraction and 27 for compare-per-edge at the same
+    width. The kernel is VPU-ISSUE-BOUND, not HBM-bound: the one-hot
+    builds fundamentally write (coarse+fine) amplified cells per element
+    (~16x data amplification, the minimum for a two-level split of B=64
+    since coarse+fine >= 2*sqrt(B)), and the v5e VPU retires ~1.7e12
+    lane-ops/s — a ~180 GB/s formulation ceiling, independent of HBM
+    bandwidth. Attribution on-chip: pure streaming 780 GB/s, + index
+    chain 700 GB/s, + one-hot builds ~100 GB/s; bf16/int8-packed builds
+    do not help (Mosaic executes bf16 elementwise at f32 rate, and bf16
+    `==` is not lowerable at all on this toolchain).
 
     MATLAB semantics preserved exactly: bin k is [e_k, e_{k+1}) with the
     last bin right-closed; NaN and out-of-range drop."""
@@ -94,11 +109,19 @@ def histcounts_pallas_affine(n: int, n_bins: int, k_exp: int, m: int,
     B = n_bins
     fine = min(B, 8)
     coarse = (B + fine - 1) // fine
-    ROWS = 8
+    ROWS = rows
+    if blk_e <= 0:
+        # light autotune by problem size: keep the grid deep enough to
+        # pipeline (>= 8 steps) but blocks large enough to amortize
+        # per-step overhead (measured flat 8k..32k for 50M on v5e)
+        blk_e = 8192
+        while blk_e > 512 and (max(n, 1) + ROWS * blk_e - 1) \
+                // (ROWS * blk_e) < 8:
+            blk_e //= 2
+    CR, FR = ROWS * coarse, ROWS * fine
     blk = ROWS * blk_e
     padded = ((max(n, 1) + blk - 1) // blk) * blk
     grid = padded // blk
-    out_r = max(ROWS, ((coarse + ROWS - 1) // ROWS) * ROWS)
     invw = float(2.0 ** k_exp)
     mf = float(m)
     Bf = float(B)
@@ -118,25 +141,25 @@ def histcounts_pallas_affine(n: int, n_bins: int, k_exp: int, m: int,
         # perturbing x itself, which materializes a full copy)
         y = x * invw - (mf + b_ref[0])             # exact (see docstring)
         idx = jnp.minimum(jnp.floor(y), Bf - 1.0)  # right-closed last bin
-        valid = (y >= 0.0) & (y <= Bf)
-        # invalid/NaN -> idx = -fine: c = -1 (matches no coarse slot, which
-        # zeroes the joint product regardless of f)
-        idx = jnp.where(valid, idx, -float(fine))
+        # single-compare validity: y > B or NaN -> -fine (c = -1, matches
+        # no coarse slot); y < 0 needs no compare at all — floor(y) <= -1
+        # already lands c <= -1. Saves two full-width ops vs (>=0)&(<=B).
+        idx = jnp.where(y <= Bf, idx, -float(fine))
         c = jnp.floor(idx * (1.0 / fine))
         fv = idx - c * fine
         # ONE stacked dot instead of a per-row loop: row r's coarse one-hot
         # occupies sublanes [r*coarse, (r+1)*coarse) of CT (ROWS*coarse, E)
-        # and likewise FT — with ROWS*coarse = 128 the MXU tile is exactly
-        # filled (8 separate (8,E)x(E,8) dots each waste 255/256 of the
-        # padded 128x128 array and measured 4x slower). Off-diagonal blocks
-        # of the product pair different rows' one-hots at the same lane —
-        # junk that the diagonal extraction below ignores. The iota is a
-        # thin (S, 1) column (target value s % coarse for stacked slot s).
-        rr_c = (lax.broadcasted_iota(jnp.int32, (ROWS * coarse, 1), 0)
+        # and likewise FT — ROWS*coarse = 128 fills the MXU tile exactly
+        # (8 separate (8,E)x(E,8) dots each waste 255/256 of the padded
+        # 128x128 array and measured 4x slower). Off-diagonal blocks of
+        # the product pair different rows' one-hots at the same lane —
+        # junk that the outside extraction ignores. The iota is a thin
+        # (S, 1) column (target value s % coarse for stacked slot s).
+        rr_c = (lax.broadcasted_iota(jnp.int32, (CR, 1), 0)
                 % coarse).astype(jnp.float32)
-        rr_f = (lax.broadcasted_iota(jnp.int32, (ROWS * fine, 1), 0)
+        rr_f = (lax.broadcasted_iota(jnp.int32, (FR, 1), 0)
                 % fine).astype(jnp.float32)
-        crep = jnp.repeat(c, coarse, axis=0)           # (ROWS*coarse, E)
+        crep = jnp.repeat(c, coarse, axis=0)           # (CR, E)
         frep = jnp.repeat(fv, fine, axis=0)
         # bf16 one-hots: 0/1 are exact in bf16 and the MXU runs a single
         # pass; accumulation stays f32 via the preferred type
@@ -144,17 +167,10 @@ def histcounts_pallas_affine(n: int, n_bins: int, k_exp: int, m: int,
         ft = (frep == rr_f).astype(jnp.bfloat16)
         big = lax.dot_general(ct, ft, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-        acc = jnp.zeros((coarse, fine), jnp.float32)
-        for r in range(ROWS):
-            acc = acc + big[r * coarse:(r + 1) * coarse,
-                            r * fine:(r + 1) * fine]
-        pad_r = out_r - coarse
-        pad_l = LANE - fine
-        # accumulate in VMEM SCRATCH and write the output ONCE at the end:
-        # read-modify-writing the (revisited) output block every grid step
-        # serialized the pipeline (measured 55 -> 89 GB/s on v5e)
-        acc_ref[...] += jnp.pad(acc,
-                                ((0, pad_r), (0, pad_l))).astype(jnp.int32)
+        # accumulate the WHOLE product in VMEM scratch (one add) — the
+        # per-step diagonal extraction loop serialized the VPU; per-step
+        # amounts are <= blk_e < 2^24 so the f32->i32 convert is exact
+        acc_ref[...] += big.astype(jnp.int32)
 
         @pl.when(pid == grid - 1)
         def _fin():
@@ -167,11 +183,11 @@ def histcounts_pallas_affine(n: int, n_bins: int, k_exp: int, m: int,
             grid=(grid,),
             in_specs=[pl.BlockSpec((ROWS, blk_e), lambda i, b: (i, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((out_r, LANE), lambda i, b: (0, 0),
+            out_specs=pl.BlockSpec((CR, FR), lambda i, b: (0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((out_r, LANE), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((CR, FR), jnp.int32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((out_r, LANE), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((CR, FR), jnp.int32),
         interpret=interpret,
     )
 
@@ -184,7 +200,13 @@ def histcounts_pallas_affine(n: int, n_bins: int, k_exp: int, m: int,
             jnp.asarray(bias, np.float32).reshape(1)
         with jax.enable_x64(False):
             out = call(b, x.reshape(grid * ROWS, blk_e))
-            joint = out[:coarse, :fine]            # (coarse, fine) i32
+            # block-diagonal extraction (repeat layout): joint[cv, f] =
+            # sum_r out[r*coarse + cv, r*fine + f] — tiny XLA on (CR, FR)
+            o3 = out.reshape(ROWS, coarse, FR)
+            cols = (jnp.arange(ROWS, dtype=jnp.int32)[:, None] * fine
+                    + jnp.arange(fine, dtype=jnp.int32)[None, :])
+            take = jnp.broadcast_to(cols[:, None, :], (ROWS, coarse, fine))
+            joint = jnp.sum(jnp.take_along_axis(o3, take, axis=2), axis=0)
             counts = joint.reshape(-1)[:B]
         return counts
 
