@@ -237,10 +237,26 @@ def run_roofline(sess) -> dict:
     # and published, plus the opt-in 'ozaki' compensated GEMM: 21 exact
     # int8 MXU products + f64 recombination (accel/ozaki.py) at ~4x the
     # emulated rate with ~1e-11 worst-case relative error.
-    if os.environ.get("BENCH_SKIP_F64") != "1" and \
-            _has_budget("f64 rooflines", 320):
-        Ne64 = int(os.environ.get("BENCH_EW64_N", 20_000_000))
-        Ke64 = int(os.environ.get("BENCH_EW64_K", 64))
+    # f64 sections degrade to a REDUCED variant rather than skipping when
+    # the budget is tight (a cold compile cache can eat 400s+ upstream):
+    # matmul_tflops_f64 and the ozaki parity gate are done-criteria that
+    # must appear in every BENCH capture.
+    f64_mode = "skip"
+    if os.environ.get("BENCH_SKIP_F64") != "1":
+        if _left() >= 320:
+            f64_mode = "full"
+        elif _left() >= 130:
+            f64_mode = "reduced"
+            log(f"  f64 rooflines: {_left():.0f}s budget left — running "
+                f"REDUCED sizes (default-policy GEMM + parity gate only)")
+        else:
+            log(f"  skipping f64 rooflines: {_left():.0f}s budget left, "
+                f"need >=130s (set BENCH_BUDGET_S to raise)")
+    if f64_mode != "skip":
+        full64 = f64_mode == "full"
+        Ne64 = int(os.environ.get("BENCH_EW64_N",
+                                  20_000_000 if full64 else 8_000_000))
+        Ke64 = int(os.environ.get("BENCH_EW64_K", 64 if full64 else 32))
         log(f"  f64 elementwise roofline: N={Ne64}, K={Ke64}")
 
         def ew64_loop(k):
@@ -262,7 +278,7 @@ def run_roofline(sess) -> dict:
             f"f64 VPU emulation is compute-bound on this chip)")
         sess.run_source("clear ewd_x ewd_y", "roofline_clear")
 
-        Nm64 = int(os.environ.get("BENCH_MM64_N", 4096))
+        Nm64 = int(os.environ.get("BENCH_MM64_N", 4096 if full64 else 2048))
         Km64 = int(os.environ.get("BENCH_MM64_K", 4))
         log(f"  f64 matmul roofline: N={Nm64}, K={Km64}")
 
@@ -292,16 +308,17 @@ def run_roofline(sess) -> dict:
             f"{eng.ozaki_auto_mindim}]: {tf64:.2f} TFLOP/s")
         prev_policy = eng.matmul_precision
         try:
-            eng.matmul_precision = "native"
-            tf64n = measure_mm64()
-            out["matmul_tflops_f64_native"] = round(tf64n, 2)
-            log(f"  f64 matmul[native opt-out]: {tf64n:.2f} TFLOP/s "
-                f"(default is {tf64 / max(tf64n, 1e-9):.1f}x native "
-                f"emulation)")
-            eng.matmul_precision = "ozaki"
-            tf64o = measure_mm64()
-            out["matmul_tflops_f64_ozaki"] = round(tf64o, 2)
-            log(f"  f64 matmul[ozaki explicit]: {tf64o:.2f} TFLOP/s")
+            if full64:
+                eng.matmul_precision = "native"
+                tf64n = measure_mm64()
+                out["matmul_tflops_f64_native"] = round(tf64n, 2)
+                log(f"  f64 matmul[native opt-out]: {tf64n:.2f} TFLOP/s "
+                    f"(default is {tf64 / max(tf64n, 1e-9):.1f}x native "
+                    f"emulation)")
+                eng.matmul_precision = "ozaki"
+                tf64o = measure_mm64()
+                out["matmul_tflops_f64_ozaki"] = round(tf64o, 2)
+                log(f"  f64 matmul[ozaki explicit]: {tf64o:.2f} TFLOP/s")
             # on-chip accuracy gate for the compensated path (vs host f64)
             import numpy as _np
             sess.run_source(
