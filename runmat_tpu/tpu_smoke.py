@@ -479,6 +479,7 @@ def run(sess, budget_s: float = None) -> dict:
     failures = []
     degraded_streak = 0
     degraded = False
+    pending_degraded = None   # (n_checks, failures_idx, msg) of streak-1 case
     for name, src, checks in CASES:
         if degraded or (budget_s is not None
                         and _time.perf_counter() - t0 > budget_s):
@@ -501,16 +502,33 @@ def run(sess, budget_s: float = None) -> dict:
                 degraded_streak += 1
                 if degraded_streak >= 2:
                     degraded = True
-                    # this case + the rest are environment skips, not red
+                    # this case + the rest are environment skips, not red —
+                    # and the PREVIOUS case (the cascade's first victim,
+                    # provisionally counted red) is reclassified too
+                    if pending_degraded is not None:
+                        failed -= pending_degraded[0]
+                        skipped += 1
+                        failures[pending_degraded[1]] = (
+                            pending_degraded[2].replace(
+                                "program error", "environment degraded"))
                     skipped += 1
                     failures.append(
                         f"{name}: environment degraded: "
                         f"{type(err).__name__}: {err}")
                     continue
+                # provisional red: reclassified as an environment skip if
+                # the NEXT case confirms the cascade
+                msg = (f"{name}: program error: "
+                       f"{type(err).__name__}: {err}")
+                pending_degraded = (len(checks), len(failures), msg)
+                failed += len(checks)
+                failures.append(msg)
+                continue
             failed += len(checks)
             failures.append(f"{name}: program error: {type(err).__name__}: {err}")
             continue
         degraded_streak = 0
+        pending_degraded = None
         for var, want, tol in checks:
             try:
                 v = sess.get(var)
